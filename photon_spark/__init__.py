@@ -1,0 +1,21 @@
+"""photon_spark — a PySpark-native inverted-index build + BM25 query engine.
+
+A from-scratch rebuild of the search semantics of komoot/photon
+(reference at /root/reference, snapshot 2026-07-23) over tables of
+source-code repositories:
+
+* edge-ngram prefix analysis, multilingual folding, field-weighted
+  relevance encoded as term frequencies (reference:
+  opensearch/IndexSettingBuilder.java, opensearch/PhotonDocSerializer.java)
+* SPIMI-style posting-list construction in vectorized Arrow UDFs,
+  delta + varint block compression, block-max metadata
+* top-k BM25 with block-max pruning, rank-identical to a pure-Python
+  oracle on the fixture query set
+* resumable, lineage-tracked index builds run via spark-submit --py-files
+
+The execution engine is idiomatic PySpark (DataFrame + mapInArrow /
+pandas_udf; no per-row Python UDFs) — NOT a port of the reference's
+Java/OpenSearch engine.
+"""
+
+__version__ = "0.1.0"

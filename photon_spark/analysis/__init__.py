@@ -1,0 +1,53 @@
+"""Analyzer kernels — pure, deterministic string → token functions.
+
+These are the single source of truth for tokenization: the Spark index
+builder applies them corpus-wide inside ``mapInArrow`` batches, the
+query compiler applies them to query strings on the driver, and the
+pure-Python oracle imports the very same functions. That mirrors how
+the reference keeps index/search analyzers in agreement
+(reference: opensearch/IndexSettingBuilder.java:120-369).
+"""
+
+from photon_spark.analysis.folding import (
+    fold,
+    normalize_apostrophes,
+    ascii_fold,
+    german_normalize,
+)
+from photon_spark.analysis.tokenize import (
+    search_split,
+    word_delimiter,
+    keep_alphanum,
+    expand_possessives,
+)
+from photon_spark.analysis.ngram import edge_ngrams
+from photon_spark.analysis.analyzers import (
+    analyze_doc,
+    analyze_search,
+    analyze_search_prefix,
+    category_prefixes,
+    FIELD_ALL,
+    FIELD_NGRAM,
+    FIELD_NAME,
+    FIELD_NAME_PREFIX,
+)
+
+__all__ = [
+    "fold",
+    "normalize_apostrophes",
+    "ascii_fold",
+    "german_normalize",
+    "search_split",
+    "word_delimiter",
+    "keep_alphanum",
+    "expand_possessives",
+    "edge_ngrams",
+    "analyze_doc",
+    "analyze_search",
+    "analyze_search_prefix",
+    "category_prefixes",
+    "FIELD_ALL",
+    "FIELD_NGRAM",
+    "FIELD_NAME",
+    "FIELD_NAME_PREFIX",
+]

@@ -1,0 +1,210 @@
+"""Named analyzers: document zones → (term, tf) and query → clauses.
+
+The graft's document model follows the reference's collector encoding
+(reference: opensearch/PhotonDocSerializer.java:56-106,
+opensearch/NameCollector.java:26-47): every searchable string zone
+contributes terms at a zone priority, the per-(doc, term) max priority
+becomes the stored term frequency, and with norms disabled BM25's tf
+saturation turns the priority into a relevance boost (§1.3 of
+SURVEY.md).
+
+Zone → priority mapping for the code corpus (graft of
+PhotonDocSerializer.java:58-106, per FIXTURES.md §1):
+
+=================  ========  ======================================
+zone               priority  photon analog
+=================  ========  ======================================
+file basename      5         names (default language), prio 5
+path segments      2         address parts / street, prio 2
+repo name          2         countrycode / parent, prio 2
+file content       1         context terms, prio 1
+``#code.<lang>``   1         categories (# prefixed), prio 1
+=================  ========  ======================================
+
+Fields produced (graft of the reference's index mapping,
+opensearch/IndexMapping.java:83-135):
+
+* ``all``          — fullword terms, tf = priority (collector.all)
+* ``all_ngram``    — edge 1..30 prefixes of fullword terms
+  (collector.all.ngram; prefix_edge_ngram, no original)
+* ``name``         — basename tokens, possessive-expanded, edge 5..30
+  with original preserved (collector.name; name_edge_ngram)
+* ``name_prefix``  — whole basename alnum-concatenated, edge 1..30
+  (collector.name.prefix — the search-as-you-type field, pinned by
+  QueryBasicSearchTest.java:150-157)
+"""
+
+from __future__ import annotations
+
+from photon_spark.analysis.folding import fold, normalize_apostrophes
+from photon_spark.analysis.ngram import edge_ngrams
+from photon_spark.analysis.tokenize import (
+    expand_possessives,
+    keep_alphanum,
+    search_split,
+    word_delimiter,
+)
+
+FIELD_ALL = "all"
+FIELD_NGRAM = "all_ngram"
+FIELD_NAME = "name"
+FIELD_NAME_PREFIX = "name_prefix"
+
+# Zone priorities (PhotonDocSerializer.java:58-106 analog).
+PRIO_NAME = 5
+PRIO_PATH = 2
+PRIO_REPO = 2
+PRIO_CONTENT = 1
+PRIO_CATEGORY = 1
+# collector.name primary-language priority (PhotonDocSerializer.java:74).
+PRIO_NAME_FIELD = 2
+
+# drop_empty_tokens length bounds (IndexSettingBuilder.java:222-224).
+MIN_TOKEN_LEN = 1
+MAX_TOKEN_LEN = 500
+
+
+def _keep(tok: str) -> bool:
+    return MIN_TOKEN_LEN <= len(tok) <= MAX_TOKEN_LEN
+
+
+def category_prefixes(category: str) -> list[str]:
+    """Dot-path prefix expansion: ``a.b.c.d`` → ``a.b``, ``a.b.c``,
+    ``a.b.c.d`` (2..5 labels), each emitted with the ``#`` marker
+    (reference: IndexSettingBuilder.java:212-220,365-368).
+    """
+    labels = category.lstrip("#").split(".")
+    out = []
+    for n in range(2, min(len(labels), 5) + 1):
+        out.append("#" + ".".join(labels[:n]))
+    return out
+
+
+def _zone_terms(text: str, catenate: bool = True) -> list[str]:
+    """Fullword tokenization of one zone string: whitespace/punct split
+    → word-delimiter (camelCase + punctuation, catenate-all) → fold.
+    """
+    out: list[str] = []
+    for chunk in text.split():
+        for part in word_delimiter(chunk, catenate=catenate):
+            t = fold(part)
+            if _keep(t):
+                out.append(t)
+    return out
+
+
+def split_basename(path: str) -> tuple[str, list[str]]:
+    """Split a file path into (basename-without-extension, other
+    segments incl. extension). The basename is the graft's "name"
+    (photon's default-language place name)."""
+    segs = [s for s in path.split("/") if s]
+    if not segs:
+        return "", []
+    base = segs[-1]
+    rest = list(segs[:-1])
+    if "." in base[1:]:
+        stem, _, ext = base.rpartition(".")
+        rest.append(ext)
+        base = stem
+    return base, rest
+
+
+def analyze_doc(
+    repo: str, path: str, lang: str, content: str
+) -> dict[str, dict[str, int]]:
+    """Analyze one document into ``{field: {term: tf}}``.
+
+    Duplicate terms keep the max priority (NameCollector.java:26-34);
+    per-field token sets are deduped (the ``unique`` filter,
+    IndexSettingBuilder.java:175,328,337,345).
+    """
+    basename, path_rest = split_basename(path or "")
+
+    # --- collector.all analog: term -> max priority -----------------
+    all_terms: dict[str, int] = {}
+
+    def _add(terms: list[str], prio: int) -> None:
+        for t in terms:
+            if all_terms.get(t, 0) < prio:
+                all_terms[t] = prio
+
+    _add(_zone_terms(normalize_apostrophes(basename)), PRIO_NAME)
+    _add(_zone_terms(normalize_apostrophes(" ".join(path_rest))), PRIO_PATH)
+    _add(_zone_terms((repo or "").replace("/", " ")), PRIO_REPO)
+    _add(_zone_terms(normalize_apostrophes(content or "")), PRIO_CONTENT)
+    if lang:
+        for cat in category_prefixes(f"code.{fold(lang)}"):
+            _add([cat], PRIO_CATEGORY)
+
+    # --- all_ngram: edge 1..30 prefixes of non-category terms -------
+    ngram_terms: dict[str, int] = {}
+    for t, tf in all_terms.items():
+        if t.startswith("#"):
+            continue
+        for g in edge_ngrams(t, 1, 30):
+            if ngram_terms.get(g, 0) < tf:
+                ngram_terms[g] = tf
+
+    # --- name: possessive-expanded basename, edge 5..30 + original --
+    name_terms: dict[str, int] = {}
+    expanded = expand_possessives(normalize_apostrophes(basename))
+    for chunk in expanded.split():
+        for part in word_delimiter(chunk, catenate=True):
+            t = fold(part)
+            if not _keep(t):
+                continue
+            for g in edge_ngrams(t, 5, 30, preserve_original=True):
+                if name_terms.get(g, 0) < PRIO_NAME_FIELD:
+                    name_terms[g] = PRIO_NAME_FIELD
+
+    # --- name_prefix: whole basename alnum-concatenated, edge 1..30 -
+    prefix_terms: dict[str, int] = {}
+    whole = fold(keep_alphanum(normalize_apostrophes(basename)))
+    if _keep(whole):
+        for g in edge_ngrams(whole, 1, 30):
+            prefix_terms[g] = 1
+
+    return {
+        FIELD_ALL: all_terms,
+        FIELD_NGRAM: ngram_terms,
+        FIELD_NAME: name_terms,
+        FIELD_NAME_PREFIX: prefix_terms,
+    }
+
+
+def analyze_search(q: str) -> list[list[str]]:
+    """Query-side ``search`` analyzer → list of clauses.
+
+    Each input token (split on ``[ ,!?;]+``) becomes one clause — a
+    list of alternative folded terms from the word-delimiter graph
+    (parts + catenated form). ``#``-prefixed tokens pass through as
+    category terms (the keep_classification branch,
+    IndexSettingBuilder.java:145-156).
+
+    AND/minimum_should_match semantics count CLAUSES: a clause is
+    satisfied when any of its alternatives matches the document.
+    """
+    clauses: list[list[str]] = []
+    for raw in search_split(normalize_apostrophes(q)):
+        if raw.startswith("#"):
+            t = fold(raw)
+            if _keep(t):
+                clauses.append([t])
+            continue
+        alts: list[str] = []
+        seen = set()
+        for part in word_delimiter(raw, catenate=True):
+            t = fold(part)
+            if _keep(t) and t not in seen:
+                seen.add(t)
+                alts.append(t)
+        if alts:
+            clauses.append(alts)
+    return clauses
+
+
+def analyze_search_prefix(q: str) -> str:
+    """Query-side ``search_prefix`` analyzer: the entire query as one
+    concatenated alphanumeric folded token (IndexSettingBuilder.java:
+    248-253). Empty string if nothing alphanumeric remains."""
+    return fold(keep_alphanum(normalize_apostrophes(q)))[:500]

@@ -1,0 +1,126 @@
+"""Character folding: lowercase, apostrophes, ASCII folding, German
+normalization.
+
+Reproduces the reference's normalization chain ``lowercase →
+asciifolding → german_normalization`` (reference:
+opensearch/IndexSettingBuilder.java:181-185) and the
+``normalize_apostrophes`` char filter (IndexSettingBuilder.java:27-32,
+228-233; behavior pinned by ApostropheNormalizationTest.java:57-68).
+
+All functions are pure and deterministic; they are shared verbatim by
+the Spark index builder, the query compiler, and the Python oracle.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+from functools import lru_cache
+
+# U+2019 RIGHT SINGLE QUOTATION MARK, U+2018 LEFT SINGLE QUOTATION MARK,
+# U+02BC MODIFIER LETTER APOSTROPHE, U+02BB MODIFIER LETTER TURNED COMMA
+# → ASCII apostrophe (IndexSettingBuilder.java:27-32).
+_APOSTROPHE_TABLE = str.maketrans({
+    "’": "'",
+    "‘": "'",
+    "ʼ": "'",
+    "ʻ": "'",
+})
+
+# Multi-char expansions Lucene's ASCIIFoldingFilter performs that NFKD
+# decomposition alone does not produce.
+_ASCII_EXPANSIONS = str.maketrans({
+    "ß": "ss",  # ß
+    "œ": "oe",  # œ
+    "Œ": "OE",  # Œ
+    "æ": "ae",  # æ
+    "Æ": "AE",  # Æ
+    "ø": "o",   # ø
+    "Ø": "O",   # Ø
+    "ł": "l",   # ł
+    "Ł": "L",   # Ł
+    "đ": "d",   # đ
+    "Đ": "D",   # Đ
+    "ð": "d",   # ð
+    "Ð": "D",   # Ð
+    "þ": "th",  # þ
+    "Þ": "TH",  # Þ
+})
+
+
+def normalize_apostrophes(s: str) -> str:
+    """Map the four Unicode apostrophe variants to ASCII ``'``."""
+    return s.translate(_APOSTROPHE_TABLE)
+
+
+def ascii_fold(s: str) -> str:
+    """Fold accented/decorated characters to their ASCII equivalents.
+
+    NFKD-decompose and strip combining marks, with the Lucene-style
+    multi-character expansions applied first (œ→oe, ß→ss, …).
+    Characters with no ASCII equivalent are kept as-is.
+    """
+    s = s.translate(_ASCII_EXPANSIONS)
+    decomposed = unicodedata.normalize("NFKD", s)
+    return "".join(c for c in decomposed if not unicodedata.combining(c))
+
+
+def german_normalize(s: str) -> str:
+    """Lucene ``GermanNormalizationFilter`` state machine.
+
+    ä→a, ö→o, ü→u, ß→ss, and the digraphs ae/oe/ue collapse to
+    a/o/u — except 'ue' after q/vowels (so 'que' keeps its e). This is
+    what lets the reference match query ``mueggeln`` against indexed
+    ``Müggeln`` (reference: QueryBasicSearchTest.java:100-108).
+
+    Runs AFTER :func:`ascii_fold` in the chain, matching the
+    reference's filter order, so the umlaut branches normally see
+    already-folded ASCII and the digraph deletion is the active rule.
+    """
+    # States of the Lucene automaton.
+    N, V, U = 0, 1, 2
+    state = N
+    out: list[str] = []
+    for c in s:
+        if c in ("a", "o"):
+            out.append(c)
+            state = U
+        elif c == "u":
+            out.append(c)
+            state = U if state == N else V
+        elif c == "e":
+            if state == U:
+                # delete the 'e' of the ae/oe/ue digraph
+                pass
+            else:
+                out.append(c)
+            state = V
+        elif c in ("i", "q", "y"):
+            out.append(c)
+            state = V
+        elif c == "ä":  # ä
+            out.append("a")
+            state = V
+        elif c == "ö":  # ö
+            out.append("o")
+            state = V
+        elif c == "ü":  # ü
+            out.append("u")
+            state = V
+        elif c == "ß":  # ß
+            out.append("ss")
+            state = N
+        else:
+            out.append(c)
+            state = N
+    return "".join(out)
+
+
+@lru_cache(maxsize=65536)
+def fold(token: str) -> str:
+    """Full normalization of a single (already-tokenized) token:
+    lowercase → ascii fold → german normalization.
+
+    Cached: token vocabularies are heavily repeated within an Arrow
+    batch, so the cache turns the per-token cost into a dict hit.
+    """
+    return german_normalize(ascii_fold(token.lower()))

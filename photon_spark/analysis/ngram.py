@@ -1,0 +1,34 @@
+"""Edge n-gram expansion.
+
+Two configurations from the reference (opensearch/IndexSettingBuilder.java):
+
+* ``prefix_edge_ngram`` — minGram=1, maxGram=30, original NOT kept
+  (IndexSettingBuilder.java:298-303); feeds the search-as-you-type
+  prefix fields.
+* ``name_edge_ngram`` — minGram=5, maxGram=30, original preserved
+  (IndexSettingBuilder.java:305-310); interior-word prefix matching.
+"""
+
+from __future__ import annotations
+
+MAX_GRAM = 30
+
+
+def edge_ngrams(
+    token: str,
+    min_gram: int = 1,
+    max_gram: int = MAX_GRAM,
+    preserve_original: bool = False,
+) -> list[str]:
+    """All prefixes of ``token`` with length in [min_gram, max_gram].
+
+    With ``preserve_original=True`` the full token is always included
+    even when longer than ``max_gram`` (Lucene's
+    ``preserve_original`` flag).
+    """
+    n = len(token)
+    upper = min(n, max_gram)
+    grams = [token[:i] for i in range(min_gram, upper + 1)]
+    if preserve_original and (n > max_gram or n < min_gram):
+        grams.append(token)
+    return grams

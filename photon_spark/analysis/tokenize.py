@@ -1,0 +1,94 @@
+"""Tokenizers and word-delimiter splitting.
+
+Reproduces the reference's tokenizer/filter semantics:
+
+* ``search_split`` — simple_pattern_split on ``[ ,!?;]+``
+  (reference: opensearch/IndexSettingBuilder.java:123-126).
+* ``word_delimiter`` — the word_delimiter_graph configs: split on
+  punctuation and case change, optionally catenate-all
+  (``Saint-Jean`` → ``saint``, ``jean``, ``saintjean``), never split
+  letter↔digit runs, never strip English possessives
+  (IndexSettingBuilder.java:128-133,260-276,290-296).
+* ``expand_possessives`` — the ``expand_possessive`` and
+  ``expand_prefix_contraction`` char filters: ``Tiffany's`` →
+  ``Tiffany Tiffanys``, ``O'Connor`` → ``OConnor Connor``, ``L'Etoile``
+  → ``LEtoile Etoile`` (IndexSettingBuilder.java:278-288; pinned by
+  PossessiveTokenizationTest.java:64-78).
+* ``keep_alphanum`` — strip every non-alphanumeric character inside the
+  token (IndexSettingBuilder.java:239-244).
+"""
+
+from __future__ import annotations
+
+import re
+
+# simple_pattern_split [ ,!?;]+  (IndexSettingBuilder.java:123-126)
+_SEARCH_SPLIT_RE = re.compile(r"[ ,!?;]+")
+
+# word-delimiter: alphanumeric runs; a run is letters-or-digits with no
+# case-change boundary inside it. We split in two passes: first extract
+# [A-Za-z0-9_]*-free alnum runs (split on punctuation), then split each
+# run on lower→Upper camelCase transitions. Letter↔digit transitions do
+# NOT split (generateNumberParts-style splitting disabled in the
+# reference's configs).
+_ALNUM_RUN_RE = re.compile(r"[^\W_]+", re.UNICODE)  # unicode alnum, '_' is punct
+_CAMEL_RE = re.compile(r"(?<=[a-zà-öø-ÿ0-9])(?=[A-ZÀ-ÖØ-Þ])")
+
+# expand_possessive (IndexSettingBuilder.java:278-282):
+#   (\p{L}{2,})'(\p{L}{1,2})\b | (\p{L})'(\p{L})\b  →  "$1$3 $1$2$3$4"
+_POSSESSIVE_RE = re.compile(
+    r"([^\W\d_]{2,})'([^\W\d_]{1,2})\b|([^\W\d_])'([^\W\d_])\b", re.UNICODE
+)
+
+# expand_prefix_contraction (IndexSettingBuilder.java:284-288):
+#   \b(\p{L})'(\p{L}{2,})\b  →  "$1$2 $2"
+_CONTRACTION_RE = re.compile(r"\b([^\W\d_])'([^\W\d_]{2,})\b", re.UNICODE)
+
+_NON_ALNUM_RE = re.compile(r"[\W_]+", re.UNICODE)
+
+
+def search_split(s: str) -> list[str]:
+    """Split on ``[ ,!?;]+`` — the reference's search tokenizer."""
+    return [t for t in _SEARCH_SPLIT_RE.split(s) if t]
+
+
+def word_delimiter(token: str, catenate: bool = False) -> list[str]:
+    """Split a token on punctuation and camelCase boundaries.
+
+    With ``catenate=True`` additionally emits the concatenation of all
+    parts when the token split at all (word_delimiter_graph
+    ``catenate_all``, IndexSettingBuilder.java:260-265).
+    """
+    runs = _ALNUM_RUN_RE.findall(token)
+    parts: list[str] = []
+    for run in runs:
+        parts.extend(p for p in _CAMEL_RE.split(run) if p)
+    if catenate and len(parts) > 1:
+        parts.append("".join(parts))
+    return parts
+
+
+def expand_possessives(s: str) -> str:
+    """Apply the possessive/contraction expansion char filters in the
+    reference's order: ``Tiffany's`` → ``Tiffany Tiffanys``;
+    ``O'Connor`` → ``OConnor Connor``; ``L'Etoile`` → ``LEtoile
+    Etoile``.
+    """
+
+    def _poss(m: re.Match) -> str:
+        g1, g2, g3, g4 = m.group(1), m.group(2), m.group(3), m.group(4)
+        g1 = g1 or ""
+        g2 = g2 or ""
+        g3 = g3 or ""
+        g4 = g4 or ""
+        return f"{g1}{g3} {g1}{g2}{g3}{g4}"
+
+    s = _POSSESSIVE_RE.sub(_poss, s)
+    s = _CONTRACTION_RE.sub(lambda m: f"{m.group(1)}{m.group(2)} {m.group(2)}", s)
+    return s
+
+
+def keep_alphanum(s: str) -> str:
+    """Strip every non-alphanumeric character (keyword-tokenizer +
+    keep_alphanum pattern, used by the prefix/full analyzers)."""
+    return _NON_ALNUM_RE.sub("", s)

@@ -1,0 +1,190 @@
+"""Analyzer-kernel pins, translated from the reference's analyzer tests
+(ApostropheNormalizationTest.java:57-68, PossessiveTokenizationTest.java:64-78,
+QueryBasicSearchTest.java:100-157) to the code corpus."""
+
+from photon_spark.analysis import (
+    FIELD_ALL,
+    FIELD_NAME,
+    FIELD_NAME_PREFIX,
+    FIELD_NGRAM,
+    analyze_doc,
+    analyze_search,
+    analyze_search_prefix,
+    ascii_fold,
+    category_prefixes,
+    edge_ngrams,
+    expand_possessives,
+    fold,
+    german_normalize,
+    keep_alphanum,
+    normalize_apostrophes,
+    search_split,
+    word_delimiter,
+)
+
+
+class TestFolding:
+    def test_apostrophes(self):
+        # ApostropheNormalizationTest.java:57-68
+        assert normalize_apostrophes("Tiffany’s") == "Tiffany's"
+        assert normalize_apostrophes("Tiffany‘s") == "Tiffany's"
+        assert normalize_apostrophes("Hawaiʻi") == "Hawai'i"
+        assert normalize_apostrophes("Oʼahu") == "O'ahu"
+
+    def test_ascii_fold(self):
+        assert ascii_fold("Müggeln") == "Muggeln"
+        assert ascii_fold("Bœuf") == "Boeuf"
+        assert ascii_fold("Moëns") == "Moens"
+        assert ascii_fold("straße") == "strasse"
+        assert ascii_fold("öl") == "ol"
+
+    def test_german_normalize_digraphs(self):
+        # QueryBasicSearchTest.java:100-108: 'mueggeln' matches Müggeln
+        assert german_normalize("mueggeln") == "muggeln"
+        assert german_normalize("muggeln") == "muggeln"
+        # 'que' keeps its e (u after q is not in U state)
+        assert german_normalize("queue") == "queue"
+        assert german_normalize("haus") == "haus"
+
+    def test_fold_pipeline(self):
+        # index side and query side meet on the same folded form
+        assert fold("Müggeln") == fold("mueggeln") == "muggeln"
+        assert fold("Bœuf") == fold("boeuf")
+        # QueryBasicSearchTest.java:111-120 — œ folding
+        assert fold("Bœuf") == "bouf"
+
+
+class TestTokenize:
+    def test_search_split(self):
+        assert search_split("main street, berlin") == ["main", "street", "berlin"]
+        assert search_split("a,b!c?d;e  f") == ["a", "b", "c", "d", "e", "f"]
+
+    def test_word_delimiter_punct(self):
+        assert word_delimiter("Saint-Jean") == ["Saint", "Jean"]
+        assert word_delimiter("Saint-Jean", catenate=True) == [
+            "Saint", "Jean", "SaintJean",
+        ]
+
+    def test_word_delimiter_camel(self):
+        assert word_delimiter("MainStreet") == ["Main", "Street"]
+        assert word_delimiter("MainStreet", catenate=True) == [
+            "Main", "Street", "MainStreet",
+        ]
+
+    def test_word_delimiter_numerics_not_split(self):
+        # the reference's configs never split letter↔digit runs
+        assert word_delimiter("utf8decoder") == ["utf8decoder"]
+        assert word_delimiter("b2b") == ["b2b"]
+
+    def test_word_delimiter_dots(self):
+        assert word_delimiter("dot.notation.a.x.c") == [
+            "dot", "notation", "a", "x", "c",
+        ]
+
+    def test_possessive_expansion(self):
+        # PossessiveTokenizationTest.java:64-78
+        assert expand_possessives("Tiffany's") == "Tiffany Tiffanys"
+        assert expand_possessives("O'Connor") == "OConnor Connor"
+        assert expand_possessives("L'Etoile") == "LEtoile Etoile"
+
+    def test_keep_alphanum(self):
+        assert keep_alphanum("Mönchengladbach Hbf") == "MönchengladbachHbf"
+        assert keep_alphanum("with (braces)") == "withbraces"
+
+
+class TestNgrams:
+    def test_prefix_edge(self):
+        assert edge_ngrams("abc", 1, 30) == ["a", "ab", "abc"]
+
+    def test_name_edge_preserves_original(self):
+        grams = edge_ngrams("gladbach", 5, 30, preserve_original=True)
+        assert grams == ["gladb", "gladba", "gladbac", "gladbach"]
+        long = "x" * 40
+        grams = edge_ngrams(long, 5, 30, preserve_original=True)
+        assert long in grams and len(grams) == 27
+
+    def test_short_token(self):
+        assert edge_ngrams("ab", 5, 30, preserve_original=True) == ["ab"]
+
+
+class TestCategories:
+    def test_prefix_expansion(self):
+        assert category_prefixes("a.b.c.d") == ["#a.b", "#a.b.c", "#a.b.c.d"]
+        assert category_prefixes("code.python") == ["#code.python"]
+
+
+class TestAnalyzeDoc:
+    DOC = dict(
+        repo="org1/proj2",
+        path="src/util/MainStreet.java",
+        lang="java",
+        content="return new Müggeln(); // Tiffany's L'Etoile",
+    )
+
+    def test_all_field_priorities(self):
+        fields = analyze_doc(**self.DOC)
+        allf = fields[FIELD_ALL]
+        # basename tokens at priority 5
+        assert allf["main"] == 5 and allf["street"] == 5
+        assert allf["mainstreet"] == 5
+        # path segments + extension at 2
+        assert allf["src"] == 2 and allf["util"] == 2 and allf["java"] == 2
+        # repo tokens at 2
+        assert allf["org1"] == 2 and allf["proj2"] == 2
+        # content tokens at 1
+        assert allf["muggeln"] == 1 and allf["return"] == 1
+        # category
+        assert allf["#code.java"] == 1
+
+    def test_ngram_field(self):
+        fields = analyze_doc(**self.DOC)
+        ng = fields[FIELD_NGRAM]
+        assert ng["m"] == 5  # prefix of 'main' (prio 5) beats 'muggeln' (1)
+        assert ng["mugg"] == 1
+        assert "#code.java"[:2] not in ng  # categories not ngrammed
+
+    def test_name_field_interior_word(self):
+        # QueryBasicSearchTest interior-word ≥5-gram matching
+        fields = analyze_doc(**self.DOC)
+        nm = fields[FIELD_NAME]
+        assert "street" in nm and "stree" in nm
+        assert "main" in nm          # original preserved (len<5)
+        assert "mains" in nm         # from catenated 'mainstreet'
+        assert "st" not in nm        # below min gram, not an original
+
+    def test_name_prefix_field(self):
+        fields = analyze_doc(**self.DOC)
+        np_ = fields[FIELD_NAME_PREFIX]
+        # whole basename, spaces/punct removed, edge 1..30
+        assert "m" in np_ and "mainstreet" in np_
+        # QueryBasicSearchTest.java:150-157 analog
+        f2 = analyze_doc("o/p", "a/Mönchengladbach Hbf.txt", "md", "x")
+        assert "monchengladbachhbf" in f2[FIELD_NAME_PREFIX]
+        # query 'moen' folds to 'mon' (german ae/oe/ue collapse) and
+        # meets the indexed prefix — the :150-157 search-as-you-type pin
+        assert analyze_search_prefix("moen") == "mon"
+        assert "mon" in f2[FIELD_NAME_PREFIX]
+
+    def test_duplicate_keeps_max_priority(self):
+        # NameCollector.java:26-34: same term in name and content → 5
+        f = analyze_doc("r/r", "x/street.py", "python", "street street")
+        assert f[FIELD_ALL]["street"] == 5
+
+
+class TestAnalyzeSearch:
+    def test_simple(self):
+        assert analyze_search("main street") == [["main"], ["street"]]
+
+    def test_folding_applied(self):
+        assert analyze_search("Müggeln") == [["muggeln"]]
+        assert analyze_search("mueggeln") == [["muggeln"]]
+
+    def test_delimiter_graph_clause(self):
+        assert analyze_search("Saint-Jean") == [["saint", "jean", "saintjean"]]
+
+    def test_category_token(self):
+        assert analyze_search("#code.python util") == [["#code.python"], ["util"]]
+
+    def test_search_prefix(self):
+        assert analyze_search_prefix("Mönchengladbach H") == "monchengladbachh"
+        assert analyze_search_prefix("main st") == "mainst"
