@@ -30,6 +30,7 @@ from photon_spark.analysis.analyzers import (
     FIELD_NGRAM,
     FIELD_NAME,
     FIELD_NAME_PREFIX,
+    FIELD_KEYWORD,
 )
 
 __all__ = [
@@ -50,4 +51,5 @@ __all__ = [
     "FIELD_NGRAM",
     "FIELD_NAME",
     "FIELD_NAME_PREFIX",
+    "FIELD_KEYWORD",
 ]

@@ -49,6 +49,11 @@ FIELD_ALL = "all"
 FIELD_NGRAM = "all_ngram"
 FIELD_NAME = "name"
 FIELD_NAME_PREFIX = "name_prefix"
+# Exact-match keyword terms (``lang:java``, ``repo:org/proj``) — the
+# graft of the reference's non-scoring keyword filter fields
+# (osm_key/osm_value/countrycode, IndexMapping.java:37-42,58-61).
+# Filters become posting-list intersections in filter context.
+FIELD_KEYWORD = "kw"
 
 # Zone priorities (PhotonDocSerializer.java:58-106 analog).
 PRIO_NAME = 5
@@ -164,11 +169,19 @@ def analyze_doc(
         for g in edge_ngrams(whole, 1, 30):
             prefix_terms[g] = 1
 
+    # --- kw: exact-match filter terms (non-scoring) ------------------
+    kw_terms: dict[str, int] = {}
+    if lang:
+        kw_terms[f"lang:{fold(lang)}"] = 1
+    if repo:
+        kw_terms[f"repo:{repo.lower()}"] = 1
+
     return {
         FIELD_ALL: all_terms,
         FIELD_NGRAM: ngram_terms,
         FIELD_NAME: name_terms,
         FIELD_NAME_PREFIX: prefix_terms,
+        FIELD_KEYWORD: kw_terms,
     }
 
 

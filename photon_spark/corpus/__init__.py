@@ -1,0 +1,3 @@
+from photon_spark.corpus.generator import generate_code_files, write_corpus
+
+__all__ = ["generate_code_files", "write_corpus"]

@@ -1,0 +1,146 @@
+"""Deterministic synthetic ``code_files`` corpus (FIXTURES.md §1).
+
+Generates the mandated input shape — ``(repo, path, commit, lang,
+content)`` — with the planted properties the engine must exercise:
+
+* ~3% exact content duplicates (content-sha256 dedupe, the graft of
+  the reference's uid dedupe, PhotonDoc.java:195-197)
+* skewed stop-word-like terms (``the``, ``license``, ``return``) in
+  >80% of files (drives salted/skew-aware posting merge)
+* analyzer stress strings translated from the reference's analyzer
+  tests (QueryBasicSearchTest.java, PossessiveTokenizationTest.java:64-78,
+  ApostropheNormalizationTest.java:57-68)
+* Zipf-distributed files-per-repo and a deterministic per-repo
+  ``importance`` in [0,1] (analog of PlaceRowMapper.java:76-93)
+
+Everything is seeded (default 42) and pure-numpy/pandas: the same
+(n_files, seed) always yields byte-identical content.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+
+LANGS = ["python", "java", "js", "go", "md"]
+_EXT = {"python": "py", "java": "java", "js": "js", "go": "go", "md": "md"}
+
+# Skewed terms: planted in >80% of documents.
+SKEW_TERMS = ["the", "license", "return"]
+
+# Analyzer stress strings (FIXTURES.md §1, from the reference's tests).
+STRESS_STRINGS = [
+    "Müggeln",
+    "Moëns",
+    "Bœuf",
+    "öl",
+    "Tiffany's",
+    "Tiffany’s",
+    "O'Connor",
+    "L'Etoile",
+    "Hawaiʻi",
+    "Saint-Jean d'Acre",
+    "MainStreet",
+    "Mönchengladbach Hbf",
+    "dot.notation.a.x.c",
+    "with (braces)",
+    "split | up X",
+]
+
+_VOCAB = [
+    "import", "def", "class", "self", "value", "result", "config", "parse",
+    "handler", "request", "response", "token", "index", "build", "merge",
+    "stream", "buffer", "queue", "retry", "backoff", "commit", "branch",
+    "vector", "matrix", "encode", "decode", "block", "shard", "partition",
+    "schema", "column", "filter", "reduce", "lambda", "async", "await",
+    "error", "warning", "logger", "metric", "trace", "span", "batch",
+]
+
+_BASENAMES = [
+    "Importer", "QueryBuilder", "TokenFilter", "StreetSearch", "MainStreet",
+    "BulkRetryHelper", "NameCollector", "GeoUtils", "ConfigLoader",
+    "IndexWriter", "PostingList", "ScoreNormalizer", "Muggeln", "Etoile",
+    "utils", "helpers", "models", "views", "parser", "scanner", "emitter",
+]
+
+_DIRS = ["src", "lib", "core", "util", "api", "internal", "pkg", "docs", "test"]
+
+
+def generate_code_files(n_files: int = 2000, seed: int = 42) -> pd.DataFrame:
+    """Build the corpus as a pandas DataFrame (columns: repo, path,
+    commit, lang, content, importance)."""
+    rng = np.random.RandomState(seed)
+
+    n_repos = max(3, n_files // 50)
+    repo_names = [f"org{i % 7}/proj{i}" for i in range(n_repos)]
+    # Zipf-ish repo sizes
+    weights = 1.0 / np.arange(1, n_repos + 1) ** 1.2
+    weights /= weights.sum()
+    repo_idx = rng.choice(n_repos, size=n_files, p=weights)
+    # deterministic importance from repo popularity rank
+    repo_importance = 1.0 - np.arange(n_repos) / max(1, n_repos)
+
+    lang_idx = rng.randint(0, len(LANGS), size=n_files)
+    dir1 = rng.randint(0, len(_DIRS), size=n_files)
+    dir2 = rng.randint(0, len(_DIRS), size=n_files)
+    base_idx = rng.randint(0, len(_BASENAMES), size=n_files)
+    file_no = rng.randint(0, 1000, size=n_files)
+
+    n_lines = rng.randint(3, 25, size=n_files)
+    vocab = np.array(_VOCAB)
+    stress = np.array(STRESS_STRINGS)
+
+    rows = []
+    for i in range(n_files):
+        repo = repo_names[repo_idx[i]]
+        lang = LANGS[lang_idx[i]]
+        base = _BASENAMES[base_idx[i]]
+        path = f"{_DIRS[dir1[i]]}/{_DIRS[dir2[i]]}/{base}{file_no[i]}.{_EXT[lang]}"
+
+        words = vocab[rng.randint(0, len(vocab), size=n_lines[i] * 6)]
+        lines = [" ".join(words[j * 6:(j + 1) * 6]) for j in range(n_lines[i])]
+        # plant skewed terms in >80% of docs
+        for t in SKEW_TERMS:
+            if rng.rand() < 0.85:
+                lines.insert(rng.randint(0, len(lines)), f"{t} {t} of {t}")
+        # plant analyzer stress strings in ~25% of docs
+        if rng.rand() < 0.25:
+            s = stress[rng.randint(0, len(stress))]
+            lines.insert(rng.randint(0, len(lines)), f"// name = \"{s}\"")
+        content = "\n".join(lines)
+
+        commit = hashlib.md5(f"{repo}:{i}:{seed}".encode()).hexdigest() + "f" * 8
+        rows.append(
+            (repo, path, commit[:40], lang, content,
+             float(repo_importance[repo_idx[i]]))
+        )
+
+    df = pd.DataFrame(
+        rows, columns=["repo", "path", "commit", "lang", "content", "importance"]
+    )
+
+    # ~3% exact duplicates: copy content from an earlier row into a
+    # different (repo, path, commit) identity.
+    n_dup = max(1, n_files * 3 // 100)
+    dup_dst = rng.choice(n_files, size=n_dup, replace=False)
+    dup_src = rng.randint(0, n_files, size=n_dup)
+    for d, s in zip(dup_dst, dup_src):
+        if d != s:
+            df.at[d, "content"] = df.at[s, "content"]
+    return df
+
+
+def write_corpus(out_dir: str, n_files: int = 2000, seed: int = 42) -> str:
+    """Materialize the corpus as a parquet file; returns its path.
+
+    Idempotent per (out_dir, n_files, seed): skips generation when the
+    target already exists.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, f"code_files_n{n_files}_s{seed}.parquet")
+    if not os.path.exists(path):
+        generate_code_files(n_files, seed).to_parquet(path, index=False)
+    return path

@@ -1,0 +1,315 @@
+"""Index build: code corpus → docs / dictionary / postings tables.
+
+The Spark re-architecture of the reference's import plane
+(reference: App.java:145-192, opensearch/Importer.java — bulk-loading
+into Lucene segments becomes one declarative job DAG):
+
+1. ``sha2(content, 256)`` docID + exact-duplicate collapse (the
+   reference's uid dedupe, PhotonDoc.java:195-197).
+2. SPIMI tokenize: ``mapInArrow`` batches run the shared analyzer
+   kernels and emit ``(field, term, doc, tf)`` runs — per-doc term
+   dedup with max priority already applied inside the kernel
+   (NameCollector.java:26-34 analog). No per-row Python UDFs.
+3. Posting assembly WITHOUT a skewful groupBy: ``repartitionByRange``
+   on (field, term, doc) + ``sortWithinPartitions`` spreads hot terms
+   (df ≈ N stop words) across many partitions — the range sampler is
+   the skew handler — and a streaming ``mapInArrow`` encoder cuts each
+   partition-local run into delta+varint blocks with block-max
+   metadata. Blocks of one term are disjoint sorted docID ranges, so
+   hot terms parallelize at both build and query time.
+4. Dictionary (term → df, max_tf) via partial+final hash aggregation
+   (Catalyst map-side combine — skew-safe).
+5. Everything written as parquet partitioned by field and sorted by
+   term (row-group pruning on query terms); an Iceberg catalog slots
+   in transparently where available (jars not shipped in this image).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from photon_spark.analysis import analyze_doc
+from photon_spark.index.codec import encode_doc_block, encode_tfs
+
+INDEX_FORMAT_VERSION = "1.0.0-4"  # mirrors reference DATABASE_VERSION (Server.java:40)
+
+DEFAULT_BLOCK_SIZE = 128
+DEFAULT_N_BUCKETS = 64
+
+_TOKENS_SCHEMA = pa.schema(
+    [
+        pa.field("field", pa.string()),
+        pa.field("term", pa.string()),
+        pa.field("doc", pa.int64()),
+        pa.field("tf", pa.int32()),
+    ]
+)
+
+_TOKENS_DDL = "field string, term string, doc long, tf int"
+_POSTINGS_DDL = (
+    "field string, term string, bucket int, min_doc long, max_doc long, "
+    "n int, max_tf int, doc_bytes binary, tf_bytes binary"
+)
+
+_POSTINGS_SCHEMA = pa.schema(
+    [
+        pa.field("field", pa.string()),
+        pa.field("term", pa.string()),
+        pa.field("bucket", pa.int32()),
+        pa.field("min_doc", pa.int64()),
+        pa.field("max_doc", pa.int64()),
+        pa.field("n", pa.int32()),
+        pa.field("max_tf", pa.int32()),
+        pa.field("doc_bytes", pa.binary()),
+        pa.field("tf_bytes", pa.binary()),
+    ]
+)
+
+
+def doc_int_expr(doc_id_col: str = "doc_id"):
+    """int64 docID from the sha256 hex: first 16 hex chars as uint64,
+    shifted into signed range. Order-preserving w.r.t. the hex string,
+    so ``doc asc`` tie-breaking equals ``doc_id asc``."""
+    return (
+        F.conv(F.substring(F.col(doc_id_col), 1, 16), 16, 10)
+        .cast("decimal(20,0)")
+        .cast("decimal(21,0)")
+        - F.lit("9223372036854775808").cast("decimal(21,0)")
+    ).cast("long")
+
+
+def doc_int_py(doc_id_hex: str) -> int:
+    """Python twin of :func:`doc_int_expr` (used by the oracle)."""
+    return int(doc_id_hex[:16], 16) - (1 << 63)
+
+
+def term_bucket(term: str, n_buckets: int = DEFAULT_N_BUCKETS) -> int:
+    """Partition-pruning bucket of a term (crc32, same as F.crc32)."""
+    return zlib.crc32(term.encode("utf-8")) % n_buckets
+
+
+def _tokenize_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """mapInArrow kernel: (doc, repo, path, lang, content) → token runs."""
+    for batch in it:
+        docs = batch.column("doc").to_pylist()
+        repos = batch.column("repo").to_pylist()
+        paths = batch.column("path").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        contents = batch.column("content").to_pylist()
+        o_field: list[str] = []
+        o_term: list[str] = []
+        o_doc: list[int] = []
+        o_tf: list[int] = []
+        for d, r, p, lg, c in zip(docs, repos, paths, langs, contents):
+            fields = analyze_doc(r or "", p or "", lg or "", c or "")
+            for fname, tmap in fields.items():
+                for term, tf in tmap.items():
+                    o_field.append(fname)
+                    o_term.append(term)
+                    o_doc.append(d)
+                    o_tf.append(tf)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(o_field, pa.string()),
+                pa.array(o_term, pa.string()),
+                pa.array(o_doc, pa.int64()),
+                pa.array(o_tf, pa.int32()),
+            ],
+            schema=_TOKENS_SCHEMA,
+        )
+
+
+def _make_block_encoder(block_size: int, n_buckets: int):
+    """Streaming partition encoder: consumes (field, term, doc, tf)
+    sorted within the partition, cuts term runs into blocks of
+    ``block_size``, emits encoded posting rows. Carries the open run
+    across Arrow batch boundaries; numpy run-detection, no per-token
+    Python."""
+
+    def encode(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        cur_key: tuple[str, str] | None = None
+        cur_docs: list[np.ndarray] = []
+        cur_tfs: list[np.ndarray] = []
+        out: list[tuple] = []
+
+        def flush(final: bool) -> None:
+            """Emit blocks from the open run. When not final, keep the
+            sub-block remainder so mid-run blocks are always full."""
+            nonlocal cur_docs, cur_tfs
+            if cur_key is None or not cur_docs:
+                cur_docs, cur_tfs = [], []
+                return
+            docs = np.concatenate(cur_docs)
+            tfs = np.concatenate(cur_tfs)
+            n_full = len(docs) if final else (len(docs) // block_size) * block_size
+            field, term = cur_key
+            bucket = zlib.crc32(term.encode("utf-8")) % n_buckets
+            for s in range(0, n_full, block_size):
+                d = docs[s:s + block_size]
+                t = tfs[s:s + block_size]
+                out.append(
+                    (
+                        field,
+                        term,
+                        bucket,
+                        int(d[0]),
+                        int(d[-1]),
+                        len(d),
+                        int(t.max()),
+                        encode_doc_block(d),
+                        encode_tfs(t),
+                    )
+                )
+            if final or n_full == len(docs):
+                cur_docs, cur_tfs = [], []
+            else:
+                cur_docs, cur_tfs = [docs[n_full:]], [tfs[n_full:]]
+
+        def drain() -> pa.RecordBatch:
+            nonlocal out
+            cols = list(zip(*out))
+            rb = pa.RecordBatch.from_arrays(
+                [
+                    pa.array(cols[0], pa.string()),
+                    pa.array(cols[1], pa.string()),
+                    pa.array(cols[2], pa.int32()),
+                    pa.array(cols[3], pa.int64()),
+                    pa.array(cols[4], pa.int64()),
+                    pa.array(cols[5], pa.int32()),
+                    pa.array(cols[6], pa.int32()),
+                    pa.array(cols[7], pa.binary()),
+                    pa.array(cols[8], pa.binary()),
+                ],
+                schema=_POSTINGS_SCHEMA,
+            )
+            out = []
+            return rb
+
+        for batch in it:
+            fields = np.asarray(batch.column("field").to_pylist(), dtype=object)
+            terms = np.asarray(batch.column("term").to_pylist(), dtype=object)
+            docs = batch.column("doc").to_numpy(zero_copy_only=False)
+            tfs = batch.column("tf").to_numpy(zero_copy_only=False)
+            if len(fields) == 0:
+                continue
+            # run boundaries where (field, term) changes
+            change = np.ones(len(fields), dtype=bool)
+            change[1:] = (fields[1:] != fields[:-1]) | (terms[1:] != terms[:-1])
+            starts = np.flatnonzero(change)
+            ends = np.append(starts[1:], len(fields))
+            for s, e in zip(starts, ends):
+                key = (fields[s], terms[s])
+                if key != cur_key:
+                    flush(final=True)
+                    cur_key = key
+                cur_docs.append(docs[s:e])
+                cur_tfs.append(tfs[s:e])
+                if sum(len(a) for a in cur_docs) >= block_size:
+                    flush(final=False)  # cut full blocks, keep memory flat
+            if len(out) >= 1024:
+                yield drain()
+        flush(final=True)
+        if out:
+            yield drain()
+
+    return encode
+
+
+def build_index(
+    spark: SparkSession,
+    source: DataFrame | str,
+    out_dir: str,
+    *,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    partitions: int | None = None,
+) -> dict:
+    """Run the full index build; returns build metrics.
+
+    ``source`` is a DataFrame or parquet path with columns
+    (repo, path, commit, lang, content[, importance]).
+    """
+    t0 = time.time()
+    if isinstance(source, str):
+        src = spark.read.parquet(source)
+    else:
+        src = source
+    if "importance" not in src.columns:
+        src = src.withColumn("importance", F.lit(0.0))
+    partitions = partitions or spark.conf.get("spark.sql.shuffle.partitions")
+    partitions = int(partitions)
+
+    n_input = src.count()
+
+    # --- docs: content-sha dedupe (uid analog) ----------------------
+    with_id = src.withColumn("doc_id", F.sha2(F.col("content"), 256)).withColumn(
+        "doc", doc_int_expr()
+    )
+    w = Window.partitionBy("doc_id").orderBy("repo", "path", "commit")
+    docs = (
+        with_id.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_dupes", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    docs.persist()
+    n_docs = docs.count()
+
+    docs.select(
+        "doc_id", "doc", "repo", "path", "commit", "lang", "importance", "n_dupes"
+    ).repartitionByRange(max(1, partitions // 4), "doc").sortWithinPartitions(
+        "doc"
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "docs"))
+
+    # --- tokenize (SPIMI runs) --------------------------------------
+    tokens = docs.select("doc", "repo", "path", "lang", "content").mapInArrow(
+        _tokenize_batches, _TOKENS_DDL
+    )
+
+    # --- dictionary: partial+final agg, skew-free -------------------
+    dictionary = tokens.groupBy("field", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.max("tf").alias("max_tf"),
+    ).withColumn("bucket", (F.crc32(F.encode(F.col("term"), "utf-8")) % n_buckets).cast("int"))
+    (
+        dictionary.repartitionByRange(partitions, "field", "term")
+        .sortWithinPartitions("field", "term")
+        .write.mode("overwrite")
+        .partitionBy("field")
+        .parquet(os.path.join(out_dir, "dictionary"))
+    )
+
+    # --- postings: range-partitioned sorted runs → encoded blocks ---
+    postings = (
+        tokens.repartitionByRange(partitions, "field", "term", "doc")
+        .sortWithinPartitions("field", "term", "doc")
+        .mapInArrow(_make_block_encoder(block_size, n_buckets), _POSTINGS_DDL)
+    )
+    postings.write.mode("overwrite").partitionBy("field").parquet(
+        os.path.join(out_dir, "postings")
+    )
+
+    docs.unpersist()
+    elapsed = time.time() - t0
+    meta = {
+        "version": INDEX_FORMAT_VERSION,
+        "n_input_files": n_input,
+        "n_docs": n_docs,
+        "block_size": block_size,
+        "n_buckets": n_buckets,
+        "build_seconds": elapsed,
+        "files_per_sec": n_input / elapsed if elapsed > 0 else None,
+    }
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+    return meta

@@ -1,0 +1,127 @@
+"""Pure-Python single-node oracle: dict inverted index + BM25.
+
+Imports the SAME analyzer kernels and scoring formula as the Spark
+engine. The engine's correctness bar (SURVEY.md §5) is rank-identical
+top-k doc_ids with bit-identical float64 scores against this oracle on
+the fixture query set — the graft of the reference's behavioral tests
+against an embedded OpenSearch node (ESBaseTester.java:73-76).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+
+from photon_spark.analysis import FIELD_ALL, FIELD_KEYWORD, analyze_doc, analyze_search
+from photon_spark.index.build import doc_int_py
+from photon_spark.query import scoring
+
+
+def sha256_hex(content: str) -> str:
+    """Same per-row invariant as the engine: sha2(content, 256)."""
+    return hashlib.sha256((content or "").encode("utf-8")).hexdigest()
+
+
+class OracleIndex:
+    """In-memory inverted index over a pandas corpus
+    (repo, path, commit, lang, content[, importance])."""
+
+    def __init__(self, corpus: pd.DataFrame):
+        self.docs: dict[int, dict] = {}
+        self.postings: dict[str, dict[str, dict[int, int]]] = {}
+
+        # content-sha dedupe, keep first by (repo, path, commit)
+        best: dict[str, tuple] = {}
+        dupes: dict[str, int] = {}
+        for row in corpus.itertuples(index=False):
+            h = sha256_hex(row.content)
+            dupes[h] = dupes.get(h, 0) + 1
+            key = (row.repo, row.path, row.commit)
+            if h not in best or key < best[h][:3]:
+                best[h] = (row.repo, row.path, row.commit, row.lang, row.content,
+                           getattr(row, "importance", 0.0), h)
+
+        for repo, path, commit, lang, content, importance, h in best.values():
+            d = doc_int_py(h)
+            self.docs[d] = {
+                "doc_id": h,
+                "doc": d,
+                "repo": repo,
+                "path": path,
+                "commit": commit,
+                "lang": lang,
+                "importance": importance,
+                "n_dupes": dupes[h],
+            }
+            for field, tmap in analyze_doc(repo, path, lang, content).items():
+                fpost = self.postings.setdefault(field, {})
+                for term, tf in tmap.items():
+                    fpost.setdefault(term, {})[d] = tf
+
+        self.n_docs = len(self.docs)
+
+    # ---------------- pieces mirroring the engine ----------------
+
+    def df(self, field: str, term: str) -> int:
+        return len(self.postings.get(field, {}).get(term, {}))
+
+    def filter_docs(self, filters: dict[str, str] | None) -> set[int] | None:
+        if not filters:
+            return None
+        out: set[int] | None = None
+        for kk, v in sorted(filters.items()):
+            plist = set(self.postings.get(FIELD_KEYWORD, {}).get(f"{kk}:{v.lower()}", {}))
+            out = plist if out is None else out & plist
+        return out if out is not None else None
+
+    def score_terms(
+        self,
+        field: str,
+        terms: list[str],
+        filter_set: set[int] | None = None,
+    ) -> dict[int, list[tuple[str, float]]]:
+        """doc → [(term, score)] for matched terms."""
+        acc: dict[int, list[tuple[str, float]]] = {}
+        for t in sorted(set(terms)):
+            plist = self.postings.get(field, {}).get(t)
+            if not plist:
+                continue
+            w_idf = scoring.idf(len(plist), self.n_docs)
+            for d, tf in plist.items():
+                if filter_set is not None and d not in filter_set:
+                    continue
+                acc.setdefault(d, []).append((t, w_idf * scoring.tf_weight(float(tf))))
+        return acc
+
+    @staticmethod
+    def sum_scores(acc: dict[int, list[tuple[str, float]]]) -> dict[int, float]:
+        """Deterministic per-doc sum in sorted-term order — identical
+        fold order to the engine's sort_array + aggregate."""
+        out = {}
+        for d, pairs in acc.items():
+            s = 0.0
+            for _, sc in sorted(pairs):
+                s = s + sc
+            out[d] = s
+        return out
+
+    # ---------------- the flagship path ----------------
+
+    def search(
+        self,
+        q: str,
+        k: int = 15,
+        filters: dict[str, str] | None = None,
+    ) -> list[dict]:
+        clauses = analyze_search(q)
+        terms = sorted({t for c in clauses for t in c})
+        if not terms:
+            return []
+        acc = self.score_terms(FIELD_ALL, terms, self.filter_docs(filters))
+        sums = self.sum_scores(acc)
+        ranked = sorted(sums.items(), key=lambda x: (-x[1], x[0]))[:k]
+        return [
+            {**self.docs[d], "score": s}
+            for d, s in ranked
+        ]

@@ -1,0 +1,222 @@
+"""Query execution: analyzed query → scored top-k candidates.
+
+The Spark re-architecture of the reference's query plane
+(reference: opensearch/OpenSearchSearchHandler.java:96-107 —
+query-then-fetch over 5 Lucene shards):
+
+* **query phase** — prune the postings scan to the query terms'
+  parquet partitions/row-groups (``field`` partition column + term
+  row-group stats stand in for the term dictionary seek), decode the
+  matched blocks in ``mapInArrow``, score BM25 JVM-side, aggregate
+  per-doc in deterministic (sorted-term) order, take the global top-k
+  via per-partition heaps (Spark's TakeOrdered).
+* **fetch phase** — a second, k-row lookup against the docs table with
+  an ``isin`` predicate that prunes on the docs table's ``doc``
+  range-sort.
+
+Filters run in *filter context* (non-scoring posting intersections on
+the ``kw``/category terms), exactly like the reference's bool-filter
+clauses (BaseQueryBuilder.java:25-68).
+
+Determinism: per-doc scores are summed in sorted-term order via
+``sort_array`` + ``aggregate``, so engine and oracle produce
+bit-identical float64 — rank ties break on (score desc, doc_id asc).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from photon_spark.analysis import FIELD_ALL, FIELD_KEYWORD, analyze_search
+from photon_spark.index.codec import decode_doc_block, decode_tfs
+from photon_spark.query import scoring
+
+_DECODED_DDL = "term string, doc long, tf int"
+
+_DECODED_SCHEMA = pa.schema(
+    [
+        pa.field("term", pa.string()),
+        pa.field("doc", pa.int64()),
+        pa.field("tf", pa.int32()),
+    ]
+)
+
+
+def _decode_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """mapInArrow kernel: posting block rows → (term, doc, tf) rows."""
+    for batch in it:
+        terms = batch.column("term").to_pylist()
+        ns = batch.column("n").to_pylist()
+        doc_bytes = batch.column("doc_bytes").to_pylist()
+        tf_bytes = batch.column("tf_bytes").to_pylist()
+        if not terms:
+            continue
+        doc_parts = [decode_doc_block(b, n) for b, n in zip(doc_bytes, ns)]
+        tf_parts = [decode_tfs(b, n) for b, n in zip(tf_bytes, ns)]
+        out_terms = np.repeat(np.asarray(terms, dtype=object), ns)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(out_terms, pa.string()),
+                pa.array(np.concatenate(doc_parts), pa.int64()),
+                pa.array(np.concatenate(tf_parts).astype(np.int32), pa.int32()),
+            ],
+            schema=_DECODED_SCHEMA,
+        )
+
+
+class Index:
+    """Handle on a built index directory (docs/dictionary/postings)."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.dir = index_dir
+        with open(os.path.join(index_dir, "meta.json")) as f:
+            self.meta = json.load(f)
+        self.n_docs: int = self.meta["n_docs"]
+
+    # ---------------- low-level readers ----------------
+
+    def postings(self, field: str, terms: list[str]) -> DataFrame:
+        """Decoded postings (term, doc, tf) for the given terms.
+
+        The scan is pruned twice: `field` is a partition column
+        (partition pruning) and the files are term-sorted so the
+        ``isin`` predicate prunes row groups via parquet stats.
+        """
+        df = (
+            self.spark.read.parquet(os.path.join(self.dir, "postings"))
+            .filter(F.col("field") == field)
+            .filter(F.col("term").isin(terms))
+        )
+        return df.mapInArrow(_decode_batches, _DECODED_DDL)
+
+    def term_stats(self, field: str, terms: list[str]) -> dict[str, int]:
+        """df per term from the dictionary (small collect)."""
+        rows = (
+            self.spark.read.parquet(os.path.join(self.dir, "dictionary"))
+            .filter(F.col("field") == field)
+            .filter(F.col("term").isin(terms))
+            .select("term", "df")
+            .collect()
+        )
+        return {r["term"]: r["df"] for r in rows}
+
+    def docs(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.dir, "docs"))
+
+    # ---------------- filter context ----------------
+
+    def filter_docs(self, filters: dict[str, str] | None) -> DataFrame | None:
+        """Non-scoring filter context: docIDs matching ALL kw filter
+        terms (posting intersection), or None when unfiltered."""
+        if not filters:
+            return None
+        terms = [f"{k}:{v.lower()}" for k, v in sorted(filters.items())]
+        p = self.postings(FIELD_KEYWORD, terms)
+        return (
+            p.groupBy("doc")
+            .agg(F.count(F.lit(1)).alias("nf"))
+            .filter(F.col("nf") == len(terms))
+            .select("doc")
+        )
+
+    # ---------------- scoring ----------------
+
+    def score_terms(
+        self,
+        field: str,
+        terms: list[str],
+        filter_df: DataFrame | None = None,
+    ) -> DataFrame:
+        """Per-(term, doc) BM25 over one field → (term, doc, tf, score).
+
+        idf is computed driver-side from the dictionary (the term
+        dictionary is tiny relative to postings); scoring arithmetic
+        runs JVM-side inside whole-stage codegen.
+        """
+        terms = sorted(set(terms))
+        stats = self.term_stats(field, terms)
+        present = [t for t in terms if t in stats]
+        if not present:
+            return self.spark.createDataFrame(
+                [], "term string, doc long, tf int, score double"
+            )
+        idf_rows = [(t, scoring.idf(stats[t], self.n_docs)) for t in present]
+        idf_df = self.spark.createDataFrame(idf_rows, "term string, idf double")
+        p = self.postings(field, present)
+        if filter_df is not None:
+            p = p.join(filter_df, "doc", "left_semi")
+        tf = F.col("tf").cast("double")
+        return p.join(F.broadcast(idf_df), "term").withColumn(
+            "score",
+            F.col("idf") * ((tf * F.lit(scoring.K1 + 1.0)) / (tf + F.lit(scoring.K1))),
+        ).drop("idf")
+
+    def sum_scores(self, scored: DataFrame) -> DataFrame:
+        """Per-doc deterministic score sum (sorted-term order) →
+        (doc, score, n_terms)."""
+        return (
+            scored.groupBy("doc")
+            .agg(
+                F.sort_array(F.collect_list(F.struct("term", "score"))).alias("ts"),
+            )
+            .withColumn(
+                "score",
+                F.aggregate(
+                    "ts", F.lit(0.0), lambda acc, x: acc + x["score"]
+                ),
+            )
+            .withColumn("n_terms", F.size("ts"))
+            .drop("ts")
+        )
+
+    def topk(self, per_doc: DataFrame, k: int) -> DataFrame:
+        """Global top-k, deterministic ties: score desc, doc asc."""
+        return per_doc.orderBy(F.desc("score"), F.asc("doc")).limit(k)
+
+    # ---------------- the M2 flagship path ----------------
+
+    def search(
+        self,
+        q: str,
+        k: int = 15,
+        filters: dict[str, str] | None = None,
+    ) -> list[dict]:
+        """Free-text OR search over the ``all`` field (reference Q2:
+        analyzed match, sum of BM25) → top-k result rows with doc
+        metadata (query-then-fetch)."""
+        clauses = analyze_search(q)
+        terms = sorted({t for c in clauses for t in c})
+        if not terms:
+            return []
+        scored = self.score_terms(FIELD_ALL, terms, self.filter_docs(filters))
+        top = self.topk(self.sum_scores(scored), k).collect()
+        if not top:
+            return []
+        doc_ints = [r["doc"] for r in top]
+        meta = {
+            r["doc"]: r
+            for r in self.docs().filter(F.col("doc").isin(doc_ints)).collect()
+        }
+        out = []
+        for r in top:
+            m = meta.get(r["doc"])
+            out.append(
+                {
+                    "doc_id": m["doc_id"] if m else None,
+                    "doc": r["doc"],
+                    "score": r["score"],
+                    "repo": m["repo"] if m else None,
+                    "path": m["path"] if m else None,
+                    "lang": m["lang"] if m else None,
+                    "importance": m["importance"] if m else None,
+                }
+            )
+        return out

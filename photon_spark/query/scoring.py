@@ -1,0 +1,37 @@
+"""BM25 scoring — the closed form the reference inherits from Lucene.
+
+With norms disabled on every text field (reference:
+opensearch/IndexMapping.java:47,70,78,85,91 — ``norms(false)``) BM25's
+length-normalization term vanishes and the per-(term, doc) score is
+
+    idf(df, N) * tf * (k1 + 1) / (tf + k1)
+
+with Lucene defaults k1 = 1.2 (b irrelevant) and
+idf = ln(1 + (N - df + 0.5) / (df + 0.5)). The stored tf is the zone
+priority (§1.3 of SURVEY.md), so priorities act as boosts through tf
+saturation.
+
+Shared verbatim by the Spark executor (driver-side idf, JVM-side
+arithmetic) and the Python oracle — float64 everywhere, identical
+operation order, so scores are bit-identical.
+"""
+
+from __future__ import annotations
+
+import math
+
+K1 = 1.2
+
+
+def idf(df: int, n_docs: int) -> float:
+    """Lucene BM25 idf."""
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def tf_weight(tf: float) -> float:
+    """tf saturation with norms off (b = 0 semantics)."""
+    return tf * (K1 + 1.0) / (tf + K1)
+
+
+def bm25(tf: float, df: int, n_docs: int) -> float:
+    return idf(df, n_docs) * tf_weight(tf)

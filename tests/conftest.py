@@ -1,0 +1,37 @@
+import os
+
+import pytest
+
+os.environ.setdefault("SPARK_GRAFT_CPUS", "4")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from photon_spark.session import get_spark
+
+    s = get_spark(master="local[4]", app_name="photon_spark_tests", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def corpus():
+    from photon_spark.corpus import generate_code_files
+
+    return generate_code_files(n_files=300, seed=42)
+
+
+@pytest.fixture(scope="session")
+def index_dir(spark, corpus, tmp_path_factory):
+    from photon_spark.index.build import build_index
+
+    out = str(tmp_path_factory.mktemp("index"))
+    build_index(spark, spark.createDataFrame(corpus), out)
+    return out
+
+
+@pytest.fixture(scope="session")
+def oracle(corpus):
+    from photon_spark.oracle.oracle import OracleIndex
+
+    return OracleIndex(corpus)

@@ -1,0 +1,64 @@
+import numpy as np
+
+from photon_spark.index.codec import (
+    decode_doc_block,
+    decode_tfs,
+    decode_varints,
+    encode_doc_block,
+    encode_tfs,
+    encode_varints,
+)
+
+
+def test_varint_roundtrip_small():
+    vals = np.array([0, 1, 127, 128, 129, 16383, 16384], dtype=np.uint64)
+    assert (decode_varints(encode_varints(vals), len(vals)) == vals).all()
+
+
+def test_varint_roundtrip_random():
+    rng = np.random.RandomState(7)
+    for scale in (1 << 7, 1 << 20, 1 << 40, 1 << 63):
+        vals = rng.randint(0, scale, size=1000).astype(np.uint64)
+        assert (decode_varints(encode_varints(vals), len(vals)) == vals).all()
+
+
+def test_varint_max_u64():
+    vals = np.array([0, (1 << 64) - 1, (1 << 63)], dtype=np.uint64)
+    assert (decode_varints(encode_varints(vals), len(vals)) == vals).all()
+
+
+def test_varint_empty():
+    assert encode_varints(np.array([], dtype=np.uint64)) == b""
+    assert len(decode_varints(b"", 0)) == 0
+
+
+def test_doc_block_roundtrip():
+    rng = np.random.RandomState(3)
+    docs = np.sort(rng.randint(-(1 << 62), 1 << 62, size=500).astype(np.int64))
+    docs = np.unique(docs)
+    dec = decode_doc_block(encode_doc_block(docs), len(docs))
+    assert (dec == docs).all()
+    assert dec.dtype == np.int64
+
+
+def test_doc_block_extremes():
+    docs = np.array([-(1 << 63), -1, 0, 1, (1 << 63) - 1], dtype=np.int64)
+    dec = decode_doc_block(encode_doc_block(docs), len(docs))
+    assert (dec == docs).all()
+
+
+def test_doc_block_single():
+    docs = np.array([-42], dtype=np.int64)
+    assert (decode_doc_block(encode_doc_block(docs), 1) == docs).all()
+
+
+def test_tfs_roundtrip():
+    tfs = np.array([1, 5, 2, 1, 3], dtype=np.int64)
+    assert (decode_tfs(encode_tfs(tfs), len(tfs)) == tfs).all()
+
+
+def test_compression_wins():
+    # dense sorted ids → deltas are small → big compression vs 8B/doc
+    docs = np.arange(0, 128000, 7, dtype=np.int64)
+    enc = encode_doc_block(docs)
+    assert len(enc) < len(docs) * 2.5  # ~1-2 bytes/doc vs 8
