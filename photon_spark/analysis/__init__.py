@@ -31,6 +31,10 @@ from photon_spark.analysis.analyzers import (
     FIELD_NAME,
     FIELD_NAME_PREFIX,
     FIELD_KEYWORD,
+    FIELD_NAME_FULL,
+    FIELD_EXT,
+    FIELD_PARENT,
+    doc_type,
 )
 
 __all__ = [
@@ -52,4 +56,8 @@ __all__ = [
     "FIELD_NAME",
     "FIELD_NAME_PREFIX",
     "FIELD_KEYWORD",
+    "FIELD_NAME_FULL",
+    "FIELD_EXT",
+    "FIELD_PARENT",
+    "doc_type",
 ]

@@ -54,6 +54,16 @@ FIELD_NAME_PREFIX = "name_prefix"
 # (osm_key/osm_value/countrycode, IndexMapping.java:37-42,58-61).
 # Filters become posting-list intersections in filter context.
 FIELD_KEYWORD = "kw"
+# Whole basename as one alnum token — collector.field.name.full analog
+# (index_name_full, IndexSettingBuilder.java:340-346); fuzzy whole-name
+# matching in the short-query plan (SearchQueryBuilder.java:46-52).
+FIELD_NAME_FULL = "name_full"
+# File extension — the housenumber analog (a short token attached to a
+# name; index_housenumber, IndexSettingBuilder.java:348-352).
+FIELD_EXT = "ext"
+# Directory-segment tokens — collector.parent analog (street of a
+# housenumber; indexed with index_name_ngram, IndexMapping.java:113-119).
+FIELD_PARENT = "parent"
 
 # Zone priorities (PhotonDocSerializer.java:58-106 analog).
 PRIO_NAME = 5
@@ -141,10 +151,14 @@ def analyze_doc(
         for cat in category_prefixes(f"code.{fold(lang)}"):
             _add([cat], PRIO_CATEGORY)
 
-    # --- all_ngram: edge 1..30 prefixes of non-category terms -------
+    # --- all_ngram: edge 1..30 prefixes; category (#) tokens pass
+    # through whole via the classification branch of the multiplexer
+    # (IndexSettingBuilder.java:161-171) -----------------------------
     ngram_terms: dict[str, int] = {}
     for t, tf in all_terms.items():
         if t.startswith("#"):
+            if ngram_terms.get(t, 0) < tf:
+                ngram_terms[t] = tf
             continue
         for g in edge_ngrams(t, 1, 30):
             if ngram_terms.get(g, 0) < tf:
@@ -169,20 +183,57 @@ def analyze_doc(
         for g in edge_ngrams(whole, 1, 30):
             prefix_terms[g] = 1
 
+    # --- name_full: the whole basename as one exact token ------------
+    name_full_terms: dict[str, int] = {}
+    if _keep(whole):
+        name_full_terms[whole] = 1
+
+    # --- ext: extension token (housenumber analog) -------------------
+    ext_terms: dict[str, int] = {}
+    segs = [s for s in (path or "").split("/") if s]
+    if segs and "." in segs[-1][1:]:
+        ext_terms[fold(segs[-1].rpartition(".")[2])] = 1
+
+    # --- parent: directory tokens, name_edge_ngram treatment ---------
+    parent_terms: dict[str, int] = {}
+    dir_segs = segs[:-1] if segs else []
+    for seg in dir_segs:
+        for part in word_delimiter(normalize_apostrophes(seg), catenate=True):
+            t = fold(part)
+            if not _keep(t):
+                continue
+            for g in edge_ngrams(t, 5, 30, preserve_original=True):
+                parent_terms[g] = 1
+
     # --- kw: exact-match filter terms (non-scoring) ------------------
     kw_terms: dict[str, int] = {}
     if lang:
         kw_terms[f"lang:{fold(lang)}"] = 1
     if repo:
         kw_terms[f"repo:{repo.lower()}"] = 1
+    kw_terms[f"type:{doc_type(lang)}"] = 1
 
     return {
         FIELD_ALL: all_terms,
         FIELD_NGRAM: ngram_terms,
         FIELD_NAME: name_terms,
         FIELD_NAME_PREFIX: prefix_terms,
+        FIELD_NAME_FULL: name_full_terms,
+        FIELD_EXT: ext_terms,
+        FIELD_PARENT: parent_terms,
         FIELD_KEYWORD: kw_terms,
     }
+
+
+KNOWN_LANGS = {"python", "java", "js", "go", "md"}
+
+
+def doc_type(lang: str | None) -> str:
+    """Object-type analog (reference AddressType.java:16-25): a doc
+    with a recognized language is a ``file``; anything else is
+    ``other`` (drives the short-query ×0.4-style demotion function,
+    SearchQueryBuilder.java:77-84)."""
+    return "file" if lang and fold(lang) in KNOWN_LANGS else "other"
 
 
 def analyze_search(q: str) -> list[list[str]]:

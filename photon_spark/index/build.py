@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from photon_spark.analysis import analyze_doc
+from photon_spark.analysis.analyzers import KNOWN_LANGS
 from photon_spark.index.codec import encode_doc_block, encode_tfs
 
 INDEX_FORMAT_VERSION = "1.0.0-4"  # mirrors reference DATABASE_VERSION (Server.java:40)
@@ -266,7 +267,10 @@ def build_index(
     n_docs = docs.count()
 
     docs.select(
-        "doc_id", "doc", "repo", "path", "commit", "lang", "importance", "n_dupes"
+        "doc_id", "doc", "repo", "path", "commit", "lang", "importance", "n_dupes",
+        F.when(F.lower(F.col("lang")).isin(*KNOWN_LANGS), F.lit("file"))
+        .otherwise(F.lit("other"))
+        .alias("type"),
     ).repartitionByRange(max(1, partitions // 4), "doc").sortWithinPartitions(
         "doc"
     ).write.mode("overwrite").parquet(os.path.join(out_dir, "docs"))

@@ -1,10 +1,12 @@
-"""Pure-Python single-node oracle: dict inverted index + BM25.
+"""Pure-Python single-node oracle: dict inverted index + plan evaluator.
 
-Imports the SAME analyzer kernels and scoring formula as the Spark
-engine. The engine's correctness bar (SURVEY.md §5) is rank-identical
-top-k doc_ids with bit-identical float64 scores against this oracle on
-the fixture query set — the graft of the reference's behavioral tests
-against an embedded OpenSearch node (ESBaseTester.java:73-76).
+Imports the SAME analyzer kernels, query compiler, scoring formula and
+rescore pipeline as the Spark engine; only plan *evaluation* is
+independent (dict walks instead of posting joins). The engine's
+correctness bar (SURVEY.md §5) is rank-identical top-k doc_ids with
+bit-identical float64 scores against this oracle on the fixture query
+set — the graft of the reference's behavioral tests against an
+embedded OpenSearch node (ESBaseTester.java:73-76).
 """
 
 from __future__ import annotations
@@ -13,9 +15,19 @@ import hashlib
 
 import pandas as pd
 
-from photon_spark.analysis import FIELD_ALL, FIELD_KEYWORD, analyze_doc, analyze_search
+from photon_spark.analysis import FIELD_KEYWORD, analyze_doc, doc_type
 from photon_spark.index.build import doc_int_py
 from photon_spark.query import scoring
+from photon_spark.query.plan import (
+    Bool,
+    DisMax,
+    FnMul,
+    Match,
+    PlanNode,
+    SearchPlan,
+    required_clauses,
+)
+from photon_spark.query.search_flow import run_search
 
 
 def sha256_hex(content: str) -> str:
@@ -25,7 +37,8 @@ def sha256_hex(content: str) -> str:
 
 class OracleIndex:
     """In-memory inverted index over a pandas corpus
-    (repo, path, commit, lang, content[, importance])."""
+    (repo, path, commit, lang, content[, importance]); implements the
+    SearchBackend protocol."""
 
     def __init__(self, corpus: pd.DataFrame):
         self.docs: dict[int, dict] = {}
@@ -53,6 +66,7 @@ class OracleIndex:
                 "lang": lang,
                 "importance": importance,
                 "n_dupes": dupes[h],
+                "type": doc_type(lang),
             }
             for field, tmap in analyze_doc(repo, path, lang, content).items():
                 fpost = self.postings.setdefault(field, {})
@@ -61,67 +75,179 @@ class OracleIndex:
 
         self.n_docs = len(self.docs)
 
-    # ---------------- pieces mirroring the engine ----------------
+    # ---------------- TermDictionary ----------------
 
-    def df(self, field: str, term: str) -> int:
-        return len(self.postings.get(field, {}).get(term, {}))
+    def terms_with_prefix(
+        self, field: str, prefix: str, min_len: int, max_len: int
+    ) -> list[str]:
+        return sorted(
+            t
+            for t in self.postings.get(field, {})
+            if min_len <= len(t) <= max_len and t.startswith(prefix)
+        )
 
-    def filter_docs(self, filters: dict[str, str] | None) -> set[int] | None:
+    def term_stats(self, field: str, terms: list[str]) -> dict[str, int]:
+        fp = self.postings.get(field, {})
+        return {t: len(fp[t]) for t in terms if t in fp}
+
+    # ---------------- filter context ----------------
+
+    def filter_set(self, filters: dict[str, str] | None) -> set[int] | None:
         if not filters:
             return None
         out: set[int] | None = None
+        fp = self.postings.get(FIELD_KEYWORD, {})
         for kk, v in sorted(filters.items()):
-            plist = set(self.postings.get(FIELD_KEYWORD, {}).get(f"{kk}:{v.lower()}", {}))
+            plist = set(fp.get(f"{kk}:{v.lower()}", {}))
             out = plist if out is None else out & plist
-        return out if out is not None else None
-
-    def score_terms(
-        self,
-        field: str,
-        terms: list[str],
-        filter_set: set[int] | None = None,
-    ) -> dict[int, list[tuple[str, float]]]:
-        """doc → [(term, score)] for matched terms."""
-        acc: dict[int, list[tuple[str, float]]] = {}
-        for t in sorted(set(terms)):
-            plist = self.postings.get(field, {}).get(t)
-            if not plist:
-                continue
-            w_idf = scoring.idf(len(plist), self.n_docs)
-            for d, tf in plist.items():
-                if filter_set is not None and d not in filter_set:
-                    continue
-                acc.setdefault(d, []).append((t, w_idf * scoring.tf_weight(float(tf))))
-        return acc
-
-    @staticmethod
-    def sum_scores(acc: dict[int, list[tuple[str, float]]]) -> dict[int, float]:
-        """Deterministic per-doc sum in sorted-term order — identical
-        fold order to the engine's sort_array + aggregate."""
-        out = {}
-        for d, pairs in acc.items():
-            s = 0.0
-            for _, sc in sorted(pairs):
-                s = s + sc
-            out[d] = s
         return out
 
-    # ---------------- the flagship path ----------------
+    # ---------------- plan evaluation ----------------
+
+    def _eval_match(self, node: Match) -> dict[int, float] | None:
+        fp = self.postings.get(node.field, {})
+        per_clause: dict[int, dict[int, float]] = {}  # doc -> clause -> max s
+        any_term = False
+        for ci, cl in enumerate(node.clauses):
+            for term, mult in cl.expansions:
+                plist = fp.get(term)
+                if not plist:
+                    continue
+                any_term = True
+                wmult = scoring.idf(len(plist), self.n_docs) * mult
+                for d, tf in plist.items():
+                    s = wmult * scoring.tf_weight(float(tf))
+                    cm = per_clause.setdefault(d, {})
+                    if ci not in cm or s > cm[ci]:
+                        cm[ci] = s
+        if not any_term:
+            return None
+        req = required_clauses(node)
+        out: dict[int, float] = {}
+        for d, cm in per_clause.items():
+            if len(cm) < req:
+                continue
+            s = 0.0
+            for ci in sorted(cm):
+                s = s + cm[ci]
+            out[d] = node.boost * s
+        return out
+
+    def _eval_node(self, node: PlanNode) -> dict[int, float] | None:
+        if isinstance(node, Match):
+            return self._eval_match(node)
+        if isinstance(node, DisMax):
+            maps = [m for m in (self._eval_node(c) for c in node.children) if m is not None]
+            if not maps:
+                return None
+            out: dict[int, float] = {}
+            for m in maps:
+                for d, s in m.items():
+                    if d not in out or s > out[d]:
+                        out[d] = s
+            return {d: node.boost * s for d, s in out.items()}
+        if isinstance(node, FnMul):
+            qm = self._eval_node(node.query)
+            if qm is None:
+                return None
+            fset: set[int] = set()
+            fp = self.postings.get(node.filter_field, {})
+            for t in sorted(set(node.filter_terms)):
+                fset |= set(fp.get(t, {}))
+            return {
+                d: s
+                * (
+                    node.const_weight
+                    + (node.filter_weight if d in fset else 0.0)
+                )
+                for d, s in qm.items()
+            }
+        if isinstance(node, Bool):
+            children = [(i + 1, c, True) for i, c in enumerate(node.must)]
+            n_must = len(children)
+            children += [
+                (n_must + i + 1, c, False) for i, c in enumerate(node.should)
+            ]
+            acc: dict[int, dict[int, float]] = {}
+            for idx, child, is_must in children:
+                m = self._eval_node(child)
+                if m is None:
+                    if is_must:
+                        return None
+                    continue
+                for d, s in m.items():
+                    acc.setdefault(d, {})[idx] = s
+            if not acc:
+                return None
+            out = {}
+            for d, by_idx in acc.items():
+                if n_must and sum(1 for i in by_idx if i <= n_must) < n_must:
+                    continue
+                s = 0.0
+                for i in sorted(by_idx):
+                    s = s + by_idx[i]
+                out[d] = node.boost * s
+            return out
+        raise TypeError(f"unknown node {node!r}")
+
+    # ---------------- SearchBackend ----------------
+
+    def candidates(self, plan: SearchPlan, ext_limit: int) -> list[dict]:
+        if plan.kind == "match_all":
+            scored: dict[int, float] = {d: 0.0 for d in self.docs}
+        else:
+            m = self._eval_node(plan.root)
+            if m is None:
+                return []
+            scored = m
+        fset = self.filter_set(plan.filters)
+        all_fp = self.postings.get("all", {})
+        inc_set: set[int] | None = None
+        if plan.include:
+            inc_set = set()
+            for t in sorted(set(plan.include)):
+                inc_set |= set(all_fp.get(t, {}))
+        exc_set: set[int] = set()
+        for t in sorted(set(plan.exclude)):
+            exc_set |= set(all_fp.get(t, {}))
+        rows = []
+        for d, s in scored.items():
+            if fset is not None and d not in fset:
+                continue
+            if inc_set is not None and d not in inc_set:
+                continue
+            if d in exc_set:
+                continue
+            meta = self.docs[d]
+            os_score = s
+            if plan.type_weight:
+                os_score = os_score + (
+                    plan.type_weight if meta["type"] != "other" else 0.0
+                )
+            imp = meta["importance"] if meta["importance"] is not None else 1e-5
+            os_score = os_score + imp * plan.importance_factor
+            rows.append(
+                {
+                    "doc": d,
+                    "doc_id": meta["doc_id"],
+                    "repo": meta["repo"],
+                    "path": meta["path"],
+                    "lang": meta["lang"],
+                    "importance": meta["importance"],
+                    "os_score": os_score,
+                }
+            )
+        rows.sort(key=lambda r: (-r["os_score"], r["doc"]))
+        return rows[:ext_limit]
+
+    # ---------------- public API ----------------
 
     def search(
         self,
         q: str,
         k: int = 15,
         filters: dict[str, str] | None = None,
+        include: list[str] | None = None,
+        exclude: list[str] | None = None,
     ) -> list[dict]:
-        clauses = analyze_search(q)
-        terms = sorted({t for c in clauses for t in c})
-        if not terms:
-            return []
-        acc = self.score_terms(FIELD_ALL, terms, self.filter_docs(filters))
-        sums = self.sum_scores(acc)
-        ranked = sorted(sums.items(), key=lambda x: (-x[1], x[0]))[:k]
-        return [
-            {**self.docs[d], "score": s}
-            for d, s in ranked
-        ]
+        return run_search(self, q, k=k, filters=filters, include=include, exclude=exclude)

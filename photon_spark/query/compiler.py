@@ -1,0 +1,250 @@
+"""Query compiler: query string → grounded SearchPlan.
+
+Reproduces the reference's request-shape dispatch and plan synthesis
+(reference: opensearch/SearchQueryBuilder.java):
+
+* P1 — stripped length < 4 OR single all-alphabetic word → short plan
+  (SearchQueryBuilder.java:28-34).
+* P2 — short plan: should(name_prefix match) + should(fuzzy whole-name
+  match on name_full, fuzziness 0 if len<4 else AUTO, prefixLength 1
+  if len≤6 else 2) + (len≥5: should(AND match on name, boost 0.5)) +
+  lenient: should(fuzzy name match, boost 0.2); function weight 0.4
+  for type≠other (SearchQueryBuilder.java:37-84).
+* P3 — full plan: must(match all_ngram boost 0.1; strict → AND,
+  lenient → msm "2<-1 6<-2" + fuzzy) AND must(dis_max boost 0.2 of
+  {name match, boost 1.5 if alphabetic else 1.0} vs {extension branch
+  × parent match}) + should(fullword match on all) + (strict, no
+  comma: should(name_prefix, boost 0.1/0.01))
+  (SearchQueryBuilder.java:86-172). The housenumber branch
+  (SearchQueryBuilder.java:115-147) grafts onto the file extension:
+  function_score(multiply) of match(ext, boost 0.6) × (1 + 1 when the
+  doc's extension appears verbatim among the query's tokens).
+
+Fuzzy expansion is resolved here against the term dictionary, so the
+emitted plan is fully grounded (every leaf a concrete term).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Protocol
+
+from photon_spark.analysis import (
+    FIELD_ALL,
+    FIELD_EXT,
+    FIELD_NAME,
+    FIELD_NAME_FULL,
+    FIELD_NAME_PREFIX,
+    FIELD_NGRAM,
+    FIELD_PARENT,
+    analyze_search,
+    analyze_search_prefix,
+)
+from photon_spark.query.fuzzy import auto_fuzziness, fuzzy_expand
+from photon_spark.query.plan import Bool, Clause, DisMax, FnMul, Match, SearchPlan
+
+_ALPHA_SPACE_RE = re.compile(r"^[^\W\d_ ]+$|^[^\W\d_]+(?: +[^\W\d_]+)*$")
+_SINGLE_ALPHA_RE = re.compile(r"^[^\W\d_]+$", re.UNICODE)
+
+
+class TermDictionary(Protocol):
+    """What the compiler needs from an index to ground fuzzy clauses."""
+
+    def terms_with_prefix(
+        self, field: str, prefix: str, min_len: int, max_len: int
+    ) -> list[str]:
+        ...
+
+
+class _NodeIds:
+    def __init__(self) -> None:
+        self.n = 0
+
+    def next(self) -> int:
+        self.n += 1
+        return self.n
+
+
+def _exact_clauses(q: str) -> list[Clause]:
+    return [Clause([(t, 1.0) for t in alts]) for alts in analyze_search(q)]
+
+
+def _fuzzy_clauses(
+    q: str,
+    field: str,
+    dictionary: TermDictionary,
+    prefix_len: int,
+    fixed_edits: int | None = None,
+) -> list[Clause]:
+    """Per-clause fuzzy expansion: every graph alternative is fuzzed
+    (AUTO per-token unless ``fixed_edits``); expansions merge keeping
+    the max boost per term, deterministic order."""
+    clauses = []
+    for alts in analyze_search(q):
+        merged: dict[str, float] = {}
+        for alt in alts:
+            edits = auto_fuzziness(len(alt)) if fixed_edits is None else fixed_edits
+            if edits == 0:
+                merged[alt] = max(merged.get(alt, 0.0), 1.0)
+                continue
+            cands = dictionary.terms_with_prefix(
+                field, alt[:prefix_len], len(alt) - edits, len(alt) + edits
+            )
+            for term, boost in fuzzy_expand(alt, cands, edits, prefix_len):
+                if merged.get(term, 0.0) < boost:
+                    merged[term] = boost
+        if merged:
+            clauses.append(Clause(sorted(merged.items())))
+    return clauses
+
+
+def is_alphabetic(q: str) -> bool:
+    """query.matches("[\\p{IsAlphabetic} ]+") analog."""
+    return bool(q) and all(c.isalpha() or c == " " for c in q)
+
+
+def _cat_terms(cats: list[str] | None) -> list[str]:
+    """Normalize category names to indexed '#'-terms."""
+    return [c if c.startswith("#") else f"#{c}" for c in (cats or [])]
+
+
+def compile_query(
+    q: str,
+    dictionary: TermDictionary,
+    lenient: bool = False,
+    filters: dict[str, str] | None = None,
+    include: list[str] | None = None,
+    exclude: list[str] | None = None,
+) -> SearchPlan:
+    ids = _NodeIds()
+    stripped = (q or "").strip()
+
+    if not stripped:
+        # match-all (category-only search, SearchQueryBuilder.java:24-27)
+        plan = SearchPlan(root=Bool(ids.next()), filters=filters, kind="match_all")
+    elif len(stripped) < 4 or _SINGLE_ALPHA_RE.match(stripped):
+        plan = _short_plan(stripped, dictionary, lenient, filters, ids)
+    else:
+        plan = _full_plan(stripped, dictionary, lenient, filters, ids)
+    plan.include = _cat_terms(include)
+    plan.exclude = _cat_terms(exclude)
+    return plan
+
+
+def _short_plan(
+    q: str,
+    dictionary: TermDictionary,
+    lenient: bool,
+    filters: dict[str, str] | None,
+    ids: _NodeIds,
+) -> SearchPlan:
+    qlen = len(q)
+    whole = analyze_search_prefix(q)
+    should: list = []
+
+    if whole:
+        should.append(
+            Match(ids.next(), FIELD_NAME_PREFIX, [Clause([(whole, 1.0)])])
+        )
+        # fuzzy whole-name match on name_full
+        edits = 0 if qlen < 4 else auto_fuzziness(len(whole))
+        plen = 1 if qlen <= 6 else 2
+        if edits == 0:
+            exp = [(whole, 1.0)]
+        else:
+            cands = dictionary.terms_with_prefix(
+                FIELD_NAME_FULL, whole[:plen], len(whole) - edits, len(whole) + edits
+            )
+            exp = fuzzy_expand(whole, cands, edits, plen)
+        if exp:
+            should.append(Match(ids.next(), FIELD_NAME_FULL, [Clause(exp)]))
+
+    if qlen >= 5:
+        cl = _exact_clauses(q)
+        if cl:
+            should.append(
+                Match(ids.next(), FIELD_NAME, cl, boost=0.5, operator="and")
+            )
+    if lenient:
+        cl = _fuzzy_clauses(q, FIELD_NAME, dictionary, prefix_len=2)
+        if cl:
+            should.append(Match(ids.next(), FIELD_NAME, cl, boost=0.2))
+
+    return SearchPlan(
+        root=Bool(ids.next(), should=should),
+        type_weight=0.4,
+        filters=filters,
+        kind="short",
+    )
+
+
+def _full_plan(
+    q: str,
+    dictionary: TermDictionary,
+    lenient: bool,
+    filters: dict[str, str] | None,
+    ids: _NodeIds,
+) -> SearchPlan:
+    alpha = is_alphabetic(q)
+
+    # must 1: ngram conjunction, boost 0.1
+    if lenient:
+        ngram_clauses = _fuzzy_clauses(q, FIELD_NGRAM, dictionary, prefix_len=2)
+        ngram = Match(ids.next(), FIELD_NGRAM, ngram_clauses, boost=0.1, operator="msm")
+    else:
+        ngram = Match(
+            ids.next(), FIELD_NGRAM, _exact_clauses(q), boost=0.1, operator="and"
+        )
+
+    # must 2: dis_max(boost 0.2) of name match vs extension branch
+    name_clauses = (
+        _fuzzy_clauses(q, FIELD_NAME, dictionary, prefix_len=2)
+        if lenient
+        else _exact_clauses(q)
+    )
+    name_match = Match(
+        ids.next(), FIELD_NAME, name_clauses, boost=1.5 if alpha else 1.0
+    )
+    # extension branch (housenumber analog, SearchQueryBuilder.java:115-147):
+    # match(ext boost 0.6) × (1 + 1 if doc ext ∈ raw query tokens),
+    # AND the parent (directory) must match.
+    raw_tokens = [t for t in re.split(r"[ ,;]+", q.lower()) if t]
+    ext_match = Match(ids.next(), FIELD_EXT, _exact_clauses(q), boost=0.6)
+    ext_fn = FnMul(
+        ids.next(),
+        query=ext_match,
+        filter_field=FIELD_EXT,
+        filter_terms=raw_tokens,
+        filter_weight=1.0,
+        const_weight=1.0,
+    )
+    parent_clauses = (
+        _fuzzy_clauses(q, FIELD_PARENT, dictionary, prefix_len=2)
+        if lenient
+        else _exact_clauses(q)
+    )
+    parent_match = Match(ids.next(), FIELD_PARENT, parent_clauses)
+    ext_branch = Bool(ids.next(), must=[ext_fn, parent_match])
+    dismax = DisMax(ids.next(), [name_match, ext_branch], boost=0.2)
+
+    root = Bool(ids.next(), must=[ngram, dismax])
+
+    # should: fullword match on all
+    all_clauses = _exact_clauses(q)
+    if all_clauses:
+        root.should.append(Match(ids.next(), FIELD_ALL, all_clauses))
+
+    # strict & no comma: should name_prefix
+    if not lenient and "," not in q:
+        whole = analyze_search_prefix(q)
+        if whole:
+            root.should.append(
+                Match(
+                    ids.next(),
+                    FIELD_NAME_PREFIX,
+                    [Clause([(whole, 1.0)])],
+                    boost=0.1 if alpha else 0.01,
+                )
+            )
+
+    return SearchPlan(root=root, filters=filters, kind="full")

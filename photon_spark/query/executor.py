@@ -1,26 +1,22 @@
-"""Query execution: analyzed query → scored top-k candidates.
+"""Spark backend: grounded SearchPlan → scored candidates → results.
 
 The Spark re-architecture of the reference's query plane
 (reference: opensearch/OpenSearchSearchHandler.java:96-107 —
 query-then-fetch over 5 Lucene shards):
 
-* **query phase** — prune the postings scan to the query terms'
-  parquet partitions/row-groups (``field`` partition column + term
-  row-group stats stand in for the term dictionary seek), decode the
-  matched blocks in ``mapInArrow``, score BM25 JVM-side, aggregate
-  per-doc in deterministic (sorted-term) order, take the global top-k
-  via per-partition heaps (Spark's TakeOrdered).
-* **fetch phase** — a second, k-row lookup against the docs table with
-  an ``isin`` predicate that prunes on the docs table's ``doc``
-  range-sort.
+* **query phase** — per Match node: prune the postings scan to the
+  node's terms (``field`` partition pruning + term row-group stats),
+  decode matched blocks in ``mapInArrow``, score BM25 JVM-side
+  (whole-stage codegen), per-clause max over expansions, per-doc sum
+  in clause order; bool/dis_max/function nodes combine per-doc scores
+  with unions + one aggregation; global top-extLimit via Spark's
+  TakeOrdered (per-partition heaps).
+* **fetch phase** — the collected candidates join doc metadata and run
+  the shared driver-side rescore pipeline (rerank.py).
 
-Filters run in *filter context* (non-scoring posting intersections on
-the ``kw``/category terms), exactly like the reference's bool-filter
-clauses (BaseQueryBuilder.java:25-68).
-
-Determinism: per-doc scores are summed in sorted-term order via
-``sort_array`` + ``aggregate``, so engine and oracle produce
-bit-identical float64 — rank ties break on (score desc, doc_id asc).
+Determinism: every float64 fold has a defined order (clause id, node
+index), mirrored exactly by the oracle — scores are bit-identical and
+ties break (score desc, doc asc).
 """
 
 from __future__ import annotations
@@ -34,9 +30,19 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from photon_spark.analysis import FIELD_ALL, FIELD_KEYWORD, analyze_search
+from photon_spark.analysis import FIELD_ALL, FIELD_KEYWORD
 from photon_spark.index.codec import decode_doc_block, decode_tfs
 from photon_spark.query import scoring
+from photon_spark.query.plan import (
+    Bool,
+    DisMax,
+    FnMul,
+    Match,
+    PlanNode,
+    SearchPlan,
+    required_clauses,
+)
+from photon_spark.query.search_flow import run_search
 
 _DECODED_DDL = "term string, doc long, tf int"
 
@@ -72,7 +78,8 @@ def _decode_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
 
 
 class Index:
-    """Handle on a built index directory (docs/dictionary/postings)."""
+    """Handle on a built index directory (docs/dictionary/postings);
+    implements the SearchBackend protocol."""
 
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
@@ -86,9 +93,8 @@ class Index:
     def postings(self, field: str, terms: list[str]) -> DataFrame:
         """Decoded postings (term, doc, tf) for the given terms.
 
-        The scan is pruned twice: `field` is a partition column
-        (partition pruning) and the files are term-sorted so the
-        ``isin`` predicate prunes row groups via parquet stats.
+        Pruned twice: ``field`` partition pruning + term-sorted files
+        so the ``isin`` predicate prunes row groups via parquet stats.
         """
         df = (
             self.spark.read.parquet(os.path.join(self.dir, "postings"))
@@ -98,7 +104,6 @@ class Index:
         return df.mapInArrow(_decode_batches, _DECODED_DDL)
 
     def term_stats(self, field: str, terms: list[str]) -> dict[str, int]:
-        """df per term from the dictionary (small collect)."""
         rows = (
             self.spark.read.parquet(os.path.join(self.dir, "dictionary"))
             .filter(F.col("field") == field)
@@ -108,6 +113,21 @@ class Index:
         )
         return {r["term"]: r["df"] for r in rows}
 
+    def terms_with_prefix(
+        self, field: str, prefix: str, min_len: int, max_len: int
+    ) -> list[str]:
+        """Fuzzy candidate enumeration (dictionary prefix scan —
+        pushed down to the term-sorted parquet; the 10^12-scale path
+        swaps this for the deletion-neighborhood table)."""
+        df = (
+            self.spark.read.parquet(os.path.join(self.dir, "dictionary"))
+            .filter(F.col("field") == field)
+            .filter(F.length("term").between(min_len, max_len))
+        )
+        if prefix:
+            df = df.filter(F.col("term").startswith(prefix))
+        return sorted(r["term"] for r in df.select("term").collect())
+
     def docs(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.dir, "docs"))
 
@@ -115,7 +135,7 @@ class Index:
 
     def filter_docs(self, filters: dict[str, str] | None) -> DataFrame | None:
         """Non-scoring filter context: docIDs matching ALL kw filter
-        terms (posting intersection), or None when unfiltered."""
+        terms (posting intersection)."""
         if not filters:
             return None
         terms = [f"{k}:{v.lower()}" for k, v in sorted(filters.items())]
@@ -127,96 +147,182 @@ class Index:
             .select("doc")
         )
 
-    # ---------------- scoring ----------------
+    # ---------------- plan evaluation ----------------
 
-    def score_terms(
-        self,
-        field: str,
-        terms: list[str],
-        filter_df: DataFrame | None = None,
-    ) -> DataFrame:
-        """Per-(term, doc) BM25 over one field → (term, doc, tf, score).
-
-        idf is computed driver-side from the dictionary (the term
-        dictionary is tiny relative to postings); scoring arithmetic
-        runs JVM-side inside whole-stage codegen.
-        """
-        terms = sorted(set(terms))
-        stats = self.term_stats(field, terms)
-        present = [t for t in terms if t in stats]
-        if not present:
-            return self.spark.createDataFrame(
-                [], "term string, doc long, tf int, score double"
-            )
-        idf_rows = [(t, scoring.idf(stats[t], self.n_docs)) for t in present]
-        idf_df = self.spark.createDataFrame(idf_rows, "term string, idf double")
-        p = self.postings(field, present)
-        if filter_df is not None:
-            p = p.join(filter_df, "doc", "left_semi")
+    def _eval_match(self, node: Match) -> DataFrame | None:
+        rows = []
+        for ci, cl in enumerate(node.clauses):
+            for term, mult in cl.expansions:
+                rows.append((term, ci, mult))
+        if not rows:
+            return None
+        terms = sorted({t for t, _, _ in rows})
+        stats = self.term_stats(node.field, terms)
+        grows = [
+            (t, ci, scoring.idf(stats[t], self.n_docs) * mult)
+            for (t, ci, mult) in rows
+            if t in stats
+        ]
+        if not grows:
+            return None
+        exp_df = self.spark.createDataFrame(
+            grows, "term string, clause int, wmult double"
+        )
+        p = self.postings(node.field, sorted({t for t, _, _ in grows}))
         tf = F.col("tf").cast("double")
-        return p.join(F.broadcast(idf_df), "term").withColumn(
-            "score",
-            F.col("idf") * ((tf * F.lit(scoring.K1 + 1.0)) / (tf + F.lit(scoring.K1))),
-        ).drop("idf")
-
-    def sum_scores(self, scored: DataFrame) -> DataFrame:
-        """Per-doc deterministic score sum (sorted-term order) →
-        (doc, score, n_terms)."""
-        return (
-            scored.groupBy("doc")
+        scored = p.join(F.broadcast(exp_df), "term").withColumn(
+            "s",
+            F.col("wmult")
+            * ((tf * F.lit(scoring.K1 + 1.0)) / (tf + F.lit(scoring.K1))),
+        )
+        per_clause = scored.groupBy("doc", "clause").agg(F.max("s").alias("cs"))
+        per_doc = (
+            per_clause.groupBy("doc")
             .agg(
-                F.sort_array(F.collect_list(F.struct("term", "score"))).alias("ts"),
+                F.sort_array(F.collect_list(F.struct("clause", "cs"))).alias("arr")
             )
             .withColumn(
                 "score",
-                F.aggregate(
-                    "ts", F.lit(0.0), lambda acc, x: acc + x["score"]
-                ),
+                F.lit(node.boost)
+                * F.aggregate("arr", F.lit(0.0), lambda a, x: a + x["cs"]),
             )
-            .withColumn("n_terms", F.size("ts"))
-            .drop("ts")
+            .withColumn("nm", F.size("arr"))
         )
+        req = required_clauses(node)
+        if req > 1:
+            per_doc = per_doc.filter(F.col("nm") >= req)
+        return per_doc.select("doc", "score")
 
-    def topk(self, per_doc: DataFrame, k: int) -> DataFrame:
-        """Global top-k, deterministic ties: score desc, doc asc."""
-        return per_doc.orderBy(F.desc("score"), F.asc("doc")).limit(k)
+    def _eval_node(self, node: PlanNode) -> DataFrame | None:
+        if isinstance(node, Match):
+            return self._eval_match(node)
+        if isinstance(node, DisMax):
+            dfs = [d for d in (self._eval_node(c) for c in node.children) if d is not None]
+            if not dfs:
+                return None
+            u = dfs[0]
+            for d in dfs[1:]:
+                u = u.unionByName(d)
+            return (
+                u.groupBy("doc")
+                .agg(F.max("score").alias("m"))
+                .select("doc", (F.lit(node.boost) * F.col("m")).alias("score"))
+            )
+        if isinstance(node, FnMul):
+            qdf = self._eval_node(node.query)
+            if qdf is None:
+                return None
+            fterms = sorted(set(node.filter_terms))
+            if fterms:
+                fdocs = (
+                    self.postings(node.filter_field, fterms)
+                    .select("doc")
+                    .distinct()
+                    .withColumn("hit", F.lit(1))
+                )
+                qdf = qdf.join(fdocs, "doc", "left")
+                mult = F.lit(node.const_weight) + F.when(
+                    F.col("hit").isNotNull(), F.lit(node.filter_weight)
+                ).otherwise(F.lit(0.0))
+            else:
+                mult = F.lit(node.const_weight)
+            return qdf.select("doc", (F.col("score") * mult).alias("score"))
+        if isinstance(node, Bool):
+            children = [(i + 1, c, True) for i, c in enumerate(node.must)]
+            n_must = len(children)
+            children += [
+                (n_must + i + 1, c, False) for i, c in enumerate(node.should)
+            ]
+            parts = []
+            for idx, child, is_must in children:
+                d = self._eval_node(child)
+                if d is None:
+                    if is_must:
+                        return None
+                    continue
+                parts.append(d.select("doc", F.lit(idx).alias("idx"), "score"))
+            if not parts:
+                return None
+            u = parts[0]
+            for d in parts[1:]:
+                u = u.unionByName(d)
+            agg = u.groupBy("doc").agg(
+                F.sort_array(F.collect_list(F.struct("idx", "score"))).alias("arr")
+            )
+            if n_must > 0:
+                agg = agg.filter(
+                    F.size(F.filter("arr", lambda x: x["idx"] <= n_must)) == n_must
+                )
+            return agg.select(
+                "doc",
+                (
+                    F.lit(node.boost)
+                    * F.aggregate("arr", F.lit(0.0), lambda a, x: a + x["score"])
+                ).alias("score"),
+            )
+        raise TypeError(f"unknown node {node!r}")
 
-    # ---------------- the M2 flagship path ----------------
+    # ---------------- SearchBackend ----------------
+
+    def candidates(self, plan: SearchPlan, ext_limit: int) -> list[dict]:
+        docs = self.docs()
+        if plan.kind == "match_all":
+            scored = docs.select("doc", F.lit(0.0).alias("score"))
+        else:
+            root = self._eval_node(plan.root)
+            if root is None:
+                return []
+            scored = root
+        joined = scored.join(docs, "doc")
+        # function-score add-ons, fixed order: type weight, importance
+        os_score = F.col("score")
+        if plan.type_weight:
+            os_score = os_score + F.when(
+                F.col("type") != "other", F.lit(plan.type_weight)
+            ).otherwise(F.lit(0.0))
+        os_score = os_score + (
+            F.coalesce(F.col("importance"), F.lit(1e-5))
+            * F.lit(plan.importance_factor)
+        )
+        joined = joined.withColumn("os_score", os_score)
+        fdf = self.filter_docs(plan.filters)
+        if fdf is not None:
+            joined = joined.join(fdf, "doc", "left_semi")
+        # category algebra (Q20): include any-of, exclude none-of
+        if plan.include:
+            inc = (
+                self.postings(FIELD_ALL, sorted(set(plan.include)))
+                .select("doc")
+                .distinct()
+            )
+            joined = joined.join(inc, "doc", "left_semi")
+        if plan.exclude:
+            exc = (
+                self.postings(FIELD_ALL, sorted(set(plan.exclude)))
+                .select("doc")
+                .distinct()
+            )
+            joined = joined.join(exc, "doc", "left_anti")
+        rows = (
+            joined.select(
+                "doc", "doc_id", "repo", "path", "lang", "importance", "os_score"
+            )
+            .orderBy(F.desc("os_score"), F.asc("doc"))
+            .limit(ext_limit)
+            .collect()
+        )
+        return [r.asDict() for r in rows]
+
+    # ---------------- public API ----------------
 
     def search(
         self,
         q: str,
         k: int = 15,
         filters: dict[str, str] | None = None,
+        include: list[str] | None = None,
+        exclude: list[str] | None = None,
     ) -> list[dict]:
-        """Free-text OR search over the ``all`` field (reference Q2:
-        analyzed match, sum of BM25) → top-k result rows with doc
-        metadata (query-then-fetch)."""
-        clauses = analyze_search(q)
-        terms = sorted({t for c in clauses for t in c})
-        if not terms:
-            return []
-        scored = self.score_terms(FIELD_ALL, terms, self.filter_docs(filters))
-        top = self.topk(self.sum_scores(scored), k).collect()
-        if not top:
-            return []
-        doc_ints = [r["doc"] for r in top]
-        meta = {
-            r["doc"]: r
-            for r in self.docs().filter(F.col("doc").isin(doc_ints)).collect()
-        }
-        out = []
-        for r in top:
-            m = meta.get(r["doc"])
-            out.append(
-                {
-                    "doc_id": m["doc_id"] if m else None,
-                    "doc": r["doc"],
-                    "score": r["score"],
-                    "repo": m["repo"] if m else None,
-                    "path": m["path"] if m else None,
-                    "lang": m["lang"] if m else None,
-                    "importance": m["importance"] if m else None,
-                }
-            )
-        return out
+        """Free-text search: strict pass, lenient retry, rescore
+        pipeline, limit — the full reference flow."""
+        return run_search(self, q, k=k, filters=filters, include=include, exclude=exclude)

@@ -1,0 +1,92 @@
+"""Fuzzy term expansion — the graft of Lucene's FuzzyQuery
+(reference Q5: ``fuzziness=AUTO``, ``prefixLength`` 1/2,
+SearchQueryBuilder.java:46-51,96-99; behavior pinned by
+QueryBasicSearchTest.java:100-108 — ``mugglen``/``mueggeln`` hit,
+``mukklen`` misses).
+
+Expansion happens at query-compile time against the term dictionary:
+candidate terms share the required exact prefix and a length within
+``max_edits``; the Damerau-Levenshtein (optimal string alignment)
+distance gates them, and matched terms score scaled by
+``1 - edits / min(len(q), len(term))`` (Lucene's fuzzy boost).
+At 10^12-doc scale the prefix enumeration is replaced by the
+deletion-neighborhood join built at index time (SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+MAX_EXPANSIONS = 50  # Lucene match-query default
+
+
+def auto_fuzziness(token_len: int) -> int:
+    """OpenSearch ``fuzziness=AUTO``: 0 edits below 3 chars, 1 for
+    3..5, 2 from 6."""
+    if token_len < 3:
+        return 0
+    if token_len <= 5:
+        return 1
+    return 2
+
+
+def damerau_levenshtein(a: str, b: str, cap: int = 2) -> int:
+    """Optimal-string-alignment distance, early-exited at ``cap+1``."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > cap:
+        return cap + 1
+    if a == b:
+        return 0
+    prev2: list[int] | None = None
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        row_min = i
+        for j in range(1, lb + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            v = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if (
+                prev2 is not None
+                and i > 1
+                and j > 1
+                and a[i - 1] == b[j - 2]
+                and a[i - 2] == b[j - 1]
+            ):
+                v = min(v, prev2[j - 2] + 1)
+            cur[j] = v
+            if v < row_min:
+                row_min = v
+        if row_min > cap:
+            return cap + 1
+        prev2, prev = prev, cur
+    return prev[lb]
+
+
+def fuzzy_expand(
+    qtoken: str,
+    candidates: list[str],
+    max_edits: int,
+    prefix_len: int,
+) -> list[tuple[str, float]]:
+    """Expand a query token to dictionary terms within ``max_edits``.
+
+    ``candidates`` must already satisfy the prefix constraint (the
+    caller enumerates them via a dictionary prefix scan). Returns up to
+    ``MAX_EXPANSIONS`` (term, boost) pairs, deterministic order
+    (edits asc, term asc); boost = 1 - edits/min(len(q), len(term)),
+    exact match = 1.0.
+    """
+    prefix = qtoken[:prefix_len]
+    out: list[tuple[int, str]] = []
+    for t in candidates:
+        if prefix_len and not t.startswith(prefix):
+            continue
+        if abs(len(t) - len(qtoken)) > max_edits:
+            continue
+        d = damerau_levenshtein(qtoken, t, cap=max_edits)
+        if d <= max_edits:
+            out.append((d, t))
+    out.sort()
+    result = []
+    for d, t in out[:MAX_EXPANSIONS]:
+        boost = 1.0 if d == 0 else 1.0 - d / min(len(qtoken), len(t))
+        result.append((t, boost))
+    return result

@@ -1,0 +1,130 @@
+"""Grounded scoring-plan IR.
+
+The query compiler turns a query string into this tree; every leaf is
+a concrete (term, boost-multiplier) over one index field — fuzzy
+expansion already resolved against the dictionary. Two evaluators
+consume it: the Spark executor (posting joins + JVM arithmetic) and
+the Python oracle (dict walks). Shared IR + shared compiler = the two
+systems disagree only if an evaluator is wrong, which is exactly what
+the rank-identity tests pin.
+
+Node semantics mirror the reference's query DSL nodes (SURVEY.md §2.4):
+Match = analyzed ``match`` with operator/minimum_should_match
+(Q2-Q5), DisMax = Q9, Bool = Q1, plus the function-score add-ons
+(Q11 field_value_factor on importance, Q13 weight functions).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class Clause:
+    """One query token position: alternatives from the word-delimiter
+    graph and/or fuzzy expansion. A clause matches a doc when any
+    expansion matches; its score is the max over matching expansions
+    of (bm25 × mult)."""
+
+    expansions: list[tuple[str, float]]  # (term, boost multiplier)
+
+
+@dataclass
+class Match:
+    node_id: int
+    field: str
+    clauses: list[Clause]
+    boost: float = 1.0
+    # None → OR; "and" → all clauses required; "msm" → photon's
+    # "2<-1 6<-2" stepped minimum_should_match (SearchQueryBuilder.java:97)
+    operator: str | None = None
+
+
+@dataclass
+class DisMax:
+    node_id: int
+    children: list["PlanNode"]
+    boost: float = 1.0
+
+
+@dataclass
+class Bool:
+    node_id: int
+    must: list["PlanNode"] = field(default_factory=list)
+    should: list["PlanNode"] = field(default_factory=list)
+    boost: float = 1.0
+
+
+@dataclass
+class FnMul:
+    """function_score with boostMode=Multiply, scoreMode=Sum over a
+    constant weight and a terms-filtered weight (the housenumber-exact
+    bonus, SearchQueryBuilder.java:115-147):
+    score = query_score × (const_weight + filter_weight·[doc matches
+    any ``filter_terms`` in ``filter_field``])."""
+
+    node_id: int
+    query: "PlanNode"
+    filter_field: str
+    filter_terms: list[str]
+    filter_weight: float = 1.0
+    const_weight: float = 1.0
+
+
+PlanNode = Match | DisMax | Bool | FnMul
+
+
+@dataclass
+class SearchPlan:
+    """Root: bool tree + function-score add-ons + filter context."""
+
+    root: Bool
+    # weight added when doc type != 'other' (short-query demotion
+    # analog, SearchQueryBuilder.java:77-84); 0 = off
+    type_weight: float = 0.0
+    # importance × factor added to every scored doc (Q11; factor =
+    # IMPORTANCE_FACTOR(30) × importanceWeight(1.0), missing → 1e-5)
+    importance_factor: float = 30.0
+    filters: dict[str, str] | None = None
+    # category algebra (reference Q20, opensearch/CategoryFilter.java:
+    # 21-40, docs/categories.md): include = doc must match ANY of these
+    # '#'-terms; exclude = doc must match NONE of them
+    include: list[str] = field(default_factory=list)
+    exclude: list[str] = field(default_factory=list)
+    kind: str = "full"  # short | full | match_all
+
+    def match_nodes(self) -> list[Match]:
+        out: list[Match] = []
+
+        def walk(n: PlanNode) -> None:
+            if isinstance(n, Match):
+                out.append(n)
+            elif isinstance(n, DisMax):
+                for c in n.children:
+                    walk(c)
+            elif isinstance(n, Bool):
+                for c in n.must + n.should:
+                    walk(c)
+            elif isinstance(n, FnMul):
+                walk(n.query)
+
+        walk(self.root)
+        return out
+
+
+def msm_required(n_clauses: int) -> int:
+    """photon's minimum_should_match "2<-1 6<-2": allow 1 missing
+    clause when >2 clauses, 2 missing when >6."""
+    if n_clauses <= 2:
+        return n_clauses
+    if n_clauses <= 6:
+        return n_clauses - 1
+    return n_clauses - 2
+
+
+def required_clauses(node: Match) -> int:
+    if node.operator == "and":
+        return len(node.clauses)
+    if node.operator == "msm":
+        return msm_required(len(node.clauses))
+    return 1

@@ -1,0 +1,117 @@
+"""Driver-side rescore pipeline — deterministic Python shared by the
+Spark engine and the oracle, operating on ≤ ~75 candidate rows
+(exactly like the reference's Java-side stream,
+opensearch/OpenSearchSearchHandler.java:41-64).
+
+Stages (reference file:line):
+
+* R1 importance re-score — ``score += importance``,
+  ``osScore -= importance × 30 × importanceWeight``
+  (OpenSearchResult.java:58-64).
+* R3 QueryReranker — lexical rematch of the query against the
+  candidate's name/address parts (searcher/QueryReranker.java:14-119);
+  graft parts: basename, extension, directory segments, repo, lang.
+* R4 running-max normalization of the (stripped) index score,
+  maxScore seeded at 10.0 (opensearch/ResultScorer.java:27-46).
+* R5 final sort by adjusted score desc (ties: stripped index score
+  desc, then doc asc — the stable-sort order the reference inherits).
+
+R2 (location bias) has no geo analog in the code corpus and is
+omitted. R6 (street dedupe) is subsumed by build-time content dedupe.
+"""
+
+from __future__ import annotations
+
+import re
+
+from photon_spark.analysis.analyzers import split_basename
+
+IMPORTANCE_FACTOR = 30.0  # OpenSearchSearchHandler.java:19
+_WORD_BREAK_RE = re.compile(r"[-,: ]+")
+
+
+def _normalize(s: str) -> str:
+    return _WORD_BREAK_RE.sub(" ", s.lower()).strip()
+
+
+def rerank_grade(query: str, cand: dict) -> float:
+    """QueryReranker.rescore graft (QueryReranker.java:38-105)."""
+    q = _normalize(query)
+    if not q:
+        return 0.0
+    is_multi_term = "," in query
+    is_full_query = query.endswith(" ")
+
+    basename, _ = split_basename(cand.get("path") or "")
+    name = _normalize(basename)
+
+    if not is_multi_term and name:
+        if q == name:
+            return 1.0
+        if name.startswith(q):
+            if len(name) > len(q) and name[len(q)] == " ":
+                return 0.9
+            if not is_full_query:
+                return 0.8
+
+    # graft of the address-part list (QueryReranker.java:57-69)
+    segs = [s for s in (cand.get("path") or "").split("/") if s]
+    ext = segs[-1].rpartition(".")[2] if segs and "." in segs[-1][1:] else ""
+    parts = [name, ext, *segs[:-1], cand.get("repo") or "", cand.get("lang") or ""]
+    result_terms = [t for t in (_normalize(p) for p in parts) if t]
+
+    matches = 0.0
+    todo = f" {q} "
+    rematch_words: list[str] = []
+    for term in result_terms:
+        idx = todo.find(f" {term} ")
+        if idx >= 0:
+            matches += len(term)
+            todo = todo[: idx + 1] + todo[idx + len(term) + 2:]
+            if not todo.strip():
+                return 0.8 * matches / len(q)
+            continue
+        rematch_words.extend(term.split(" "))
+
+    for w in re.split(r" +", todo.strip()):
+        for term in rematch_words:
+            if term.startswith(w):
+                matches += 0.7 * len(w)
+                break
+
+    if matches == 0.0:
+        return 0.5 * float(cand.get("importance") or 0.0)
+    return 0.8 * matches / len(q)
+
+
+def rescore_candidates(
+    query: str,
+    candidates: list[dict],
+    importance_weight: float = 1.0,
+) -> list[dict]:
+    """Apply R1 + R3 + R4 + R5 to candidate dicts carrying
+    (doc, doc_id, os_score, importance, repo, path, lang). Mutates and
+    returns the re-sorted list."""
+    for c in candidates:
+        imp = float(c.get("importance") or 0.0)
+        c["score"] = imp  # R1: score += importance
+        c["os_adj"] = c["os_score"] - imp * IMPORTANCE_FACTOR * importance_weight
+        if query:
+            c["score"] += rerank_grade(query, c)  # R3
+
+    # R4: running-max normalization over os_adj desc
+    candidates.sort(key=lambda c: (-c["os_adj"], c["doc"]))
+    max_score = 10.0
+    for c in candidates:
+        os = c["os_adj"]
+        if os >= max_score:
+            max_score = os
+            c["score"] += 1.0
+        elif max_score < 20:
+            c["score"] += os / max_score
+        elif os > max_score - 20:
+            c["score"] += (os - max_score + 20) / 20
+
+    # R5: final sort (stable over the os_adj ordering)
+    candidates.sort(key=lambda c: (-c["score"], -c["os_adj"], c["doc"]))
+    return candidates

@@ -1,0 +1,51 @@
+"""Search orchestration — identical for both backends.
+
+The reference's handler flow (opensearch/OpenSearchSearchHandler.java:
+29-64): over-fetch ×1.5 candidates (min 6), strict pass, lenient retry
+when the strict pass is empty (P6), then the driver-side rescore
+pipeline and the final limit.
+"""
+
+from __future__ import annotations
+
+from typing import Protocol
+
+from photon_spark.query.compiler import TermDictionary, compile_query
+from photon_spark.query.plan import SearchPlan
+from photon_spark.query.rerank import rescore_candidates
+
+
+class SearchBackend(TermDictionary, Protocol):
+    n_docs: int
+
+    def candidates(self, plan: SearchPlan, ext_limit: int) -> list[dict]:
+        """Evaluate the plan → candidate dicts sorted (os_score desc,
+        doc asc), each carrying doc, doc_id, os_score, importance,
+        repo, path, lang."""
+        ...
+
+
+def ext_limit_for(k: int) -> int:
+    """extLimit = round(max(6, k) * 1.5) (OpenSearchSearchHandler.java:33)."""
+    return round(max(6, k) * 1.5)
+
+
+def run_search(
+    backend: SearchBackend,
+    q: str,
+    k: int = 15,
+    filters: dict[str, str] | None = None,
+    include: list[str] | None = None,
+    exclude: list[str] | None = None,
+) -> list[dict]:
+    ext = ext_limit_for(k)
+    plan = compile_query(
+        q, backend, lenient=False, filters=filters, include=include, exclude=exclude
+    )
+    cands = backend.candidates(plan, ext)
+    if not cands:
+        plan = compile_query(
+            q, backend, lenient=True, filters=filters, include=include, exclude=exclude
+        )
+        cands = backend.candidates(plan, ext)
+    return rescore_candidates(q, cands)[:k]
