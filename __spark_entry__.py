@@ -1,38 +1,536 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every driver-checkable operator of the engine
+(SURVEY.md §2 analogs over the driver's ``documents`` /
+``embeddings`` tables) plus the training-data-pipeline operators
+(dedup, similarity search, text analysis). Each SQL-expressible
+entry has a DuckDB oracle in ``oracle_sql()`` computing the same
+math (md5-based hashing, identical rounding) — value-hash identical.
+
+Engine-native entries (full analyzer/BM25 search over the built
+inverted index) are rows-only here; their strong check is the
+rank-identity pytest suite vs the Python oracle
+(tests/test_e2e_search.py).
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
+from photon_spark.datapipe import dedup as dd
+from photon_spark.datapipe import multimodal as mm
+from photon_spark.datapipe import similarity as sim
+from photon_spark.datapipe import textstats as ts
+
+# ---------------------------------------------------------------------------
+# shared pieces
+# ---------------------------------------------------------------------------
+
+K1 = 1.2  # Lucene BM25 default; b-term vanishes (norms off, SURVEY §1.3)
+
+# DuckDB twin of photon_spark.datapipe.textstats.tokens_col
+_SQL_TOKS = (
+    "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
+)
+# DuckDB twin of dedup._md5_h60
+def _sql_h60(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _doc_term_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, term, tf) — the posting-build aggregate (SURVEY §2.7)."""
+    return (
+        ts.doc_tokens(_docs(spark, sf_dir))
+        .groupBy("doc_id", F.col("token").alias("term"))
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+_SQL_TOK_CTE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+)
+"""
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str, terms: list[str]) -> DataFrame:
+    """Per-doc BM25 over the given query terms (idf = Lucene
+    ln(1+(N-df+0.5)/(df+0.5)); tf saturation only — norms off)."""
+    tf = _doc_term_tf(spark, sf_dir)
+    n_docs = _docs(spark, sf_dir).count()
+    stats = (
+        tf.filter(F.col("term").isin(terms))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+    )
+    tfd = F.col("tf").cast("double")
+    return (
+        tf.filter(F.col("term").isin(terms))
+        .join(F.broadcast(stats), "term")
+        .withColumn("s", F.col("idf") * (tfd * (K1 + 1.0)) / (tfd + K1))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("s"), 6).alias("score"),
+            F.count(F.lit(1)).alias("n_matched"),
+        )
+    )
+
+
+def _sql_bm25(terms: list[str], extra: str = "") -> str:
+    tl = ", ".join(f"'{t}'" for t in terms)
+    return f"""{_SQL_TOK_CTE}, n AS (
+  SELECT COUNT(*)::DOUBLE AS n_docs FROM documents
+), stats AS (
+  SELECT term, COUNT(*) AS df,
+         ln(1.0 + ((SELECT n_docs FROM n) - COUNT(*) + 0.5) / (COUNT(*) + 0.5)) AS idf
+  FROM tf WHERE term IN ({tl}) GROUP BY term
+), scored AS (
+  SELECT tf.doc_id,
+         ROUND(SUM(stats.idf * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1})), 6) AS score,
+         COUNT(*) AS n_matched
+  FROM tf JOIN stats USING (term)
+  GROUP BY tf.doc_id
+)
+{extra}"""
+
+
+# ---------------------------------------------------------------------------
+# engine-native search (full analyzer + inverted index), cached per sf_dir
+# ---------------------------------------------------------------------------
+
+_ENGINE_CACHE: dict[str, object] = {}
+
+
+def _engine(spark: SparkSession, sf_dir: str):
+    """Build (once per sf_dir) the full inverted index over the
+    documents table mapped to the code-corpus shape, return the
+    query executor."""
+    from photon_spark.index.build import build_index
+    from photon_spark.query.executor import Index
+
+    key = os.path.abspath(sf_dir)
+    if key not in _ENGINE_CACHE:
+        # "name" graft: the path basename (priority-5 zone, like photon's
+        # place name) is a title derived from the doc's leading tokens —
+        # full-query results MUST match a name term (QueryBasicSearchTest:225-236)
+        title = F.concat_ws(
+            "_", F.slice(F.split(F.lower(F.col("text")), r"\s+"), 1, 2)
+        )
+        src = _docs(spark, sf_dir).select(
+            F.col("source").alias("repo"),
+            F.concat(
+                F.lit("docs/"), title, F.lit("_"),
+                F.col("doc_id").cast("string"), F.lit(".txt"),
+            ).alias("path"),
+            F.sha2(F.concat_ws(":", "source", F.col("doc_id").cast("string")), 256).alias("commit"),
+            F.col("lang"),
+            F.col("text").alias("content"),
+            (F.lit(1.0) / (F.lit(1.0) + F.col("doc_id").cast("double") / F.lit(100.0))).alias("importance"),
+        )
+        out = os.path.join(tempfile.gettempdir(), "photon_spark_idx_" + key.replace("/", "_"))
+        build_index(spark, src, out)
+        _ENGINE_CACHE[key] = Index(spark, out)
+    return _ENGINE_CACHE[key]
+
+
+def _engine_search_df(spark: SparkSession, sf_dir: str, q: str, k: int = 10) -> DataFrame:
+    idx = _engine(spark, sf_dir)
+    hits = idx.search(q, k=k)
+    if not hits:
+        return spark.createDataFrame(
+            [], "rank int, doc_id string, repo string, path string, score double"
+        )
+    rows = [
+        (i + 1, h["doc_id"], h["repo"], h["path"], round(float(h["score"]), 6))
+        for i, h in enumerate(hits)
+    ]
+    return spark.createDataFrame(
+        rows, "rank int, doc_id string, repo string, path string, score double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# contract functions
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full engine search (analyzers → postings → BM25 →
+    rescore pipeline) over sf0.001 documents."""
+    return _engine_search_df(spark, "/root/testdata/sf0.001", "table merge stream", k=10)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- index-build plane (SURVEY §2.2/§2.7 analogs) ----
+    q["tokenize_tf"] = lambda s, d: _doc_term_tf(s, d)
+    q["dictionary_df_idf"] = lambda s, d: (
+        _doc_term_tf(s, d)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("total_tf"))
+        .join(
+            _docs(s, d).agg(F.count(F.lit(1)).cast("double").alias("n_docs")),
+        )
+        .select(
+            "term",
+            "df",
+            "total_tf",
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                ),
+                6,
+            ).alias("idf"),
+        )
+    )
+
+    # ---- query plane (SURVEY §2.4) ----
+    q["bm25_topk"] = lambda s, d: (
+        _bm25_scored(s, d, ["merge", "stream", "window"])
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+        .select("doc_id", "score")
+    )
+    q["and_match"] = lambda s, d: (  # Q3: operator=AND intersection
+        _bm25_scored(s, d, ["merge", "window"])
+        .filter(F.col("n_matched") == 2)
+        .select("doc_id")
+    )
+    q["msm_match"] = lambda s, d: (  # Q4: minimum_should_match 2<-1 6<-2
+        _bm25_scored(s, d, ["merge", "stream", "window", "filter"])
+        .filter(F.col("n_matched") >= 3)
+        .select("doc_id", "n_matched")
+    )
+    q["prefix_match"] = lambda s, d: (  # A7 edge-ngram prefix semantics
+        ts.doc_tokens(_docs(s, d))
+        .filter(F.col("token").startswith("str"))
+        .select("doc_id")
+        .distinct()
+    )
+    q["dismax"] = lambda s, d: (  # Q9: score = max of branches
+        _bm25_scored(s, d, ["merge"])
+        .select("doc_id", F.col("score").alias("sa"))
+        .join(
+            _bm25_scored(s, d, ["window"]).select("doc_id", F.col("score").alias("sb")),
+            "doc_id",
+            "outer",
+        )
+        .select(
+            "doc_id",
+            F.round(
+                F.greatest(F.coalesce("sa", F.lit(0.0)), F.coalesce("sb", F.lit(0.0))), 6
+            ).alias("score"),
+        )
+    )
+    q["importance_rescore"] = lambda s, d: (  # Q11/R1: static-rank boost
+        _bm25_scored(s, d, ["merge"])
+        .join(_docs(s, d).select("doc_id", "n_chars"), "doc_id")
+        .select(
+            "doc_id",
+            F.round(
+                F.col("score") + F.log(F.lit(1.0) + F.col("n_chars").cast("double")) * 0.1,
+                6,
+            ).alias("score"),
+        )
+    )
+    q["fuzzy_match"] = lambda s, d: (  # Q5: edit-distance ≤1, prefix len 1
+        ts.doc_tokens(_docs(s, d))
+        .filter(
+            (F.levenshtein(F.col("token"), F.lit("stremm")) <= 1)
+            & F.col("token").startswith("s")
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    q["topk_per_group"] = lambda s, d: (  # R4/R6 window shape
+        _bm25_scored(s, d, ["merge", "window"])
+        .join(_docs(s, d).select("doc_id", "lang"), "doc_id")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("doc_id"))
+            ),
+        )
+        .filter(F.col("rk") <= 3)
+        .select("lang", "doc_id", "score", "rk")
+    )
+
+    # ---- training-data pipeline: text analysis ----
+    q["token_counts"] = lambda s, d: ts.token_counts(_docs(s, d))
+    q["quality_score"] = lambda s, d: ts.quality_score(_docs(s, d))
+    q["lang_id"] = lambda s, d: ts.lang_id(_docs(s, d))
+    q["fingerprint"] = lambda s, d: ts.fingerprint(_docs(s, d))
+    q["winnow_fingerprints"] = lambda s, d: ts.winnow_fingerprints(_docs(s, d))
+
+    # ---- training-data pipeline: dedup ----
+    q["exact_dedup"] = lambda s, d: dd.exact_dedup(_docs(s, d))
+    q["minhash_signatures"] = lambda s, d: (
+        dd.minhash_signatures(_docs(s, d), n_hashes=8)
+        .select("doc_id", F.posexplode("signature").alias("hash_idx", "minhash"))
+    )
+    q["ngram_jaccard_pairs"] = lambda s, d: dd.ngram_jaccard_pairs(
+        _docs(s, d), threshold=0.35
+    )
+    q["simhash"] = lambda s, d: dd.simhash(_docs(s, d), bits=16)
+    q["minhash_lsh_pairs"] = lambda s, d: dd.minhash_lsh_pairs(
+        _docs(s, d), n_hashes=16, bands=4, threshold=0.3
+    )  # rows-only: LSH banding is the scale path; exact twin = ngram_jaccard_pairs
+    q["embedding_near_dup"] = lambda s, d: dd.embedding_near_dup_pairs(
+        _embs(s, d), threshold=0.5
+    )
+
+    # ---- training-data pipeline: similarity search ----
+    def _query_vec(s: SparkSession, d: str) -> list[float]:
+        row = _embs(s, d).filter(F.col("vec_id") == 0).select("embedding").head()
+        return [float(x) for x in row["embedding"]]
+
+    q["cosine_topk"] = lambda s, d: sim.brute_force_topk(
+        _embs(s, d), _query_vec(s, d), k=10
+    )
+    q["lsh_ann_topk"] = lambda s, d: sim.lsh_ann_topk(
+        _embs(s, d), _query_vec(s, d), k=10
+    )  # rows-only: approximate by construction; recall vs brute force in pytest
+
+    # ---- multimodal plumbing (stub decode, real Spark plumbing) ----
+    q["multimodal_features"] = lambda s, d: mm.extract_features(
+        mm.synth_media(s, n=64), fake=True
+    ).orderBy("media_id")  # rows-only: synthetic binary payloads
+
+    # ---- engine-native full search (rows-only; pytest rank-identity) ----
+    q["engine_search_full"] = lambda s, d: _engine_search_df(s, d, "table merge stream", k=10)
+    q["engine_search_short"] = lambda s, d: _engine_search_df(s, d, "tab", k=10)
+
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+
+    o["tokenize_tf"] = _SQL_TOK_CTE + "SELECT doc_id, term, tf FROM tf"
+
+    o["dictionary_df_idf"] = (
+        _SQL_TOK_CTE
+        + """, n AS (SELECT COUNT(*)::DOUBLE AS n_docs FROM documents)
+SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf,
+       ROUND(ln(1.0 + ((SELECT n_docs FROM n) - COUNT(*) + 0.5) / (COUNT(*) + 0.5)), 6) AS idf
+FROM tf GROUP BY term"""
+    )
+
+    o["bm25_topk"] = _sql_bm25(
+        ["merge", "stream", "window"],
+        "SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20",
+    )
+    o["and_match"] = _sql_bm25(
+        ["merge", "window"], "SELECT doc_id FROM scored WHERE n_matched = 2"
+    )
+    o["msm_match"] = _sql_bm25(
+        ["merge", "stream", "window", "filter"],
+        "SELECT doc_id, n_matched FROM scored WHERE n_matched >= 3",
+    )
+    o["prefix_match"] = (
+        _SQL_TOK_CTE
+        + "SELECT DISTINCT doc_id FROM tok WHERE term LIKE 'str%'"
+    )
+    o["dismax"] = f"""{_SQL_TOK_CTE}, n AS (
+  SELECT COUNT(*)::DOUBLE AS n_docs FROM documents
+), sa AS (
+  SELECT doc_id, ROUND(SUM(ln(1.0 + ((SELECT n_docs FROM n) - s.df + 0.5) / (s.df + 0.5))
+         * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1})), 6) AS score
+  FROM tf JOIN (SELECT term, COUNT(*) AS df FROM tf WHERE term = 'merge' GROUP BY term) s USING (term)
+  GROUP BY doc_id
+), sb AS (
+  SELECT doc_id, ROUND(SUM(ln(1.0 + ((SELECT n_docs FROM n) - s.df + 0.5) / (s.df + 0.5))
+         * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1})), 6) AS score
+  FROM tf JOIN (SELECT term, COUNT(*) AS df FROM tf WHERE term = 'window' GROUP BY term) s USING (term)
+  GROUP BY doc_id
+)
+SELECT COALESCE(sa.doc_id, sb.doc_id) AS doc_id,
+       ROUND(GREATEST(COALESCE(sa.score, 0.0), COALESCE(sb.score, 0.0)), 6) AS score
+FROM sa FULL OUTER JOIN sb ON sa.doc_id = sb.doc_id"""
+    o["importance_rescore"] = _sql_bm25(
+        ["merge"],
+        """SELECT scored.doc_id,
+       ROUND(scored.score + ln(1.0 + d.n_chars::DOUBLE) * 0.1, 6) AS score
+FROM scored JOIN documents d ON scored.doc_id = d.doc_id""",
+    )
+    o["fuzzy_match"] = (
+        _SQL_TOK_CTE
+        + "SELECT DISTINCT doc_id FROM tok WHERE levenshtein(term, 'stremm') <= 1 AND term LIKE 's%'"
+    )
+    o["topk_per_group"] = _sql_bm25(
+        ["merge", "window"],
+        """SELECT lang, doc_id, score, rk FROM (
+  SELECT d.lang, scored.doc_id, scored.score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY d.lang ORDER BY scored.score DESC, scored.doc_id ASC) AS INTEGER) AS rk
+  FROM scored JOIN documents d ON scored.doc_id = d.doc_id
+) WHERE rk <= 3""",
+    )
+
+    # ---- text analysis ----
+    o["token_counts"] = f"""
+SELECT doc_id,
+       CAST(len({_SQL_TOKS}) AS INTEGER) AS n_tokens,
+       CAST(len(list_distinct({_SQL_TOKS})) AS INTEGER) AS n_distinct_tokens
+FROM documents"""
+
+    stop = ", ".join(f"'{w}'" for w in ts.STOPWORDS)
+    o["quality_score"] = f"""
+WITH base AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks, length(text) AS nc, text FROM documents
+), feat AS (
+  SELECT doc_id,
+         CAST(len(toks) AS INTEGER) AS n_tokens,
+         CASE WHEN len(toks) > 0 THEN (nc - (len(toks) - 1))::DOUBLE / len(toks) ELSE 0.0 END AS mean_word_len,
+         CASE WHEN len(toks) > 0 THEN len(list_filter(toks, x -> x IN ({stop})))::DOUBLE / len(toks) ELSE 0.0 END AS stop_ratio,
+         CASE WHEN nc > 0 THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / nc ELSE 0.0 END AS alpha_ratio
+  FROM base
+)
+SELECT doc_id, n_tokens,
+       ROUND(mean_word_len, 6) AS mean_word_len,
+       ROUND(stop_ratio, 6) AS stopword_ratio,
+       ROUND(alpha_ratio, 6) AS alpha_ratio,
+       ROUND(LEAST(n_tokens::DOUBLE / 50.0, 1.0) * 0.4 + stop_ratio * 0.3 + alpha_ratio * 0.3, 6) AS quality
+FROM feat"""
+
+    lang_score = ", ".join(
+        f"CAST(len(list_filter(toks, x -> x IN ({', '.join(repr(w) for w in m)}))) AS INTEGER) AS score_{lg}"
+        for lg, m in sorted(ts.LANG_MARKERS.items())
+    )
+    lang_case = " ".join(
+        f"WHEN score_{lg} = best AND best > 0 THEN '{lg}'"
+        for lg in sorted(ts.LANG_MARKERS)
+    )
+    greatest_args = ", ".join(f"score_{lg}" for lg in sorted(ts.LANG_MARKERS))
+    o["lang_id"] = f"""
+WITH base AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+), scored AS (
+  SELECT doc_id, {lang_score} FROM base
+), best AS (
+  SELECT *, GREATEST({greatest_args}) AS best FROM scored
+)
+SELECT doc_id, CASE {lang_case} ELSE 'und' END AS pred_lang, best AS marker_hits FROM best"""
+
+    o["fingerprint"] = f"""
+SELECT doc_id,
+       sha256(text) AS content_sha256,
+       md5(array_to_string(list_sort(list_distinct({_SQL_TOKS})), ' ')) AS bow_fingerprint
+FROM documents"""
+
+    o["winnow_fingerprints"] = f"""
+WITH base AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+), grams AS (
+  SELECT doc_id,
+         [{_sql_h60("array_to_string(toks[i:i+2], ' ')")} for i in range(1, len(toks) - 1)] AS hs
+  FROM base WHERE len(toks) >= 3
+), wmins AS (
+  SELECT doc_id, [list_min(hs[i:i+3]) for i in range(1, len(hs) - 2)] AS mins
+  FROM grams WHERE len(hs) >= 4
+)
+SELECT DISTINCT doc_id, unnest(mins) AS fp FROM wmins"""
+
+    # ---- dedup ----
+    o["exact_dedup"] = """
+SELECT sha256(text) AS content_sha256, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents GROUP BY sha256(text)"""
+
+    coeffs = dd.minhash_coeffs(8)
+    coef_vals = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(coeffs))
+    o["minhash_signatures"] = f"""
+WITH base AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)])) AS gram
+  FROM base WHERE len(toks) >= 3
+), h AS (
+  SELECT doc_id, {_sql_h60("gram")} % {dd.MINHASH_P} AS h FROM sh
+), coef AS (
+  SELECT * FROM (VALUES {coef_vals}) AS t(hash_idx, a, b)
+)
+SELECT h.doc_id, coef.hash_idx, MIN((coef.a * h.h + coef.b) % {dd.MINHASH_P}) AS minhash
+FROM h CROSS JOIN coef GROUP BY h.doc_id, coef.hash_idx"""
+
+    o["ngram_jaccard_pairs"] = f"""
+WITH base AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)])) AS gram
+  FROM base WHERE len(toks) >= 3
+), sz AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(inter::DOUBLE / (za.sz + zb.sz - inter), 6) AS jaccard
+FROM inter JOIN sz za ON inter.id_a = za.doc_id JOIN sz zb ON inter.id_b = zb.doc_id
+WHERE ROUND(inter::DOUBLE / (za.sz + zb.sz - inter), 6) >= 0.35"""
+
+    o["simhash"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents
+), h AS (
+  SELECT doc_id, {_sql_h60("token")} AS h FROM tok
+), votes AS (
+  SELECT doc_id, i AS bit, SUM(((h >> i) & 1) * 2 - 1) AS s
+  FROM h, (SELECT unnest(range(0, 16)) AS i)
+  GROUP BY doc_id, i
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id"""
+
+    o["embedding_near_dup"] = """
+WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.id AS id_a, b.id AS id_b,
+       ROUND(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+FROM v a JOIN v b ON a.id < b.id
+WHERE ROUND(list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.5"""
+
+    o["cosine_topk"] = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT vec_id,
+       ROUND(list_dot_product(v, (SELECT qv FROM q)) /
+             (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product((SELECT qv FROM q), (SELECT qv FROM q)))), 6) AS cosine
+FROM v
+ORDER BY cosine DESC, vec_id ASC LIMIT 10"""
+
+    # rows-only (no SQL oracle): minhash_lsh_pairs (scale path of
+    # ngram_jaccard_pairs), lsh_ann_topk (approximate by design),
+    # multimodal_features (synthetic binary), engine_search_* (full
+    # analyzer semantics — rank-identity checked in pytest).
+    return o

@@ -1,0 +1,113 @@
+"""Benchmark harness (driver contract): headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``. Prints ONE JSON line.
+
+Headline components:
+* index_build — full inverted-index build (sha256 dedupe → SPIMI
+  tokenize → range-partitioned posting encode) over the documents
+  corpus; the build files/sec is the north-rule throughput metric.
+* engine_* — end-to-end searches (analyze → postings join → BM25 →
+  rescore pipeline) against the built index.
+* datapipe_* — training-data operators (MinHash-LSH near-dup,
+  SimHash, winnowing, embedding top-k).
+
+Scaling-efficiency evidence (N vs 4N cores) is produced by
+``tools/bench_scaling.py`` → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    from pyspark.sql import functions as F
+
+    from photon_spark.datapipe import dedup as dd
+    from photon_spark.datapipe import similarity as sim
+    from photon_spark.datapipe import textstats as ts
+    from photon_spark.index.build import build_index
+    from photon_spark.query.executor import Index
+    from photon_spark.session import get_spark
+
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus)
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    embs = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    title = F.concat_ws("_", F.slice(F.split(F.lower(F.col("text")), r"\s+"), 1, 2))
+    src = docs.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("docs/"), title, F.lit("_"), F.col("doc_id").cast("string"), F.lit(".txt")).alias("path"),
+        F.sha2(F.concat_ws(":", "source", F.col("doc_id").cast("string")), 256).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+        (F.lit(1.0) / (F.lit(1.0) + F.col("doc_id").cast("double") / F.lit(100.0))).alias("importance"),
+    )
+
+    timings: dict[str, float] = {}
+    out_dir = tempfile.mkdtemp(prefix="photon_bench_idx_")
+    try:
+        t0 = time.time()
+        meta = build_index(spark, src, out_dir, partitions=cpus)
+        timings["index_build"] = round(time.time() - t0, 3)
+
+        idx = Index(spark, out_dir)
+        searches = {
+            "engine_search_full": ("table merge stream", {}),
+            "engine_search_short": ("tab", {}),
+            "engine_search_fuzzy": ("mrege windw", {}),
+            "engine_search_filtered": ("table merge", {"lang": "en"}),
+        }
+        for name, (q, filt) in searches.items():
+            t0 = time.time()
+            idx.search(q, k=15, filters=filt or None)
+            timings[name] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        dd.minhash_lsh_pairs(docs, n_hashes=16, bands=4, threshold=0.3).count()
+        timings["datapipe_minhash_lsh"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        dd.simhash(docs, bits=16).count()
+        timings["datapipe_simhash"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        ts.winnow_fingerprints(docs).count()
+        timings["datapipe_winnow"] = round(time.time() - t0, 3)
+
+        qvec = [float(x) for x in embs.filter(F.col("vec_id") == 0).head()["embedding"]]
+        t0 = time.time()
+        sim.brute_force_topk(embs, qvec, k=10).collect()
+        timings["datapipe_cosine_topk"] = round(time.time() - t0, 3)
+
+        total = round(sum(timings.values()), 3)
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_total_sec",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": sf,
+                    "n_input_files": meta["n_input_files"],
+                    "n_docs": meta["n_docs"],
+                    "build_files_per_sec": round(meta["n_input_files"] / timings["index_build"], 1),
+                    "cpus": cpus,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

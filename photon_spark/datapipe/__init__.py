@@ -1,0 +1,32 @@
+"""Large-scale training-data pipeline operators over the engine's
+document tables: dedup (exact / MinHash-LSH / SimHash / n-gram
+Jaccard / embedding-cosine), similarity search (brute-force +
+LSH-bucketed ANN), text analysis (language-ID, quality scoring,
+token counting, fingerprinting), multimodal binary-column plumbing.
+
+Everything is expressed with built-in ``pyspark.sql.functions``
+(JVM-side, whole-stage codegen) — no per-row Python. The hash
+primitives are md5-based so a DuckDB oracle can reproduce them
+bit-for-bit (see ``__spark_entry__.oracle_sql``).
+"""
+
+from photon_spark.datapipe.textstats import (  # noqa: F401
+    doc_tokens,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_counts,
+    winnow_fingerprints,
+)
+from photon_spark.datapipe.dedup import (  # noqa: F401
+    embedding_near_dup_pairs,
+    exact_dedup,
+    minhash_signatures,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from photon_spark.datapipe.similarity import (  # noqa: F401
+    brute_force_topk,
+    lsh_ann_topk,
+)

@@ -1,0 +1,272 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+Hash design: every hash bottoms out in ``md5`` (available identically
+in Spark and DuckDB), truncated to 60 bits via
+``conv(substr(md5(x),1,15),16,10)`` so the DuckDB oracle reproduces
+values exactly. MinHash uses universal hashing
+``(a*h + b) mod P`` with ``P = 1_000_000_007`` (30-bit prime —
+products stay < 2^60, no int64 overflow on either engine).
+
+Scale notes (100 TB):
+* exact dedupe = one hash-aggregate on sha256 (map-side partial agg;
+  no skew — keys are unique-ish).
+* MinHash: signature build is a single groupBy(doc) agg; the LSH
+  band join shuffles on (band, band_hash) — bucket sizes are bounded
+  by collision probability, and the pair generation is a self-join
+  per bucket, never a full cross join.
+* SimHash: one agg per (doc, bit) then a bit-pack agg — linear.
+* n-gram Jaccard: the exact-pair path is quadratic per shingle
+  bucket; it exists as the small-scale oracle baseline. The scale
+  path is minhash_lsh_pairs (estimates the same Jaccard).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from photon_spark.datapipe.textstats import tokens_col
+
+MINHASH_P = 1_000_000_007
+
+# Deterministic universal-hash coefficients (seeded; public constants
+# of this engine's index format — both engine and oracle embed them).
+def minhash_coeffs(k: int) -> list[tuple[int, int]]:
+    coeffs = []
+    a, b = 1103515245, 12345
+    x = 42
+    for _ in range(k):
+        x = (a * x + b) % (2**31)
+        ca = x % (MINHASH_P - 1) + 1
+        x = (a * x + b) % (2**31)
+        cb = x % MINHASH_P
+        coeffs.append((ca, cb))
+    return coeffs
+
+
+def _md5_h60(col: Column) -> Column:
+    """60-bit integer hash of a string, md5-derived (oracle-parity)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Distinct word k-gram shingles per doc: (doc_id, gram)."""
+    toks = tokens_col(text_col)
+    # guard: sequence(1, 0) would count DOWN in Spark — short docs
+    # must yield an empty gram array, not a bogus descending range
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - k + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col), F.explode(F.array_distinct(grams)).alias("gram")
+    )
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedupe by content sha256: keep min doc_id per group,
+    report group size. (Graft of the reference's uid-collapse,
+    PhotonDoc.java:195-197.)"""
+    return (
+        df.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("content_sha256"))
+        .groupBy("content_sha256")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_shingle: int = 3,
+    n_hashes: int = 16,
+) -> DataFrame:
+    """MinHash signature per doc: array of n_hashes minima over the
+    shingle set. One explode + one groupBy — map-side combined."""
+    sh = shingles(df, id_col, text_col, k_shingle).withColumn(
+        "h", _md5_h60(F.col("gram")) % MINHASH_P
+    )
+    mins = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(n_hashes))
+    ]
+    return sh.groupBy(id_col).agg(*mins).select(
+        F.col(id_col),
+        F.array(*[F.col(f"mh{i}") for i in range(n_hashes)]).alias("signature"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_shingle: int = 3,
+    n_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup candidate pairs via banded LSH, verified by the
+    signature-estimated Jaccard (fraction of equal minhashes).
+
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b and
+    est_jaccard >= threshold. The band join is the only shuffle; the
+    per-bucket self-join is quadratic only within a band bucket.
+    """
+    rows = n_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, k_shingle, n_hashes)
+    banded = sig.select(
+        F.col(id_col).alias("id"),
+        "signature",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.concat_ws(",", F.slice("signature", b * rows + 1, rows))
+                    ).alias("bh"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "signature", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.signature").alias("sa"),
+            F.col("r.signature").alias("sb"),
+        )
+        .distinct()
+    )
+    est = (
+        F.aggregate(
+            F.zip_with("sa", "sb", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ).cast("double")
+        / F.lit(float(n_hashes))
+    )
+    return (
+        pairs.withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs (small-scale baseline / oracle for
+    the LSH path): shingle-join → |A∩B| / (|A|+|B|-|A∩B|)."""
+    sh = shingles(df, id_col, text_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "gram")
+    b = sh.select(F.col(id_col).alias("id_b"), "gram")
+    inter = (
+        a.join(b, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    j = (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+) -> DataFrame:
+    """SimHash over the token multiset: per bit, sign of the sum of
+    ±1 votes from each token occurrence's md5-hash bit; packed into
+    one integer. Hamming-close simhashes ⇒ similar docs."""
+    toks = df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("token"))
+    h = toks.withColumn("h", _md5_h60(F.col("token")))
+    # one aggregate column per bit (single map-side-combined groupBy;
+    # no per-bit explode → rows never fan out ×bits)
+    aggs = [
+        F.sum(
+            F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"s{i}")
+        for i in range(bits)
+    ]
+    per_doc = h.groupBy(id_col).agg(*aggs)
+    packed = None
+    for i in range(bits):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        packed = term if packed is None else packed + term
+    return per_doc.select(F.col(id_col), packed.alias("simhash"))
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs above threshold (brute-force
+    pair join — the small-scale baseline; the scale path buckets by
+    LSH first, see similarity.lsh_ann_topk)."""
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda side: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(F.col(f"{side}.v"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(dot / (norm("a") * norm("b")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,114 @@
+"""Multimodal binary-column plumbing: image/audio/video payloads as
+opaque ``binary`` columns with typed metadata, processed in
+Arrow-batched ``mapInPandas`` kernels.
+
+The decode step is STUBBED (no image/audio libraries in this
+container): ``decode_image`` raises ``NotImplementedError`` unless
+``fake=True``, in which case a deterministic fake decoder (md5-seeded
+dimensions / frame count) exercises the real Spark plumbing — schema,
+partitioning, UDF signature, Arrow batch shape — end to end.
+
+Scale notes: media blobs dominate row size, so the kernels run over
+``mapInPandas`` with ``maxRecordsPerBatch`` tuned down (large rows ⇒
+small batches); metadata-only operations project the binary column
+away *before* the shuffle so only features move.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, payload binary, mime string, n_bytes long"
+)
+
+FEATURE_SCHEMA = (
+    "media_id long, kind string, n_bytes long, width int, height int, "
+    "n_frames int, sha256 string"
+)
+
+
+def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table (binary payload = seeded bytes)."""
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * (4 + i % 7)
+        rows.append((i, kind, bytearray(payload), f"application/x-{kind}", len(payload)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int]:
+    """Decode an image payload → (width, height).
+
+    STUB: real decoding needs Pillow/libvips (absent here). The fake
+    path derives deterministic dimensions from the payload hash so
+    the distributed plumbing is testable.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image decoding requires an image library not present in this "
+            "container; pass fake=True for the deterministic test decoder"
+        )
+    h = hashlib.md5(payload).hexdigest()
+    return 16 + int(h[:4], 16) % 2048, 16 + int(h[4:8], 16) % 2048
+
+
+def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
+    """mapInPandas feature extraction over media payloads.
+
+    Emits typed metadata per blob; the payload column never survives
+    past this operator (project-early: downstream shuffles move only
+    the small feature rows).
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "n_bytes": pdf["payload"].map(len).astype("int64"),
+                "width": [],
+                "height": [],
+                "n_frames": [],
+                "sha256": pdf["payload"].map(
+                    lambda b: hashlib.sha256(bytes(b)).hexdigest()
+                ),
+            }
+            for kind, payload in zip(pdf["kind"], pdf["payload"]):
+                if kind == "image":
+                    w, h = decode_image(bytes(payload), fake=fake)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["n_frames"].append(1)
+                elif kind == "video":
+                    w, h = decode_image(bytes(payload), fake=fake)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["n_frames"].append(1 + len(payload) % 300)
+                else:
+                    out["width"].append(0)
+                    out["height"].append(0)
+                    out["n_frames"].append(0)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(kernel, FEATURE_SCHEMA)
+
+
+def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Frame-sampling plan for video rows: explode sampled frame
+    indices from the (stub-extracted) frame count — pure column ops,
+    the actual frame decode would slot into a mapInPandas kernel."""
+    feats = df.filter(F.col("kind") == "video")
+    return feats.select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
+        ).alias("frame_idx"),
+    )

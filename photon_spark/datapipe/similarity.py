@@ -1,0 +1,125 @@
+"""Similarity search over an embedding column (array<float>).
+
+* brute_force_topk — exact cosine top-k vs a query vector; one
+  narrow map + TakeOrdered (per-partition heaps, no full sort).
+  The baseline and the oracle for the ANN path.
+* lsh_ann_topk — random-hyperplane LSH: probe only the query's
+  hash bucket(s); at 100 TB the bucket prune replaces the full scan
+  (bucket is a partition key of the stored index → partition
+  pruning). Recall < 1 by construction; the driver-facing contract
+  is "rows-only" (no SQL oracle), the pytest suite checks
+  recall >= threshold vs brute force.
+
+Hyperplanes are deterministic md5-derived pseudo-gaussians so every
+run (and the oracle, if ever needed) regenerates identical planes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(vec_col: str) -> Column:
+    return F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+
+
+def cosine_to_query(vec_col: str, q: list[float]) -> Column:
+    qv = F.array(*[F.lit(float(x)) for x in q])
+    v = _as_double(vec_col)
+    return F.round(_dot(v, qv) / (_norm(v) * _norm(qv)), 6)
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: score every row, TakeOrdered(k).
+
+    ``orderBy(...).limit(k)`` compiles to TakeOrderedAndProject —
+    per-partition heaps then a driver merge; no global sort shuffle.
+    """
+    return (
+        df.select(
+            F.col(id_col),
+            cosine_to_query(vec_col, query_vec).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: md5-derived uniforms
+    in [-1, 1) (direction-only use, gaussianity not required)."""
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()
+            row.append((int(h[:15], 16) / float(1 << 60)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def bucket_of(vec_col: str, planes: list[list[float]]) -> Column:
+    """LSH bucket id: sign bit per hyperplane, packed little-endian."""
+    v = _as_double(vec_col)
+    acc = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        pv = F.array(*[F.lit(float(x)) for x in plane])
+        acc = acc + F.when(_dot(v, pv) > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return acc
+
+
+def lsh_ann_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    multiprobe: int = 1,
+) -> DataFrame:
+    """ANN top-k: score only rows in the query's LSH bucket (plus
+    ``multiprobe`` Hamming-1 neighbor buckets). At scale the bucket
+    column is a partition key → the scan prunes to ~1/2^n_planes of
+    the data before any scoring."""
+    dim = len(query_vec)
+    planes = hyperplanes(dim, n_planes, seed)
+    qb = 0
+    for i, plane in enumerate(planes):
+        if sum(a * b for a, b in zip(query_vec, plane)) > 0:
+            qb |= 1 << i
+    probe = {qb}
+    if multiprobe:
+        for i in range(n_planes):
+            probe.add(qb ^ (1 << i))
+    cand = df.withColumn("bucket", bucket_of(vec_col, planes)).filter(
+        F.col("bucket").isin(sorted(probe))
+    )
+    return (
+        cand.select(F.col(id_col), cosine_to_query(vec_col, query_vec).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

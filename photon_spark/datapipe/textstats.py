@@ -1,0 +1,167 @@
+"""Text-analysis operators for training-data curation.
+
+All operators are pure DataFrame expressions (JVM-side, codegen'd);
+the shared tokenizer is whitespace + lowercase — the curation analog
+of the engine's search tokenizer (reference:
+opensearch/IndexSettingBuilder.java:123-126 splits queries on
+``[ ,!?;]+``; curation text is already space-normalized).
+
+Scale notes (100 TB): every operator here is a narrow map or a
+single partial+final aggregation keyed by ``doc_id`` — no shuffle
+beyond the one Catalyst needs for the agg, no skew (doc_id is
+unique), and filters/projections push down to the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# Tiny per-language stopword marker sets for the n-gram/stopword
+# language-ID heuristic. Deterministic; ties break on lang asc.
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht"],
+    "en": ["the", "a", "of", "and", "is", "to"],
+    "es": ["el", "la", "de", "y", "es", "que"],
+    "zh": ["的", "是", "了", "在"],
+}
+
+STOPWORDS = LANG_MARKERS["en"]
+
+
+def tokens_col(text_col: str = "text") -> Column:
+    """lowercased whitespace tokens, empties dropped (array column)."""
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
+    )
+
+
+def doc_tokens(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exploded (doc_id, token) rows — the SPIMI run shape."""
+    return df.select(
+        F.col(id_col), F.explode(tokens_col(text_col)).alias("token")
+    )
+
+
+def token_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc token count + distinct-token count (BPE-ish proxy:
+    whitespace words; a real tokenizer slots into the same shape)."""
+    toks = tokens_col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic doc-quality features + a composite score.
+
+    Features mirror common curation filters (C4/Gopher-style):
+    length, mean word length, stopword ratio, alpha ratio.
+    All column arithmetic; rounded to 6 decimals for oracle parity.
+    """
+    toks = tokens_col(text_col)
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(STOPWORDS)))
+    alpha_chars = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
+    mean_wlen = F.when(
+        n_tokens > 0,
+        (n_chars - (n_tokens - F.lit(1))).cast("double") / n_tokens.cast("double"),
+    ).otherwise(F.lit(0.0))
+    stop_ratio = F.when(
+        n_tokens > 0, n_stop.cast("double") / n_tokens.cast("double")
+    ).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(
+        n_chars > 0, alpha_chars.cast("double") / n_chars.cast("double")
+    ).otherwise(F.lit(0.0))
+    score = (
+        F.least(n_tokens.cast("double") / F.lit(50.0), F.lit(1.0)) * F.lit(0.4)
+        + stop_ratio * F.lit(0.3)
+        + alpha_ratio * F.lit(0.3)
+    )
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-marker language ID: argmax of per-language marker
+    hits, ties broken lang asc, no hits → 'und'."""
+    toks = tokens_col(text_col)
+    scores = [
+        F.size(F.filter(toks, lambda x: x.isin(m))).alias(f"score_{lg}")
+        for lg, m in sorted(LANG_MARKERS.items())
+    ]
+    scored = df.select(F.col(id_col), *scores)
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in sorted(LANG_MARKERS)])
+    pred = F.lit("und")
+    # reverse order + when-chains → first (asc) lang wins ties
+    for lg in sorted(LANG_MARKERS, reverse=True):
+        pred = F.when(
+            (F.col(f"score_{lg}") == best) & (best > 0), F.lit(lg)
+        ).otherwise(pred)
+    return scored.select(F.col(id_col), pred.alias("pred_lang"), best.alias("marker_hits"))
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Bag-of-words fingerprint: md5 over the sorted distinct token
+    set (order/whitespace-insensitive near-exact dedupe key) plus the
+    exact content sha256 (the engine's per-row invariant)."""
+    toks = tokens_col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.sha2(F.col(text_col), 256).alias("content_sha256"),
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))).alias("bow_fingerprint"),
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing (Schleimer et al. '03): k-gram rolling hashes, min
+    per sliding window, distinct mins = the doc's fingerprints.
+
+    The "rolling hash" is md5-derived (word k-grams), giving oracle
+    parity; the window-min is a bounded-frame window function — at
+    scale this stays a per-doc sorted scan (no cross-doc shuffle
+    beyond the doc_id partition).
+    """
+    toks = df.select(F.col(id_col), F.posexplode(tokens_col(text_col)).alias("pos", "token"))
+    grams = (
+        toks.withColumn(
+            "gram",
+            F.concat_ws(
+                " ",
+                *[
+                    F.lead("token", i).over(
+                        Window.partitionBy(id_col).orderBy("pos")
+                    )
+                    for i in range(0, k)
+                ],
+            ),
+        )
+        .withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy(id_col))
+        )
+        .filter(F.col("pos") <= F.col("n") - k)
+        .withColumn(
+            "h", F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10).cast("long")
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    mins = grams.withColumn("wmin", F.min("h").over(w)).filter(
+        F.col("pos") <= F.col("n") - k - window + 1
+    )
+    return mins.select(F.col(id_col), F.col("wmin").alias("fp")).distinct()

@@ -1,0 +1,105 @@
+"""Driver-mimicking harness: run every ``queries()`` entry on Spark
+and its ``oracle_sql()`` twin on DuckDB at the given sf_dir, compare
+row count, column names, and an order-insensitive value hash.
+
+Usage: python tools/check_entry.py [sf_dir] [name_filter ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def value_hash(rows: list[tuple], cols: list[str]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    norm = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                v = f"{v:.6f}"
+                if v == "-0.000000":
+                    v = "0.000000"
+            vals.append(str(v))
+        norm.append("\x01".join(vals))
+    norm.sort()
+    return hashlib.md5("\x02".join(norm).encode()).hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    filters = sys.argv[2:]
+
+    import __spark_entry__ as ent
+    from photon_spark.session import get_spark
+
+    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    qs = ent.queries()
+    oracles = ent.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if filters and not any(f in name for f in filters):
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {e}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"rows  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            if len(srows) == 0 and name not in ("minhash_lsh_pairs",):
+                print(f"WARN  {name}: zero rows")
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            ocols = [c for c in rel.columns]
+            orows = rel.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {e}")
+            failures += 1
+            continue
+        ok_n = len(srows) == len(orows)
+        ok_c = sorted(scols) == sorted(ocols)
+        ok_h = ok_n and ok_c and value_hash(srows, scols) == value_hash(orows, ocols)
+        status = "OK   " if (ok_n and ok_c and ok_h) else "FAIL "
+        if not (ok_n and ok_c and ok_h):
+            failures += 1
+        print(
+            f"{status}{name}: rows {len(srows)}/{len(orows)} cols={ok_c} hash={ok_h} [{time.time()-t0:.1f}s]"
+        )
+        if not ok_h and ok_n and ok_c:
+            sset = {tuple(str(x) for x in r) for r in srows}
+            oset = {tuple(str(x) for x in r) for r in orows}
+            for d in list(sset - oset)[:3]:
+                print(f"      spark-only: {d}")
+            for d in list(oset - sset)[:3]:
+                print(f"      duck-only:  {d}")
+    print("failures:", failures)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
