@@ -1,0 +1,259 @@
+"""Resumable, checkpointed index build (the north-rule build path).
+
+The monolithic DAG in :mod:`photon_spark.index.build` is restaged
+into idempotent, individually-checkpointed stages — the Spark graft
+of the reference's restartable country-queue import
+(reference: App.java:212-254 — N reader threads pull countries off a
+queue; a crashed import restarts at country granularity. Here the
+unit of resume is a *term-bucket group*):
+
+  stage docs   — sha256 dedupe → docs table
+  stage runs   — SPIMI tokenize (mapInArrow) → token runs spilled to
+                 parquet, hash-partitioned by term-bucket group
+                 (crc32(term) % n_buckets % n_groups)
+  stage grp_G  — per group: range-repartition (field, term, doc) →
+                 sorted streaming block encode → postings/grp=G +
+                 dictionary/grp=G. One group = one commit unit.
+  finalize     — meta.json + lineage + metrics parquet tables.
+
+Crash-safety: each stage writes its outputs FIRST (parquet
+``overwrite`` — rewriting a partial dir is idempotent), then its
+``_state/<stage>.json`` mark. A rerun skips marked stages, so the
+worst case redoes one group. Lineage rows carry per-stage row counts
+and wall-clock; metrics include files/sec for the scaling bench.
+
+Skew note: hot terms (df ≈ N stop words) are NOT a problem for the
+group hash — a group is processed by *many* partitions: within a
+group we ``repartitionByRange(field, term, doc)``, and because
+``doc`` is part of the range key the sampler splits a hot term's
+postings across as many partitions as they need (the explicit
+skew-aware salted merge: the salt is the doc-range). Block rows of
+one term are disjoint sorted doc ranges, so downstream top-k can
+process a hot term's blocks in parallel too.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from photon_spark.analysis.analyzers import KNOWN_LANGS
+from photon_spark.index.build import (
+    DEFAULT_BLOCK_SIZE,
+    DEFAULT_N_BUCKETS,
+    INDEX_FORMAT_VERSION,
+    _make_block_encoder,
+    _tokenize_batches,
+    _POSTINGS_DDL,
+    _TOKENS_DDL,
+    doc_int_expr,
+)
+
+DEFAULT_N_GROUPS = 8
+
+
+class _State:
+    """Durable per-stage checkpoint marks under ``<out>/_state``."""
+
+    def __init__(self, out_dir: str):
+        self.dir = os.path.join(out_dir, "_state")
+        os.makedirs(self.dir, exist_ok=True)
+
+    def done(self, stage: str) -> dict | None:
+        p = os.path.join(self.dir, f"{stage}.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return None
+
+    def mark(self, stage: str, info: dict) -> dict:
+        info = {"stage": stage, "ts": time.time(), **info}
+        p = os.path.join(self.dir, f"{stage}.json")
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(info, f)
+        os.replace(tmp, p)  # atomic: a crash never leaves a half mark
+        return info
+
+    def all_marks(self) -> list[dict]:
+        out = []
+        for fn in sorted(os.listdir(self.dir)):
+            if fn.endswith(".json"):
+                with open(os.path.join(self.dir, fn)) as f:
+                    out.append(json.load(f))
+        return out
+
+
+def build_index_resumable(
+    spark: SparkSession,
+    source: DataFrame | str,
+    out_dir: str,
+    *,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    n_groups: int = DEFAULT_N_GROUPS,
+    partitions: int | None = None,
+    fail_at_group: int | None = None,
+) -> dict:
+    """Checkpointed build; safe to re-invoke after any crash.
+
+    ``fail_at_group`` injects a crash before group G commits (test
+    hook for the resume contract).
+    """
+    t_start = time.time()
+    if isinstance(source, str):
+        src = spark.read.parquet(source)
+    else:
+        src = source
+    if "importance" not in src.columns:
+        src = src.withColumn("importance", F.lit(0.0))
+    partitions = int(partitions or spark.conf.get("spark.sql.shuffle.partitions"))
+    st = _State(out_dir)
+
+    docs_path = os.path.join(out_dir, "docs")
+    runs_path = os.path.join(out_dir, "runs")
+
+    # ---- stage: docs ------------------------------------------------
+    mark = st.done("docs")
+    if mark is None:
+        t0 = time.time()
+        n_input = src.count()
+        with_id = src.withColumn("doc_id", F.sha2(F.col("content"), 256)).withColumn(
+            "doc", doc_int_expr()
+        )
+        w = Window.partitionBy("doc_id").orderBy("repo", "path", "commit")
+        docs = (
+            with_id.withColumn("rn", F.row_number().over(w))
+            .withColumn(
+                "n_dupes", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+            )
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        docs.select(
+            "doc_id", "doc", "repo", "path", "commit", "lang", "importance",
+            "n_dupes",
+            F.when(F.lower(F.col("lang")).isin(*KNOWN_LANGS), F.lit("file"))
+            .otherwise(F.lit("other"))
+            .alias("type"),
+        ).repartitionByRange(max(1, partitions // 4), "doc").sortWithinPartitions(
+            "doc"
+        ).write.mode("overwrite").parquet(docs_path)
+        n_docs = spark.read.parquet(docs_path).count()
+        mark = st.mark(
+            "docs",
+            {"n_input_files": n_input, "n_docs": n_docs, "wall_s": time.time() - t0},
+        )
+    n_input, n_docs = mark["n_input_files"], mark["n_docs"]
+
+    # ---- stage: runs (SPIMI spill, partitioned by group) ------------
+    if st.done("runs") is None:
+        t0 = time.time()
+        docs_df = spark.read.parquet(docs_path)
+        # tokenize needs content — rejoin source by doc_id (the docs
+        # table intentionally drops the (huge) content column)
+        content = src.select(
+            F.sha2(F.col("content"), 256).alias("doc_id"), "content"
+        ).dropDuplicates(["doc_id"])
+        tok_src = docs_df.select("doc_id", "doc", "repo", "path", "lang").join(
+            content, "doc_id"
+        )
+        tokens = tok_src.select("doc", "repo", "path", "lang", "content").mapInArrow(
+            _tokenize_batches, _TOKENS_DDL
+        )
+        tokens.withColumn(
+            "grp",
+            (
+                (F.crc32(F.encode(F.col("term"), "utf-8")) % n_buckets) % n_groups
+            ).cast("int"),
+        ).write.mode("overwrite").partitionBy("grp").parquet(runs_path)
+        n_tokens = spark.read.parquet(runs_path).count()
+        st.mark("runs", {"n_tokens": n_tokens, "wall_s": time.time() - t0})
+
+    # ---- stage: per-group posting encode + dictionary ---------------
+    for g in range(n_groups):
+        if st.done(f"grp_{g}") is not None:
+            continue
+        if fail_at_group is not None and g == fail_at_group:
+            raise RuntimeError(f"injected failure before group {g} commit")
+        t0 = time.time()
+        runs_g = spark.read.parquet(runs_path).filter(F.col("grp") == g).drop("grp")
+        dict_g = (
+            runs_g.groupBy("field", "term")
+            .agg(F.count(F.lit(1)).cast("long").alias("df"), F.max("tf").alias("max_tf"))
+            .withColumn(
+                "bucket",
+                (F.crc32(F.encode(F.col("term"), "utf-8")) % n_buckets).cast("int"),
+            )
+        )
+        dict_g.repartitionByRange(
+            max(1, partitions // n_groups), "field", "term"
+        ).sortWithinPartitions("field", "term").write.mode("overwrite").partitionBy(
+            "field"
+        ).parquet(os.path.join(out_dir, "dictionary", f"grp={g}"))
+        postings_g = (
+            runs_g.repartitionByRange(partitions, "field", "term", "doc")
+            .sortWithinPartitions("field", "term", "doc")
+            .mapInArrow(_make_block_encoder(block_size, n_buckets), _POSTINGS_DDL)
+        )
+        postings_g.write.mode("overwrite").partitionBy("field").parquet(
+            os.path.join(out_dir, "postings", f"grp={g}")
+        )
+        n_terms = spark.read.parquet(
+            os.path.join(out_dir, "dictionary", f"grp={g}")
+        ).count()
+        n_blocks = spark.read.parquet(
+            os.path.join(out_dir, "postings", f"grp={g}")
+        ).count()
+        st.mark(
+            f"grp_{g}",
+            {
+                "group": g,
+                "n_terms": n_terms,
+                "n_blocks": n_blocks,
+                "wall_s": time.time() - t0,
+            },
+        )
+
+    # ---- stage: finalize (meta + lineage + metrics tables) ----------
+    elapsed = time.time() - t_start
+    marks = st.all_marks()
+    lineage = spark.createDataFrame(
+        [
+            (
+                m["stage"],
+                int(m.get("group", -1)),
+                int(m.get("n_terms", m.get("n_tokens", m.get("n_docs", 0)))),
+                float(m["wall_s"]),
+                float(m["ts"]),
+            )
+            for m in marks
+            if "wall_s" in m
+        ],
+        "stage string, group int, n_rows long, wall_s double, ts double",
+    )
+    lineage.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "lineage")
+    )
+    meta = {
+        "version": INDEX_FORMAT_VERSION,
+        "n_input_files": n_input,
+        "n_docs": n_docs,
+        "block_size": block_size,
+        "n_buckets": n_buckets,
+        "n_groups": n_groups,
+        "build_seconds": elapsed,
+        "files_per_sec": n_input / elapsed if elapsed > 0 else None,
+        "resumable": True,
+    }
+    spark.createDataFrame(
+        [(k, str(v)) for k, v in meta.items()], "key string, value string"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, "metrics"))
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+    return meta

@@ -1,0 +1,59 @@
+"""spark-submit job: resumable inverted-index build.
+
+Cluster usage (the north-rule packaging):
+
+    zip -r photon_spark.zip photon_spark
+    spark-submit --py-files photon_spark.zip \\
+        photon_spark/jobs/build_index.py \\
+        --input <parquet-or-iceberg-path> --output /path/to/index \\
+        [--n-groups 8] [--block-size 128] [--partitions 2048]
+
+In local mode ``python photon_spark/jobs/build_index.py ...`` is
+equivalent. The job is idempotent: re-submitting after any failure
+resumes from the last committed term-bucket group (see
+photon_spark.index.checkpoint). Prints one JSON line of build
+metrics (files/sec is the scaling-bench throughput number).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+# direct `python photon_spark/jobs/x.py` runs (spark-submit --py-files
+# handles this itself): put the repo root on sys.path
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True, help="source parquet path (repo,path,commit,lang,content)")
+    p.add_argument("--output", required=True, help="index output directory")
+    p.add_argument("--n-groups", type=int, default=8)
+    p.add_argument("--block-size", type=int, default=128)
+    p.add_argument("--n-buckets", type=int, default=64)
+    p.add_argument("--partitions", type=int, default=None)
+    p.add_argument("--master", default=None, help="override master (tests); spark-submit sets it otherwise")
+    args = p.parse_args(argv)
+
+    from photon_spark.index.checkpoint import build_index_resumable
+    from photon_spark.session import get_spark
+
+    spark = get_spark(master=args.master, app_name="photon_spark_build")
+    meta = build_index_resumable(
+        spark,
+        args.input,
+        args.output,
+        block_size=args.block_size,
+        n_buckets=args.n_buckets,
+        n_groups=args.n_groups,
+        partitions=args.partitions,
+    )
+    print(json.dumps(meta))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

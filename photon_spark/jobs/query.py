@@ -1,0 +1,78 @@
+"""spark-submit job: serve queries against a built index.
+
+    spark-submit --py-files photon_spark.zip photon_spark/jobs/query.py \\
+        --index /path/to/index --q "table merge stream" [--k 15] \\
+        [--mode search|topk] [--filter lang=en] [--repeat 3]
+
+``--mode search`` runs the full photon-semantics pipeline (short/full
+planner, lenient retry, rescore, dedupe); ``--mode topk`` runs the
+raw block-max WAND BM25 top-k (the headline latency path). Prints
+one JSON line with results + latency stats.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+# direct `python photon_spark/jobs/x.py` runs (spark-submit --py-files
+# handles this itself): put the repo root on sys.path
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--index", required=True)
+    p.add_argument("--q", required=True)
+    p.add_argument("--k", type=int, default=15)
+    p.add_argument("--mode", choices=["search", "topk"], default="search")
+    p.add_argument("--filter", action="append", default=[], help="kw filter key=value")
+    p.add_argument("--repeat", type=int, default=1)
+    p.add_argument("--master", default=None)
+    args = p.parse_args(argv)
+
+    from photon_spark.analysis import FIELD_ALL
+    from photon_spark.analysis.analyzers import analyze_search
+    from photon_spark.query.executor import Index
+    from photon_spark.session import get_spark
+
+    spark = get_spark(master=args.master, app_name="photon_spark_query")
+    idx = Index(spark, args.index)
+    filters = dict(f.split("=", 1) for f in args.filter) or None
+
+    lat = []
+    results: list[dict] = []
+    for _ in range(args.repeat):
+        t0 = time.time()
+        if args.mode == "search":
+            hits = idx.search(args.q, k=args.k, filters=filters)
+            results = [
+                {k: h[k] for k in ("doc_id", "repo", "path", "score")} for h in hits
+            ]
+        else:
+            terms = sorted({t for grp in analyze_search(args.q) for t in grp})
+            rows = idx.bm25_topk(FIELD_ALL, terms, k=args.k).collect()
+            results = [{"doc": r["doc"], "score": r["score"], "nm": r["nm"]} for r in rows]
+        lat.append(time.time() - t0)
+
+    lat.sort()
+    print(
+        json.dumps(
+            {
+                "q": args.q,
+                "mode": args.mode,
+                "n_results": len(results),
+                "p50_ms": round(lat[len(lat) // 2] * 1000, 1),
+                "min_ms": round(lat[0] * 1000, 1),
+                "results": results[: args.k],
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -103,6 +103,44 @@ class Index:
         )
         return df.mapInArrow(_decode_batches, _DECODED_DDL)
 
+    def raw_blocks(self, field: str, terms: list[str]) -> DataFrame:
+        """Undecoded posting-block rows for the given terms (the
+        block-max WAND input): field partition pruning + term
+        row-group pruning, no decode."""
+        return (
+            self.spark.read.parquet(os.path.join(self.dir, "postings"))
+            .filter(F.col("field") == field)
+            .filter(F.col("term").isin(terms))
+        )
+
+    def bm25_topk(
+        self,
+        field: str,
+        terms: list[str],
+        k: int = 10,
+        required: int = 1,
+        r_bits: int = 5,
+    ) -> DataFrame:
+        """Block-max WAND top-k BM25 over a bag of terms (the
+        north-rule serving path; see photon_spark.query.wand)."""
+        from photon_spark.query.wand import wand_topk
+
+        rows = (
+            self.spark.read.parquet(os.path.join(self.dir, "dictionary"))
+            .filter(F.col("field") == field)
+            .filter(F.col("term").isin(terms))
+            .select("term", "df", "max_tf")
+            .collect()
+        )
+        if not rows:
+            return self.spark.createDataFrame([], "doc long, score double, nm int")
+        idf = {r["term"]: scoring.idf(r["df"], self.n_docs) for r in rows}
+        max_tf = {r["term"]: r["max_tf"] for r in rows}
+        blocks = self.raw_blocks(field, sorted(idf))
+        return wand_topk(
+            self.spark, blocks, idf, k, r_bits=r_bits, required=required, max_tf=max_tf
+        )
+
     def term_stats(self, field: str, terms: list[str]) -> dict[str, int]:
         rows = (
             self.spark.read.parquet(os.path.join(self.dir, "dictionary"))

@@ -1,0 +1,187 @@
+"""Block-max WAND top-k: disjunctive BM25 over posting blocks with
+upper-bound pruning — the batch adaptation of Lucene's BMW scorer
+(the reference delegates this to OpenSearch `search(size=k)`,
+OpenSearchSearchHandler.java:96-103; we build it ourselves per the
+north rule).
+
+Distributed shape:
+1. The pruned postings scan (field + term predicate) yields BLOCK
+   rows — never globally decoded.
+2. Each block is assigned to the doc-range partition(s) it overlaps:
+   ``rng = top r bits of (doc + 2^63)`` — exact int64 bit math, no
+   float bucketing. docIDs are sha256-derived ⇒ uniform ⇒ ranges are
+   balanced regardless of term skew, and a hot term's blocks spread
+   over all ranges (the skew story again).
+3. ``applyInPandas`` per range runs the numpy kernel:
+   a. bootstrap θ = k-th best single-term score from the highest-
+      upper-bound term present (real achievable scores ⇒ valid lower
+      bound on the partition's k-th best full score);
+   b. prune: block b of term t survives iff
+      ``ub_block(b) + Σ_{t'≠t} ub(t') ≥ θ`` — a doc found only in
+      pruned blocks provably scores < θ;
+   c. decode survivors; for exactness, additionally decode pruned
+      blocks that doc-range-overlap a candidate (their tf still
+      counts toward candidates found elsewhere);
+   d. aggregate scores per doc (np.add.at), local top-k.
+4. Global top-k = orderBy desc limit k over ≤ R·k rows.
+
+Everything in the kernel is per-BLOCK numpy — no per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from photon_spark.index.codec import decode_doc_block, decode_tfs
+from photon_spark.query import scoring
+
+_OUT_SCHEMA = "doc long, score double, nm int"
+
+
+def _sat(tf: np.ndarray | float) -> np.ndarray | float:
+    return tf * (scoring.K1 + 1.0) / (tf + scoring.K1)
+
+
+def _rng_of(doc: np.ndarray, r_bits: int) -> np.ndarray:
+    u = doc.astype(np.int64).view(np.uint64) + np.uint64(1 << 63)
+    return (u >> np.uint64(64 - r_bits)).astype(np.int64)
+
+
+def _make_kernel(
+    idf: dict[str, float],
+    k: int,
+    r_bits: int,
+    required: int,
+    max_tf: dict[str, int] | None = None,
+):
+    # per-term upper bound: idf · sat(global max tf) from the
+    # dictionary when available, else the tf→∞ supremum (k1+1)·idf
+    ub = {
+        t: w * (_sat(float(max_tf[t])) if max_tf and t in max_tf else (scoring.K1 + 1.0))
+        for t, w in idf.items()
+    }
+    ubsum = float(sum(ub.values()))
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame({"doc": [], "score": [], "nm": []}).astype(
+                {"doc": "int64", "score": "float64", "nm": "int32"}
+            )
+        rng = int(pdf["rng"].iloc[0])
+        terms = pdf["term"].to_numpy()
+        idfs = np.array([idf[t] for t in terms])
+        ubs_t = np.array([ub[t] for t in terms])
+        ub_block = idfs * _sat(pdf["max_tf"].to_numpy().astype(np.float64))
+
+        def decode_rows(mask: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+            docs_l, tfs_l, idf_l = [], [], []
+            for i in np.flatnonzero(mask):
+                n = int(pdf["n"].iat[i])
+                d = decode_doc_block(pdf["doc_bytes"].iat[i], n)
+                keep = _rng_of(d, r_bits) == rng  # clip to this range
+                if not keep.any():
+                    continue
+                t = decode_tfs(pdf["tf_bytes"].iat[i], n).astype(np.float64)
+                docs_l.append(d[keep])
+                tfs_l.append(t[keep])
+                idf_l.append(np.full(int(keep.sum()), idfs[i]))
+            if not docs_l:
+                z = np.zeros(0)
+                return z.astype(np.int64), z, z
+            return np.concatenate(docs_l), np.concatenate(tfs_l), np.concatenate(idf_l)
+
+        # --- bootstrap θ from the best term present -----------------
+        best_t = terms[int(np.argmax(ubs_t))]
+        boot_mask = terms == best_t
+        bd, btf, bidf = decode_rows(boot_mask)
+        theta = 0.0
+        if required <= 1 and len(bd) >= k:
+            boot_scores = bidf * _sat(btf)
+            theta = float(np.partition(boot_scores, -k)[-k])
+
+        # --- block-max prune ----------------------------------------
+        keep_mask = (ub_block + (ubsum - ubs_t) >= theta) & ~boot_mask
+        dd, dtf, didf = decode_rows(keep_mask)
+        docs = np.concatenate([bd, dd])
+        tfs = np.concatenate([btf, dtf])
+        difs = np.concatenate([bidf, didf])
+
+        # --- exact rescue: pruned blocks overlapping a candidate ----
+        pruned = ~keep_mask & ~boot_mask
+        if pruned.any() and len(docs):
+            cand = np.unique(docs)
+            lo = pdf["min_doc"].to_numpy()
+            hi = pdf["max_doc"].to_numpy()
+            li = np.searchsorted(cand, lo)
+            overlap = pruned & (li < len(cand)) & (cand[np.minimum(li, len(cand) - 1)] <= hi)
+            if overlap.any():
+                rd, rtf, ridf = decode_rows(overlap)
+                inc = np.isin(rd, cand)  # only contributions to existing candidates
+                docs = np.concatenate([docs, rd[inc]])
+                tfs = np.concatenate([tfs, rtf[inc]])
+                difs = np.concatenate([difs, ridf[inc]])
+
+        if len(docs) == 0:
+            return pd.DataFrame({"doc": [], "score": [], "nm": []}).astype(
+                {"doc": "int64", "score": "float64", "nm": "int32"}
+            )
+
+        # --- aggregate + local top-k --------------------------------
+        uniq, inv = np.unique(docs, return_inverse=True)
+        score = np.zeros(len(uniq))
+        np.add.at(score, inv, difs * _sat(tfs))
+        nm = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(nm, inv, 1)
+        if required > 1:
+            sel = nm >= required
+            uniq, score, nm = uniq[sel], score[sel], nm[sel]
+        if len(uniq) > k:
+            order = np.lexsort((uniq, -score))[:k]
+        else:
+            order = np.lexsort((uniq, -score))
+        return pd.DataFrame(
+            {
+                "doc": uniq[order],
+                "score": score[order],
+                "nm": nm[order].astype("int32"),
+            }
+        )
+
+    return kernel
+
+
+def wand_topk(
+    spark: SparkSession,
+    blocks: DataFrame,
+    idf: dict[str, float],
+    k: int,
+    *,
+    r_bits: int = 5,
+    required: int = 1,
+    max_tf: dict[str, int] | None = None,
+) -> DataFrame:
+    """Top-k (doc, score, nm) for a bag of weighted terms.
+
+    ``blocks`` is the raw (undecoded) postings scan restricted to the
+    query terms; ``idf`` maps term → idf weight (driver-computed from
+    the dictionary); ``required`` ≥ 2 turns OR into an
+    intersection-style conjunctive match (operator=AND / msm).
+    """
+    r = 1 << (r_bits - 1)
+    assigned = blocks.withColumn(
+        "rng_lo",
+        F.shiftrightunsigned(F.col("min_doc"), 64 - r_bits).bitwiseXOR(F.lit(r)).cast("long"),
+    ).withColumn(
+        "rng_hi",
+        F.shiftrightunsigned(F.col("max_doc"), 64 - r_bits).bitwiseXOR(F.lit(r)).cast("long"),
+    )
+    # XOR of the sign bit makes the bucket id follow unsigned doc order
+    exploded = assigned.withColumn(
+        "rng", F.explode(F.sequence("rng_lo", "rng_hi"))
+    ).drop("rng_lo", "rng_hi")
+    kernel = _make_kernel(idf, k, r_bits, required, max_tf)
+    local = exploded.groupBy("rng").applyInPandas(kernel, _OUT_SCHEMA)
+    return local.orderBy(F.desc("score"), F.asc("doc")).limit(k)

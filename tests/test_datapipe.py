@@ -1,0 +1,137 @@
+"""Training-data pipeline operators: dedup, similarity, text stats,
+multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from photon_spark.datapipe import dedup as dd
+from photon_spark.datapipe import multimodal as mm
+from photon_spark.datapipe import similarity as sim
+from photon_spark.datapipe import textstats as ts
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away"
+    near = "the quick brown fox jumps over the lazy dog and runs very far away"
+    other = "completely different words about spark partitions and shuffles here"
+    rows = [
+        (0, base, "en"),
+        (1, base, "en"),          # exact dup of 0
+        (2, near, "en"),          # near dup of 0
+        (3, other, "en"),
+        (4, "der hund ist nicht die katze und das haus", "de"),
+        (5, "el perro es la casa y de madrid que", "es"),
+        (6, "x", "en"),           # shorter than any shingle
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_dedup(spark, docs):
+    groups = {r["keep_id"]: r["n_copies"] for r in dd.exact_dedup(docs).collect()}
+    assert groups[0] == 2  # docs 0 and 1 collapse
+    assert groups[2] == 1
+
+
+def test_ngram_jaccard_finds_near_dup(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             dd.ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and 0.3 <= pairs[(0, 2)] < 1.0
+    assert (0, 3) not in pairs
+
+
+def test_minhash_lsh_agrees_with_exact(spark, docs):
+    # 8 bands × 2 rows: detection prob for a 0.64-jaccard pair is
+    # 1-(1-0.64^2)^8 ≈ 0.985 (4×4 banding would be a coin flip)
+    lsh = {(r["id_a"], r["id_b"]) for r in
+           dd.minhash_lsh_pairs(docs, n_hashes=16, bands=8, threshold=0.35).collect()}
+    assert (0, 1) in lsh          # identical → identical signatures
+    assert (0, 2) in lsh          # near dup survives banding
+    assert (0, 3) not in lsh
+
+
+def test_minhash_signature_deterministic(spark, docs):
+    s1 = dd.minhash_signatures(docs, n_hashes=8).collect()
+    s2 = dd.minhash_signatures(docs, n_hashes=8).collect()
+    assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))
+    sig = {r["doc_id"]: r["signature"] for r in s1}
+    assert sig[0] == sig[1]       # exact dup → equal signature
+    assert 6 not in sig           # 1-token doc has no 3-shingles
+
+
+def test_simhash_hamming(spark, docs):
+    h = {r["doc_id"]: r["simhash"] for r in dd.simhash(docs).collect()}
+    assert h[0] == h[1]
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(h[0], h[2]) < ham(h[0], h[3])
+
+
+def test_embedding_near_dup_and_topk(spark):
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(30, 16).astype("float32")
+    vecs[5] = vecs[0] + rng.randn(16).astype("float32") * 0.01  # planted near-dup
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             dd.embedding_near_dup_pairs(df, threshold=0.95).collect()}
+    assert (0, 5) in pairs
+
+    q = [float(x) for x in vecs[0]]
+    top = sim.brute_force_topk(df, q, k=3).collect()
+    assert top[0]["vec_id"] == 0 and top[0]["cosine"] == 1.0
+    assert top[1]["vec_id"] == 5
+
+
+def test_lsh_ann_recall(spark):
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(200, 16).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [float(x) for x in vecs[42]]
+    exact = [r["vec_id"] for r in sim.brute_force_topk(df, q, k=10).collect()]
+    approx = [r["vec_id"] for r in sim.lsh_ann_topk(df, q, k=10, n_planes=4).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert approx[0] == 42        # the query point is always in its own bucket
+    assert recall >= 0.5
+
+
+def test_quality_and_langid(spark, docs):
+    quality = {r["doc_id"]: r for r in ts.quality_score(docs).collect()}
+    assert quality[0]["stopword_ratio"] > 0
+    assert quality[6]["n_tokens"] == 1
+    langs = {r["doc_id"]: r["pred_lang"] for r in ts.lang_id(docs).collect()}
+    assert langs[0] == "en" and langs[4] == "de" and langs[5] == "es"
+
+
+def test_fingerprints(spark, docs):
+    fp = {r["doc_id"]: r for r in ts.fingerprint(docs).collect()}
+    assert fp[0]["content_sha256"] == fp[1]["content_sha256"]
+    assert fp[0]["bow_fingerprint"] != fp[3]["bow_fingerprint"]
+    wf = ts.winnow_fingerprints(docs).collect()
+    by_doc = {}
+    for r in wf:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    # near-dup docs share most winnowing fingerprints; unrelated share none
+    shared_near = len(by_doc[0] & by_doc[2]) / len(by_doc[0] | by_doc[2])
+    assert by_doc[0] == by_doc[1]
+    assert shared_near > 0.4
+    assert not (by_doc[0] & by_doc[3])
+
+
+def test_multimodal_plumbing(spark):
+    media = mm.synth_media(spark, n=12)
+    feats = mm.extract_features(media, fake=True).collect()
+    assert len(feats) == 12
+    img = [f for f in feats if f["kind"] == "image"][0]
+    assert img["width"] > 0 and img["height"] > 0 and img["n_frames"] == 1
+    vid = [f for f in feats if f["kind"] == "video"][0]
+    assert vid["n_frames"] >= 1
+    # decode stub is explicit about the missing native library
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"\x89PNG...", fake=False)
+    # frame sampling plan over extracted features
+    fdf = mm.extract_features(media, fake=True)
+    frames = mm.frame_sample(fdf, every_n=50).collect()
+    assert all(f["frame_idx"] % 50 == 0 for f in frames)

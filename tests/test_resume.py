@@ -1,0 +1,83 @@
+"""Resumable-build contract: a build killed mid-way and re-run must
+produce byte-identical postings/dictionary to a clean build, plus
+lineage + metrics tables (north rule: resumable from per-partition
+checkpoints)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from photon_spark.index.checkpoint import build_index_resumable
+
+
+@pytest.fixture(scope="module")
+def small_src(spark, corpus):
+    return spark.createDataFrame(corpus.head(120))
+
+
+def _collect_sorted(spark, path, cols):
+    return sorted(
+        tuple(r) for r in spark.read.parquet(path).select(*cols).collect()
+    )
+
+
+def _decoded_postings(spark, path):
+    """Fully decoded (field, term, doc, tf) set — block boundaries are
+    partition-dependent (range sampler), so resume guarantees
+    SEMANTIC identity, not byte identity."""
+    from photon_spark.index.codec import decode_doc_block, decode_tfs
+
+    out = []
+    for r in spark.read.parquet(path).collect():
+        docs = decode_doc_block(r["doc_bytes"], r["n"])
+        tfs = decode_tfs(r["tf_bytes"], r["n"])
+        out.extend(
+            (r["field"], r["term"], int(d), int(t)) for d, t in zip(docs, tfs)
+        )
+    return sorted(out)
+
+
+def test_resume_after_crash_identical(spark, small_src, tmp_path_factory):
+    clean = str(tmp_path_factory.mktemp("idx_clean"))
+    crashy = str(tmp_path_factory.mktemp("idx_crashy"))
+
+    meta_clean = build_index_resumable(spark, small_src, clean, n_groups=4)
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        build_index_resumable(spark, small_src, crashy, n_groups=4, fail_at_group=2)
+    # resume — must skip groups 0-1 and finish 2-3
+    meta2 = build_index_resumable(spark, small_src, crashy, n_groups=4)
+
+    assert meta2["n_docs"] == meta_clean["n_docs"]
+    assert _decoded_postings(spark, clean + "/postings") == _decoded_postings(
+        spark, crashy + "/postings"
+    )
+    dc = ["field", "term", "df", "max_tf"]
+    assert _collect_sorted(spark, clean + "/dictionary", dc) == _collect_sorted(
+        spark, crashy + "/dictionary", dc
+    )
+
+
+def test_lineage_and_metrics_tables(spark, small_src, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("idx_lineage"))
+    build_index_resumable(spark, small_src, out, n_groups=4)
+    lineage = spark.read.parquet(out + "/lineage")
+    stages = {r["stage"] for r in lineage.collect()}
+    assert "docs" in stages and "runs" in stages
+    assert {f"grp_{g}" for g in range(4)} <= stages
+    assert lineage.filter(F.col("wall_s") <= 0).count() == 0
+    metrics = {r["key"]: r["value"] for r in spark.read.parquet(out + "/metrics").collect()}
+    assert int(metrics["n_docs"]) > 0
+    assert float(metrics["files_per_sec"]) > 0
+
+
+def test_resumable_index_is_queryable(spark, small_src, tmp_path_factory):
+    from photon_spark.analysis import FIELD_ALL
+    from photon_spark.query.executor import Index
+
+    out = str(tmp_path_factory.mktemp("idx_q"))
+    build_index_resumable(spark, small_src, out, n_groups=4)
+    idx = Index(spark, out)
+    top = idx.bm25_topk(FIELD_ALL, ["merge", "stream"], k=5).collect()
+    assert len(top) > 0
+    hits = idx.search("merge stream")
+    assert isinstance(hits, list)

@@ -1,0 +1,77 @@
+"""Block-max WAND top-k must be EXACTLY the naive full-decode BM25
+top-k (pruning is an optimization, never a semantics change)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from photon_spark.analysis import FIELD_ALL
+from photon_spark.query import scoring
+from photon_spark.query.executor import Index
+
+
+@pytest.fixture(scope="module")
+def index(spark, index_dir):
+    return Index(spark, index_dir)
+
+
+def naive_topk(index, field, terms, k, required=1):
+    """Reference scorer: decode everything, score in numpy."""
+    stats = (
+        index.spark.read.parquet(index.dir + "/dictionary")
+        .filter(F.col("field") == field)
+        .filter(F.col("term").isin(terms))
+        .collect()
+    )
+    idf = {r["term"]: scoring.idf(r["df"], index.n_docs) for r in stats}
+    if not idf:
+        return []
+    rows = index.postings(field, sorted(idf)).collect()
+    agg: dict[int, list[float]] = {}
+    for r in rows:
+        s = idf[r["term"]] * (
+            r["tf"] * (scoring.K1 + 1.0) / (r["tf"] + scoring.K1)
+        )
+        cur = agg.setdefault(r["doc"], [0.0, 0])
+        cur[0] += s
+        cur[1] += 1
+    items = [
+        (doc, sc, nm) for doc, (sc, nm) in agg.items() if nm >= required
+    ]
+    items.sort(key=lambda x: (-x[1], x[0]))
+    return items[:k]
+
+
+@pytest.mark.parametrize(
+    "terms,required",
+    [
+        (["merge"], 1),
+        (["merge", "stream", "index"], 1),
+        (["the", "license", "return"], 1),  # max-df skew terms
+        (["merge", "stream"], 2),  # conjunctive (operator=AND)
+        (["merge", "stream", "index", "token"], 3),  # msm
+    ],
+)
+def test_wand_matches_naive(index, terms, required):
+    expected = naive_topk(index, FIELD_ALL, terms, 10, required)
+    got = [
+        (r["doc"], r["score"], r["nm"])
+        for r in index.bm25_topk(FIELD_ALL, terms, k=10, required=required).collect()
+    ]
+    assert [g[0] for g in got] == [e[0] for e in expected]
+    assert np.allclose([g[1] for g in got], [e[1] for e in expected], rtol=1e-12)
+    assert [g[2] for g in got] == [e[2] for e in expected]
+
+
+def test_wand_missing_term(index):
+    assert index.bm25_topk(FIELD_ALL, ["zzz_not_a_term"], k=5).count() == 0
+
+
+def test_wand_small_r_bits(index):
+    # fewer ranges than docs — still exact
+    expected = naive_topk(index, FIELD_ALL, ["merge", "stream"], 7)
+    got = [
+        (r["doc"], round(r["score"], 9))
+        for r in index.bm25_topk(FIELD_ALL, ["merge", "stream"], k=7, r_bits=2).collect()
+    ]
+    assert got == [(d, round(s, 9)) for d, s, _ in expected]
