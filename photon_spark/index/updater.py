@@ -1,0 +1,208 @@
+"""Incremental index maintenance — the graft of photon's update plane
+(reference: nominatim/NominatimUpdater.java:301-330 consume-and-clear
+with newest-op-wins; opensearch/Updater.java:24-75 upsert + stale-uid
+delete).
+
+Model (Lucene-style segments, which is also what the reference's
+OpenSearch does underneath):
+
+* The *identity* of a file is ``(repo, path)`` (photon's place_id);
+  its *doc_id* is ``sha2(content, 256)`` (photon's uid). An update
+  batch carries (op ∈ {upsert, delete}, repo, path, commit, lang,
+  content, ts); only the NEWEST op per identity applies
+  (NominatimUpdater.java:326-329 analog — window rn=1).
+* Applying a batch: the docs table is atomically swapped (removed
+  identities drop out, new/changed docs join); added docs' postings
+  are written as a new delta segment ``postings_delta/seg=N`` +
+  ``dictionary_delta/seg=N``. Removed docs are implicit tombstones:
+  they vanish from the docs table, so the search path (which joins
+  candidates against docs) never returns them. Per-term df of
+  deleted docs stays stale until compaction — exactly Lucene's
+  behavior with uncommitted deletes.
+* ``compact()`` rebuilds the whole index from a source-of-truth
+  corpus (Iceberg table in production; at 10^12 files this is the
+  periodic ``rewrite_data_files`` analog) and clears the deltas.
+
+Scale notes: a batch touches O(batch) docs — tokenize + segment
+write are proportional to the batch, never to the corpus. The docs
+swap is a metadata-table rewrite (Iceberg MERGE INTO in production;
+parquet rewrite + atomic rename here).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from photon_spark.analysis.analyzers import KNOWN_LANGS
+from photon_spark.index.build import (
+    _make_block_encoder,
+    _tokenize_batches,
+    _POSTINGS_DDL,
+    _TOKENS_DDL,
+    doc_int_expr,
+)
+
+UPDATES_DDL = (
+    "op string, repo string, path string, commit string, lang string, "
+    "content string, ts long"
+)
+
+
+def _next_seg(index_dir: str) -> int:
+    root = os.path.join(index_dir, "postings_delta")
+    if not os.path.isdir(root):
+        return 0
+    segs = [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(root)
+        if d.startswith("seg=")
+    ]
+    return (max(segs) + 1) if segs else 0
+
+
+def apply_updates(
+    spark: SparkSession, index_dir: str, updates: DataFrame
+) -> dict:
+    """Apply one CDC batch; returns {n_removed, n_added, segment}."""
+    meta_path = os.path.join(index_dir, "meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    docs_path = os.path.join(index_dir, "docs")
+    old_docs = spark.read.parquet(docs_path)
+
+    # newest op per identity wins (U2)
+    w = Window.partitionBy("repo", "path").orderBy(F.desc("ts"))
+    latest = (
+        updates.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    latest.persist()
+
+    keys = latest.select("repo", "path").distinct()
+
+    upserts = latest.filter(F.col("op") == "upsert")
+    if "importance" not in upserts.columns:
+        upserts = upserts.withColumn("importance", F.lit(0.0))
+    new_docs = (
+        upserts.withColumn("doc_id", F.sha2(F.col("content"), 256))
+        .withColumn("doc", doc_int_expr())
+        .withColumn(
+            "n_dupes",
+            F.count(F.lit(1)).over(Window.partitionBy("doc_id")),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("repo", "path", "commit")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id", "doc", "repo", "path", "commit", "lang", "importance",
+            "n_dupes",
+            F.when(F.lower(F.col("lang")).isin(*KNOWN_LANGS), F.lit("file"))
+            .otherwise(F.lit("other"))
+            .alias("type"),
+            "content",
+        )
+    )
+    new_docs.persist()
+
+    surviving = old_docs.join(keys, ["repo", "path"], "left_anti")
+    # no-op guard: an upsert whose content (⇒ doc_id) is already
+    # present must NOT get a second posting copy in the delta
+    existing_ids = old_docs.select("doc_id").distinct()
+    truly_new = new_docs.join(existing_ids, "doc_id", "left_anti")
+    reattached = new_docs.join(existing_ids, "doc_id", "left_semi").drop("content")
+
+    n_added = truly_new.count()
+    # one docs row per doc_id: a surviving representative wins over a
+    # re-attached copy (covers both "duplicate content elsewhere" and
+    # "no-op re-upsert of the representative itself"); truly-new
+    # doc_ids are disjoint by construction
+    survivors_plus = (
+        surviving.withColumn("prio", F.lit(0))
+        .unionByName(reattached.withColumn("prio", F.lit(1)))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("prio", "repo", "path", "commit")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("prio", "rn")
+    )
+    merged_docs = survivors_plus.unionByName(truly_new.drop("content"))
+
+    # stage everything BEFORE the docs swap: every plan below still
+    # reads the old docs files lazily; the rename happens last
+    tmp = docs_path + ".tmp"
+    merged_docs.write.mode("overwrite").parquet(tmp)
+    n_docs = spark.read.parquet(tmp).count()
+    n_removed = meta["n_docs"] - (n_docs - n_added)
+
+    # delta segment for the added docs
+    seg = _next_seg(index_dir)
+    if n_added > 0:
+        tokens = truly_new.select("doc", "repo", "path", "lang", "content").mapInArrow(
+            _tokenize_batches, _TOKENS_DDL
+        )
+        parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        dict_delta = tokens.groupBy("field", "term").agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.max("tf").alias("max_tf"),
+        ).withColumn(
+            "bucket",
+            (F.crc32(F.encode(F.col("term"), "utf-8")) % meta["n_buckets"]).cast("int"),
+        )
+        dict_delta.write.mode("overwrite").partitionBy("field").parquet(
+            os.path.join(index_dir, "dictionary_delta", f"seg={seg}")
+        )
+        (
+            tokens.repartitionByRange(max(1, parts // 4), "field", "term", "doc")
+            .sortWithinPartitions("field", "term", "doc")
+            .mapInArrow(
+                _make_block_encoder(meta["block_size"], meta["n_buckets"]),
+                _POSTINGS_DDL,
+            )
+            .write.mode("overwrite")
+            .partitionBy("field")
+            .parquet(os.path.join(index_dir, "postings_delta", f"seg={seg}"))
+        )
+
+    # atomic docs swap (Iceberg MERGE INTO in production)
+    old = docs_path + ".old"
+    os.rename(docs_path, old)
+    os.rename(tmp, docs_path)
+    shutil.rmtree(old)
+
+    meta["n_docs"] = n_docs
+    meta.setdefault("segments", []).append(
+        {"seg": seg, "n_added": n_added, "n_removed": n_removed, "ts": time.time()}
+    )
+    with open(meta_path, "w") as f:
+        json.dump(meta, f, indent=2)
+    latest.unpersist()
+    new_docs.unpersist()
+    return {"n_removed": n_removed, "n_added": n_added, "segment": seg}
+
+
+def compact(spark: SparkSession, index_dir: str, source: DataFrame) -> dict:
+    """Full rebuild from the source of truth; clears delta segments
+    and restores exact df counts (the segment-merge analog)."""
+    from photon_spark.index.checkpoint import build_index_resumable
+
+    for sub in ("postings_delta", "dictionary_delta", "_state", "postings",
+                "dictionary", "docs", "runs", "lineage", "metrics"):
+        p = os.path.join(index_dir, sub)
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+    return build_index_resumable(spark, source, index_dir)

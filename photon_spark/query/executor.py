@@ -79,14 +79,51 @@ def _decode_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
 
 class Index:
     """Handle on a built index directory (docs/dictionary/postings);
-    implements the SearchBackend protocol."""
+    implements the SearchBackend protocol.
 
-    def __init__(self, spark: SparkSession, index_dir: str):
+    Serving-path caching: DataFrame handles are created once (one
+    file-listing / schema pass); the dictionary + docs tables are
+    ``cache()``d — they are a search server's resident hot set (the
+    Lucene term dictionary lives in RAM too). Postings stay on disk
+    (the 100 TB side) and are always read through the pruned scan.
+    """
+
+    def __init__(self, spark: SparkSession, index_dir: str, cache: bool = True):
         self.spark = spark
         self.dir = index_dir
         with open(os.path.join(index_dir, "meta.json")) as f:
             self.meta = json.load(f)
         self.n_docs: int = self.meta["n_docs"]
+        pcols = [
+            "field", "term", "min_doc", "max_doc", "n", "max_tf",
+            "doc_bytes", "tf_bytes",
+        ]
+        self._postings_df = spark.read.parquet(
+            os.path.join(index_dir, "postings")
+        ).select(*pcols)
+        self._dict_df = spark.read.parquet(
+            os.path.join(index_dir, "dictionary")
+        ).select("field", "term", "df", "max_tf")
+        self._docs_df = spark.read.parquet(os.path.join(index_dir, "docs"))
+        # delta segments from incremental updates (updater.py) — the
+        # Lucene multi-segment view; df aggregates across segments
+        pd_dir = os.path.join(index_dir, "postings_delta")
+        if os.path.isdir(pd_dir):
+            self._postings_df = self._postings_df.unionByName(
+                spark.read.parquet(pd_dir).select(*pcols)
+            )
+            self._dict_df = (
+                self._dict_df.unionByName(
+                    spark.read.parquet(
+                        os.path.join(index_dir, "dictionary_delta")
+                    ).select("field", "term", "df", "max_tf")
+                )
+                .groupBy("field", "term")
+                .agg(F.sum("df").alias("df"), F.max("max_tf").alias("max_tf"))
+            )
+        if cache:
+            self._dict_df = self._dict_df.cache()
+            self._docs_df = self._docs_df.cache()
 
     # ---------------- low-level readers ----------------
 
@@ -97,9 +134,10 @@ class Index:
         so the ``isin`` predicate prunes row groups via parquet stats.
         """
         df = (
-            self.spark.read.parquet(os.path.join(self.dir, "postings"))
+            self._postings_df
             .filter(F.col("field") == field)
             .filter(F.col("term").isin(terms))
+            .select("term", "n", "doc_bytes", "tf_bytes")
         )
         return df.mapInArrow(_decode_batches, _DECODED_DDL)
 
@@ -108,7 +146,7 @@ class Index:
         block-max WAND input): field partition pruning + term
         row-group pruning, no decode."""
         return (
-            self.spark.read.parquet(os.path.join(self.dir, "postings"))
+            self._postings_df
             .filter(F.col("field") == field)
             .filter(F.col("term").isin(terms))
         )
@@ -126,7 +164,7 @@ class Index:
         from photon_spark.query.wand import wand_topk
 
         rows = (
-            self.spark.read.parquet(os.path.join(self.dir, "dictionary"))
+            self._dict_df
             .filter(F.col("field") == field)
             .filter(F.col("term").isin(terms))
             .select("term", "df", "max_tf")
@@ -143,13 +181,30 @@ class Index:
 
     def term_stats(self, field: str, terms: list[str]) -> dict[str, int]:
         rows = (
-            self.spark.read.parquet(os.path.join(self.dir, "dictionary"))
+            self._dict_df
             .filter(F.col("field") == field)
             .filter(F.col("term").isin(terms))
             .select("term", "df")
             .collect()
         )
         return {r["term"]: r["df"] for r in rows}
+
+    def _plan_stats(self, plan: SearchPlan) -> dict[tuple[str, str], int]:
+        """ONE dictionary job for every (field, term) the plan needs
+        (per-node term_stats collects were the latency hot spot)."""
+        needs: dict[str, set[str]] = {}
+        for m in plan.match_nodes():
+            needs.setdefault(m.field, set()).update(
+                t for cl in m.clauses for t, _ in cl.expansions
+            )
+        if not needs:
+            return {}
+        cond = None
+        for fld, terms in sorted(needs.items()):
+            c = (F.col("field") == fld) & F.col("term").isin(sorted(terms))
+            cond = c if cond is None else (cond | c)
+        rows = self._dict_df.filter(cond).select("field", "term", "df").collect()
+        return {(r["field"], r["term"]): r["df"] for r in rows}
 
     def terms_with_prefix(
         self, field: str, prefix: str, min_len: int, max_len: int
@@ -158,7 +213,7 @@ class Index:
         pushed down to the term-sorted parquet; the 10^12-scale path
         swaps this for the deletion-neighborhood table)."""
         df = (
-            self.spark.read.parquet(os.path.join(self.dir, "dictionary"))
+            self._dict_df
             .filter(F.col("field") == field)
             .filter(F.length("term").between(min_len, max_len))
         )
@@ -167,7 +222,7 @@ class Index:
         return sorted(r["term"] for r in df.select("term").collect())
 
     def docs(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.dir, "docs"))
+        return self._docs_df
 
     # ---------------- filter context ----------------
 
@@ -187,19 +242,17 @@ class Index:
 
     # ---------------- plan evaluation ----------------
 
-    def _eval_match(self, node: Match) -> DataFrame | None:
+    def _eval_match(self, node: Match, stats: dict) -> DataFrame | None:
         rows = []
         for ci, cl in enumerate(node.clauses):
             for term, mult in cl.expansions:
                 rows.append((term, ci, mult))
         if not rows:
             return None
-        terms = sorted({t for t, _, _ in rows})
-        stats = self.term_stats(node.field, terms)
         grows = [
-            (t, ci, scoring.idf(stats[t], self.n_docs) * mult)
+            (t, ci, scoring.idf(stats[(node.field, t)], self.n_docs) * mult)
             for (t, ci, mult) in rows
-            if t in stats
+            if (node.field, t) in stats
         ]
         if not grows:
             return None
@@ -231,11 +284,11 @@ class Index:
             per_doc = per_doc.filter(F.col("nm") >= req)
         return per_doc.select("doc", "score")
 
-    def _eval_node(self, node: PlanNode) -> DataFrame | None:
+    def _eval_node(self, node: PlanNode, stats: dict) -> DataFrame | None:
         if isinstance(node, Match):
-            return self._eval_match(node)
+            return self._eval_match(node, stats)
         if isinstance(node, DisMax):
-            dfs = [d for d in (self._eval_node(c) for c in node.children) if d is not None]
+            dfs = [d for d in (self._eval_node(c, stats) for c in node.children) if d is not None]
             if not dfs:
                 return None
             u = dfs[0]
@@ -247,7 +300,7 @@ class Index:
                 .select("doc", (F.lit(node.boost) * F.col("m")).alias("score"))
             )
         if isinstance(node, FnMul):
-            qdf = self._eval_node(node.query)
+            qdf = self._eval_node(node.query, stats)
             if qdf is None:
                 return None
             fterms = sorted(set(node.filter_terms))
@@ -273,7 +326,7 @@ class Index:
             ]
             parts = []
             for idx, child, is_must in children:
-                d = self._eval_node(child)
+                d = self._eval_node(child, stats)
                 if d is None:
                     if is_must:
                         return None
@@ -307,7 +360,7 @@ class Index:
         if plan.kind == "match_all":
             scored = docs.select("doc", F.lit(0.0).alias("score"))
         else:
-            root = self._eval_node(plan.root)
+            root = self._eval_node(plan.root, self._plan_stats(plan))
             if root is None:
                 return []
             scored = root

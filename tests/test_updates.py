@@ -1,0 +1,134 @@
+"""Incremental update plane (U1-U3 analogs): adds must be
+rank-identical to a fresh build; deletes/modifies take effect;
+newest-op-wins; compaction clears segments."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from photon_spark.analysis import FIELD_ALL
+from photon_spark.index.checkpoint import build_index_resumable
+from photon_spark.index.updater import UPDATES_DDL, apply_updates, compact
+from photon_spark.query.executor import Index
+
+
+def _upserts(spark, pdf, ts=1):
+    rows = [
+        ("upsert", r.repo, r.path, r.commit, r.lang, r.content, ts)
+        for r in pdf.itertuples()
+    ]
+    return spark.createDataFrame(rows, UPDATES_DDL)
+
+
+def _topk(idx, terms, k=10):
+    return [
+        (r["doc"], round(r["score"], 9))
+        for r in idx.bm25_topk(FIELD_ALL, terms, k=k).collect()
+    ]
+
+
+@pytest.fixture(scope="module")
+def dirs(spark, corpus, tmp_path_factory):
+    base_dir = str(tmp_path_factory.mktemp("upd_base"))
+    fresh_dir = str(tmp_path_factory.mktemp("upd_fresh"))
+    base_pdf, add_pdf = corpus.head(150), corpus.iloc[150:180]
+    build_index_resumable(spark, spark.createDataFrame(base_pdf), base_dir, n_groups=4)
+    build_index_resumable(
+        spark, spark.createDataFrame(corpus.head(180)), fresh_dir, n_groups=4
+    )
+    return base_dir, fresh_dir, base_pdf, add_pdf
+
+
+def test_adds_rank_identical_to_fresh(spark, dirs):
+    base_dir, fresh_dir, _, add_pdf = dirs
+    res = apply_updates(spark, base_dir, _upserts(spark, add_pdf))
+    assert res["n_added"] > 0
+    upd = Index(spark, base_dir, cache=False)
+    fresh = Index(spark, fresh_dir, cache=False)
+    assert upd.n_docs == fresh.n_docs
+    for terms in (["merge", "stream"], ["the"], ["token", "index", "block"]):
+        assert _topk(upd, terms) == _topk(fresh, terms)
+
+
+def test_delete_and_modify(spark, dirs):
+    base_dir, _, base_pdf, _ = dirs
+    victim = base_pdf.iloc[0]
+    probe = "zzupdatedzz"
+    batch = spark.createDataFrame(
+        [
+            ("delete", victim.repo, victim.path, victim.commit, victim.lang, None, 10),
+            (
+                "upsert",
+                base_pdf.iloc[1].repo,
+                base_pdf.iloc[1].path,
+                "c" * 40,
+                base_pdf.iloc[1].lang,
+                f"modified content {probe} merge stream",
+                10,
+            ),
+        ],
+        UPDATES_DDL,
+    )
+    apply_updates(spark, base_dir, batch)
+    idx = Index(spark, base_dir, cache=False)
+    # deleted identity gone from the docs table
+    assert (
+        idx.docs()
+        .filter((F.col("repo") == victim.repo) & (F.col("path") == victim.path))
+        .count()
+        == 0
+    )
+    # modified content is searchable (content term ⇒ WAND field path;
+    # full `search` correctly requires a *name* match, QueryBasicSearchTest:225-236)
+    import hashlib
+
+    from photon_spark.index.build import doc_int_py
+
+    new_content = f"modified content {probe} merge stream"
+    want = doc_int_py(hashlib.sha256(new_content.encode()).hexdigest())
+    got = [r["doc"] for r in idx.bm25_topk(FIELD_ALL, [probe], k=5).collect()]
+    assert got == [want]
+    # ...and the docs table points the identity at the new commit
+    row = (
+        idx.docs()
+        .filter(
+            (F.col("repo") == base_pdf.iloc[1].repo)
+            & (F.col("path") == base_pdf.iloc[1].path)
+        )
+        .collect()
+    )
+    assert len(row) == 1 and row[0]["commit"] == "c" * 40
+
+
+def test_newest_op_wins(spark, dirs):
+    base_dir, _, base_pdf, _ = dirs
+    f = base_pdf.iloc[5]
+    batch = spark.createDataFrame(
+        [
+            ("upsert", f.repo, f.path, f.commit, f.lang, "resurrect attempt", 20),
+            ("delete", f.repo, f.path, f.commit, f.lang, None, 21),
+        ],
+        UPDATES_DDL,
+    )
+    apply_updates(spark, base_dir, batch)
+    idx = Index(spark, base_dir, cache=False)
+    assert (
+        idx.docs()
+        .filter((F.col("repo") == f.repo) & (F.col("path") == f.path))
+        .count()
+        == 0
+    )
+
+
+def test_compact_restores_single_segment(spark, dirs, corpus):
+    base_dir, _, _, _ = dirs
+    import os
+
+    assert os.path.isdir(os.path.join(base_dir, "postings_delta"))
+    # source of truth after all the edits above = whatever docs says;
+    # compaction here just proves the rebuild path + delta clearing
+    src = spark.createDataFrame(corpus.head(100))
+    meta = compact(spark, base_dir, src)
+    assert not os.path.isdir(os.path.join(base_dir, "postings_delta"))
+    idx = Index(spark, base_dir, cache=False)
+    assert idx.n_docs == meta["n_docs"]
+    assert len(_topk(idx, ["merge"])) > 0
