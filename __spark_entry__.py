@@ -151,7 +151,12 @@ def _engine(spark: SparkSession, sf_dir: str):
             F.col("text").alias("content"),
             (F.lit(1.0) / (F.lit(1.0) + F.col("doc_id").cast("double") / F.lit(100.0))).alias("importance"),
         )
-        out = os.path.join(tempfile.gettempdir(), "photon_spark_idx_" + key.replace("/", "_"))
+        # mapping-version suffix: a stale on-disk index from an older
+        # corpus mapping must never be reused silently
+        out = os.path.join(
+            tempfile.gettempdir(),
+            "photon_spark_idx_v2_" + key.replace("/", "_"),
+        )
         build_index(spark, src, out)
         _ENGINE_CACHE[key] = Index(spark, out)
     return _ENGINE_CACHE[key]

@@ -68,10 +68,41 @@ _BASENAMES = [
 
 _DIRS = ["src", "lib", "core", "util", "api", "internal", "pkg", "docs", "test"]
 
+_SUFFIXES = [
+    "er", "ing", "ed", "s", "_impl", "_util", "_v2", "_test", "_id", "_key",
+    "able", "tion", "ment", "ify", "_ptr", "_buf", "_ctx", "_cfg", "_map", "_fn",
+]
 
-def generate_code_files(n_files: int = 2000, seed: int = 42) -> pd.DataFrame:
+
+def _full_vocab() -> np.ndarray:
+    """Realistic identifier vocabulary: base words + snake_case
+    suffixed forms + CamelCase compounds (~2.7k terms). CamelCase and
+    underscores exercise the word-delimiter analyzer the way real
+    code does; the richer term space gives realistic df spread."""
+    base = list(_VOCAB)
+    snake = [a + b for a in _VOCAB for b in _SUFFIXES]
+    camel = [a.capitalize() + b.capitalize() for a in _VOCAB for b in _VOCAB[:43]]
+    return np.array(base + snake + camel)
+
+
+def _vocab_weights(n: int, seed: int) -> np.ndarray:
+    """Zipf-ish sampling weights (deterministic shuffled ranks)."""
+    rng = np.random.RandomState(seed + 1000)
+    ranks = rng.permutation(n) + 1
+    w = 1.0 / ranks**0.8
+    return w / w.sum()
+
+
+def generate_code_files(
+    n_files: int = 2000,
+    seed: int = 42,
+    min_lines: int = 3,
+    max_lines: int = 25,
+) -> pd.DataFrame:
     """Build the corpus as a pandas DataFrame (columns: repo, path,
-    commit, lang, content, importance)."""
+    commit, lang, content, importance). ``min_lines``/``max_lines``
+    size the files — realistic source files are ~100-300 lines; the
+    scaling bench uses that range so compute dominates overhead."""
     rng = np.random.RandomState(seed)
 
     n_repos = max(3, n_files // 50)
@@ -89,8 +120,9 @@ def generate_code_files(n_files: int = 2000, seed: int = 42) -> pd.DataFrame:
     base_idx = rng.randint(0, len(_BASENAMES), size=n_files)
     file_no = rng.randint(0, 1000, size=n_files)
 
-    n_lines = rng.randint(3, 25, size=n_files)
-    vocab = np.array(_VOCAB)
+    n_lines = rng.randint(min_lines, max_lines, size=n_files)
+    vocab = _full_vocab()
+    vw = _vocab_weights(len(vocab), seed)
     stress = np.array(STRESS_STRINGS)
 
     rows = []
@@ -100,7 +132,7 @@ def generate_code_files(n_files: int = 2000, seed: int = 42) -> pd.DataFrame:
         base = _BASENAMES[base_idx[i]]
         path = f"{_DIRS[dir1[i]]}/{_DIRS[dir2[i]]}/{base}{file_no[i]}.{_EXT[lang]}"
 
-        words = vocab[rng.randint(0, len(vocab), size=n_lines[i] * 6)]
+        words = vocab[rng.choice(len(vocab), size=n_lines[i] * 6, p=vw)]
         lines = [" ".join(words[j * 6:(j + 1) * 6]) for j in range(n_lines[i])]
         # plant skewed terms in >80% of docs
         for t in SKEW_TERMS:
@@ -133,14 +165,23 @@ def generate_code_files(n_files: int = 2000, seed: int = 42) -> pd.DataFrame:
     return df
 
 
-def write_corpus(out_dir: str, n_files: int = 2000, seed: int = 42) -> str:
+def write_corpus(
+    out_dir: str,
+    n_files: int = 2000,
+    seed: int = 42,
+    min_lines: int = 3,
+    max_lines: int = 25,
+) -> str:
     """Materialize the corpus as a parquet file; returns its path.
 
     Idempotent per (out_dir, n_files, seed): skips generation when the
     target already exists.
     """
     os.makedirs(out_dir, exist_ok=True)
-    path = os.path.join(out_dir, f"code_files_n{n_files}_s{seed}.parquet")
+    tag = "" if (min_lines, max_lines) == (3, 25) else f"_l{min_lines}-{max_lines}"
+    path = os.path.join(out_dir, f"code_files_n{n_files}_s{seed}{tag}.parquet")
     if not os.path.exists(path):
-        generate_code_files(n_files, seed).to_parquet(path, index=False)
+        generate_code_files(n_files, seed, min_lines, max_lines).to_parquet(
+            path, index=False
+        )
     return path

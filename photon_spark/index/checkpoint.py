@@ -163,8 +163,13 @@ def build_index_resumable(
         tok_src = docs_df.select("doc_id", "doc", "repo", "path", "lang").join(
             content, "doc_id"
         )
-        tokens = tok_src.select("doc", "repo", "path", "lang", "content").mapInArrow(
-            _tokenize_batches, _TOKENS_DDL
+        # explicit partition count: tokenize EXPANDS ~100× (ngram
+        # fields), so AQE's size-based coalescing of the small input
+        # shuffle would serialize the heaviest python stage
+        tokens = (
+            tok_src.select("doc", "repo", "path", "lang", "content")
+            .repartition(partitions, "doc")
+            .mapInArrow(_tokenize_batches, _TOKENS_DDL)
         )
         tokens.withColumn(
             "grp",
@@ -172,13 +177,18 @@ def build_index_resumable(
                 (F.crc32(F.encode(F.col("term"), "utf-8")) % n_buckets) % n_groups
             ).cast("int"),
         ).write.mode("overwrite").partitionBy("grp").parquet(runs_path)
-        n_tokens = spark.read.parquet(runs_path).count()
-        st.mark("runs", {"n_tokens": n_tokens, "wall_s": time.time() - t0})
+        st.mark("runs", {"wall_s": time.time() - t0})
 
     # ---- stage: per-group posting encode + dictionary ---------------
-    for g in range(n_groups):
+    # groups run CONCURRENTLY (thread pool submitting Spark jobs): the
+    # scheduler interleaves their tasks across cores, so per-job fixed
+    # overhead (stage launch, parquet commit) amortizes instead of
+    # serializing — this is what keeps N→4N scaling efficiency high
+    enc_parts = max(1, partitions // max(2, n_groups // 2))
+
+    def _do_group(g: int) -> None:
         if st.done(f"grp_{g}") is not None:
-            continue
+            return
         if fail_at_group is not None and g == fail_at_group:
             raise RuntimeError(f"injected failure before group {g} commit")
         t0 = time.time()
@@ -192,43 +202,65 @@ def build_index_resumable(
             )
         )
         dict_g.repartitionByRange(
-            max(1, partitions // n_groups), "field", "term"
+            max(1, enc_parts // 2), "field", "term"
         ).sortWithinPartitions("field", "term").write.mode("overwrite").partitionBy(
             "field"
         ).parquet(os.path.join(out_dir, "dictionary", f"grp={g}"))
         postings_g = (
-            runs_g.repartitionByRange(partitions, "field", "term", "doc")
+            runs_g.repartitionByRange(enc_parts, "field", "term", "doc")
             .sortWithinPartitions("field", "term", "doc")
             .mapInArrow(_make_block_encoder(block_size, n_buckets), _POSTINGS_DDL)
         )
         postings_g.write.mode("overwrite").partitionBy("field").parquet(
             os.path.join(out_dir, "postings", f"grp={g}")
         )
-        n_terms = spark.read.parquet(
-            os.path.join(out_dir, "dictionary", f"grp={g}")
-        ).count()
-        n_blocks = spark.read.parquet(
-            os.path.join(out_dir, "postings", f"grp={g}")
-        ).count()
-        st.mark(
-            f"grp_{g}",
-            {
-                "group": g,
-                "n_terms": n_terms,
-                "n_blocks": n_blocks,
-                "wall_s": time.time() - t0,
-            },
-        )
+        st.mark(f"grp_{g}", {"group": g, "wall_s": time.time() - t0})
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    # runs files per group are small+many: without a lower split
+    # target the scan coalesces to 1-3 tasks and the scan+shuffle-
+    # write stage of every group runs near-serial
+    prev_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    prev_open = spark.conf.get("spark.sql.files.openCostInBytes", "4194304")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(1024 * 1024))
+    try:
+        pool = min(n_groups, max(2, spark.sparkContext.defaultParallelism))
+        with ThreadPoolExecutor(max_workers=pool) as ex:
+            futs = [ex.submit(_do_group, g) for g in range(n_groups)]
+            errs = [f.exception() for f in futs]
+        for e in errs:
+            if e is not None:
+                raise e
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
+        spark.conf.set("spark.sql.files.openCostInBytes", prev_open)
 
     # ---- stage: finalize (meta + lineage + metrics tables) ----------
     elapsed = time.time() - t_start
+    # per-group row counts in TWO metadata-only jobs (not per-group)
+    n_terms_by_grp = {
+        r["grp"]: r["count"]
+        for r in spark.read.parquet(os.path.join(out_dir, "dictionary"))
+        .groupBy("grp").count().collect()
+    }
+    n_blocks_by_grp = {
+        r["grp"]: r["count"]
+        for r in spark.read.parquet(os.path.join(out_dir, "postings"))
+        .groupBy("grp").count().collect()
+    }
     marks = st.all_marks()
     lineage = spark.createDataFrame(
         [
             (
                 m["stage"],
                 int(m.get("group", -1)),
-                int(m.get("n_terms", m.get("n_tokens", m.get("n_docs", 0)))),
+                int(
+                    n_terms_by_grp.get(m.get("group"), 0)
+                    if m["stage"].startswith("grp_")
+                    else m.get("n_docs", 0)
+                ),
                 float(m["wall_s"]),
                 float(m["ts"]),
             )
