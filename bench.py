@@ -72,6 +72,17 @@ def main() -> None:
             idx.search(q, k=15, filters=filt or None)
             timings[name] = round(time.time() - t0, 3)
 
+        from photon_spark.query.batch import batch_search
+
+        fixture_queries = [
+            "table merge stream", "tab", "mrege windw", "batch window",
+            "key agg row", "spark order data", "group value sort",
+            "filter query key", "scan slow fast", "join small line",
+        ]
+        t0 = time.time()
+        batch_search(idx, fixture_queries, k=10)
+        timings["engine_batch10_search"] = round(time.time() - t0, 3)
+
         t0 = time.time()
         dd.minhash_lsh_pairs(docs, n_hashes=16, bands=4, threshold=0.3).count()
         timings["datapipe_minhash_lsh"] = round(time.time() - t0, 3)

@@ -240,118 +240,174 @@ class Index:
             .select("doc")
         )
 
-    # ---------------- plan evaluation ----------------
+    # ---------------- plan evaluation (fused) ----------------
+    #
+    # The whole scoring tree evaluates in ONE pass: every Match node's
+    # expansions (and every FnMul filter-term set, as a presence-only
+    # pseudo node) join one decoded postings scan; per-(doc, node)
+    # scores pivot to columns; the bool/dis_max/function combination
+    # becomes pure column arithmetic. 3 aggregations total instead of
+    # ~3 per plan node — the latency path for query-then-fetch.
+    # Float determinism mirrors the oracle exactly: per-node clause
+    # sums fold in clause order (sort_array), bool children add in
+    # declaration order, dis_max is an orderless max.
 
-    def _eval_match(self, node: Match, stats: dict) -> DataFrame | None:
-        rows = []
-        for ci, cl in enumerate(node.clauses):
-            for term, mult in cl.expansions:
-                rows.append((term, ci, mult))
-        if not rows:
-            return None
-        grows = [
-            (t, ci, scoring.idf(stats[(node.field, t)], self.n_docs) * mult)
-            for (t, ci, mult) in rows
-            if (node.field, t) in stats
-        ]
-        if not grows:
-            return None
-        exp_df = self.spark.createDataFrame(
-            grows, "term string, clause int, wmult double"
-        )
-        p = self.postings(node.field, sorted({t for t, _, _ in grows}))
-        tf = F.col("tf").cast("double")
-        scored = p.join(F.broadcast(exp_df), "term").withColumn(
-            "s",
-            F.col("wmult")
-            * ((tf * F.lit(scoring.K1 + 1.0)) / (tf + F.lit(scoring.K1))),
-        )
-        per_clause = scored.groupBy("doc", "clause").agg(F.max("s").alias("cs"))
-        per_doc = (
-            per_clause.groupBy("doc")
-            .agg(
-                F.sort_array(F.collect_list(F.struct("clause", "cs"))).alias("arr")
-            )
-            .withColumn(
-                "score",
-                F.lit(node.boost)
-                * F.aggregate("arr", F.lit(0.0), lambda a, x: a + x["cs"]),
-            )
-            .withColumn("nm", F.size("arr"))
-        )
-        req = required_clauses(node)
-        if req > 1:
-            per_doc = per_doc.filter(F.col("nm") >= req)
-        return per_doc.select("doc", "score")
+    def _expansion_rows(self, plan: SearchPlan, stats: dict) -> list[tuple]:
+        """(field, term, node_id, clause, weight) for all plan leaves."""
+        rows: list[tuple] = []
 
-    def _eval_node(self, node: PlanNode, stats: dict) -> DataFrame | None:
+        def walk(n: PlanNode) -> None:
+            if isinstance(n, Match):
+                for ci, cl in enumerate(n.clauses):
+                    for term, mult in cl.expansions:
+                        if (n.field, term) in stats:
+                            rows.append(
+                                (
+                                    n.field,
+                                    term,
+                                    n.node_id,
+                                    ci,
+                                    scoring.idf(stats[(n.field, term)], self.n_docs)
+                                    * mult,
+                                )
+                            )
+            elif isinstance(n, DisMax):
+                for c in n.children:
+                    walk(c)
+            elif isinstance(n, Bool):
+                for c in n.must + n.should:
+                    walk(c)
+            elif isinstance(n, FnMul):
+                walk(n.query)
+                for t in sorted(set(n.filter_terms)):
+                    # presence-only pseudo leaf: weight 0 ⇒ score 0,
+                    # m-column not-null ⇒ the filter hit
+                    rows.append((n.filter_field, t, n.node_id, -1, 0.0))
+
+        walk(plan.root)
+        return rows
+
+    def _node_columns(self, plan: SearchPlan):
+        """All node ids needing pivot columns."""
+        ids: list[int] = []
+
+        def walk(n: PlanNode) -> None:
+            if isinstance(n, Match):
+                ids.append(n.node_id)
+            elif isinstance(n, DisMax):
+                for c in n.children:
+                    walk(c)
+            elif isinstance(n, Bool):
+                for c in n.must + n.should:
+                    walk(c)
+            elif isinstance(n, FnMul):
+                ids.append(n.node_id)
+                walk(n.query)
+
+        walk(plan.root)
+        return ids
+
+    def _compile_tree(self, node: PlanNode, s_of=None, m_of=None):
+        """node → (score Column, present Column). `present` true ⇒
+        score is non-null; consumers guard with when(present, ...).
+
+        ``s_of``/``m_of`` map a node id to its per-doc score / matched-
+        clause-count Column (default: pivoted `{id}_s`/`{id}_m`
+        columns; the batch evaluator passes map-lookup accessors)."""
+        s_of = s_of or (lambda nid: F.col(f"{nid}_s"))
+        m_of = m_of or (lambda nid: F.col(f"{nid}_m"))
         if isinstance(node, Match):
-            return self._eval_match(node, stats)
+            s = s_of(node.node_id)
+            m = m_of(node.node_id)
+            present = m.isNotNull() & (m >= F.lit(required_clauses(node)))
+            return F.lit(node.boost) * s, present
         if isinstance(node, DisMax):
-            dfs = [d for d in (self._eval_node(c, stats) for c in node.children) if d is not None]
-            if not dfs:
-                return None
-            u = dfs[0]
-            for d in dfs[1:]:
-                u = u.unionByName(d)
-            return (
-                u.groupBy("doc")
-                .agg(F.max("score").alias("m"))
-                .select("doc", (F.lit(node.boost) * F.col("m")).alias("score"))
-            )
+            parts = [self._compile_tree(c, s_of, m_of) for c in node.children]
+            present = parts[0][1]
+            for _, p in parts[1:]:
+                present = present | p
+            masked = [F.when(p, s) for s, p in parts]
+            best = masked[0] if len(masked) == 1 else F.greatest(*masked)
+            return F.lit(node.boost) * best, present
+        if isinstance(node, Bool):
+            musts = [self._compile_tree(c, s_of, m_of) for c in node.must]
+            shoulds = [self._compile_tree(c, s_of, m_of) for c in node.should]
+            if musts:
+                present = musts[0][1]
+                for _, p in musts[1:]:
+                    present = present & p
+            else:
+                present = shoulds[0][1]
+                for _, p in shoulds[1:]:
+                    present = present | p
+            total = None
+            for s, _ in musts:
+                total = s if total is None else total + s
+            for s, p in shoulds:
+                term = F.when(p, s).otherwise(F.lit(0.0))
+                total = term if total is None else total + term
+            return F.lit(node.boost) * total, present
         if isinstance(node, FnMul):
-            qdf = self._eval_node(node.query, stats)
-            if qdf is None:
-                return None
-            fterms = sorted(set(node.filter_terms))
-            if fterms:
-                fdocs = (
-                    self.postings(node.filter_field, fterms)
-                    .select("doc")
-                    .distinct()
-                    .withColumn("hit", F.lit(1))
-                )
-                qdf = qdf.join(fdocs, "doc", "left")
+            qs, qp = self._compile_tree(node.query, s_of, m_of)
+            if node.filter_terms:
+                hit = m_of(node.node_id).isNotNull()
                 mult = F.lit(node.const_weight) + F.when(
-                    F.col("hit").isNotNull(), F.lit(node.filter_weight)
+                    hit, F.lit(node.filter_weight)
                 ).otherwise(F.lit(0.0))
             else:
                 mult = F.lit(node.const_weight)
-            return qdf.select("doc", (F.col("score") * mult).alias("score"))
-        if isinstance(node, Bool):
-            children = [(i + 1, c, True) for i, c in enumerate(node.must)]
-            n_must = len(children)
-            children += [
-                (n_must + i + 1, c, False) for i, c in enumerate(node.should)
-            ]
-            parts = []
-            for idx, child, is_must in children:
-                d = self._eval_node(child, stats)
-                if d is None:
-                    if is_must:
-                        return None
-                    continue
-                parts.append(d.select("doc", F.lit(idx).alias("idx"), "score"))
-            if not parts:
-                return None
-            u = parts[0]
-            for d in parts[1:]:
-                u = u.unionByName(d)
-            agg = u.groupBy("doc").agg(
-                F.sort_array(F.collect_list(F.struct("idx", "score"))).alias("arr")
-            )
-            if n_must > 0:
-                agg = agg.filter(
-                    F.size(F.filter("arr", lambda x: x["idx"] <= n_must)) == n_must
-                )
-            return agg.select(
-                "doc",
-                (
-                    F.lit(node.boost)
-                    * F.aggregate("arr", F.lit(0.0), lambda a, x: a + x["score"])
-                ).alias("score"),
-            )
+            return qs * mult, qp
         raise TypeError(f"unknown node {node!r}")
+
+    def _eval_plan(self, plan: SearchPlan) -> DataFrame | None:
+        stats = self._plan_stats(plan)
+        rows = self._expansion_rows(plan, stats)
+        if not rows:
+            return None
+        exp_df = self.spark.createDataFrame(
+            rows, "field string, term string, node int, clause int, w double"
+        )
+        by_field: dict[str, set[str]] = {}
+        for fld, term, *_ in rows:
+            by_field.setdefault(fld, set()).add(term)
+        decoded = None
+        for fld, terms in sorted(by_field.items()):
+            d = self.postings(fld, sorted(terms)).withColumn("field", F.lit(fld))
+            decoded = d if decoded is None else decoded.unionByName(d)
+        tf = F.col("tf").cast("double")
+        scored = decoded.join(F.broadcast(exp_df), ["field", "term"]).withColumn(
+            "s",
+            F.col("w") * ((tf * F.lit(scoring.K1 + 1.0)) / (tf + F.lit(scoring.K1))),
+        )
+        # ONE shuffle: per-doc leaf list; clause-max + clause-ordered
+        # fold + per-node pivot all become higher-order array
+        # expressions (whole-stage codegen, no extra aggregations)
+        g = scored.groupBy("doc").agg(
+            F.collect_list(F.struct("node", "clause", "s")).alias("leaf")
+        )
+        ids = self._node_columns(plan)
+        cols = [F.col("doc")]
+        for nid in ids:
+            arr = F.filter("leaf", lambda x: x["node"] == F.lit(nid))
+            clauses = F.array_sort(
+                F.array_distinct(F.transform(arr, lambda x: x["clause"]))
+            )
+            cs = F.transform(
+                clauses,
+                lambda c: F.array_max(
+                    F.transform(
+                        F.filter(arr, lambda x: x["clause"] == c),
+                        lambda y: y["s"],
+                    )
+                ),
+            )
+            ns = F.aggregate(cs, F.lit(0.0), lambda a, x: a + x)
+            nm = F.size(clauses)
+            cols.append(F.when(nm > 0, ns).alias(f"{nid}_s"))
+            cols.append(F.when(nm > 0, nm).alias(f"{nid}_m"))
+        pivoted = g.select(*cols)
+        score, present = self._compile_tree(plan.root)
+        return pivoted.filter(present).select("doc", score.alias("score"))
 
     # ---------------- SearchBackend ----------------
 
@@ -360,10 +416,9 @@ class Index:
         if plan.kind == "match_all":
             scored = docs.select("doc", F.lit(0.0).alias("score"))
         else:
-            root = self._eval_node(plan.root, self._plan_stats(plan))
-            if root is None:
+            scored = self._eval_plan(plan)
+            if scored is None:
                 return []
-            scored = root
         joined = scored.join(docs, "doc")
         # function-score add-ons, fixed order: type weight, importance
         os_score = F.col("score")

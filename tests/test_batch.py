@@ -1,0 +1,37 @@
+"""Batch query evaluation must be result-identical to per-query
+search (same strict/lenient flow, same rescore pipeline)."""
+
+import pytest
+
+from photon_spark.query.batch import batch_search
+from photon_spark.query.executor import Index
+
+QUERIES = [
+    "MainStreet",           # short plan, camelCase name
+    "merge stream table",   # full plan, content + name terms
+    "tab",                  # prefix-only short query
+    "mrege",                # misspelling → lenient fuzzy retry
+    "importer utils",       # multi-word names
+    "zzz_nohit_zzz",        # no results at all
+]
+
+
+@pytest.fixture(scope="module")
+def index(spark, index_dir):
+    return Index(spark, index_dir)
+
+
+def test_batch_equals_per_query(index):
+    batch = batch_search(index, QUERIES, k=10)
+    for q in QUERIES:
+        single = index.search(q, k=10)
+        got = [(h["doc"], round(h["score"], 9)) for h in batch[q]]
+        want = [(h["doc"], round(h["score"], 9)) for h in single]
+        assert got == want, f"batch mismatch for {q!r}"
+
+
+def test_batch_two_jobs_only(index):
+    # smoke: returns every query key even when all-empty
+    out = batch_search(index, ["zzz_a", "zzz_b"], k=5)
+    assert set(out) == {"zzz_a", "zzz_b"}
+    assert out["zzz_a"] == [] and out["zzz_b"] == []

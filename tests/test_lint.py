@@ -1,0 +1,27 @@
+"""Hot-path lint (SURVEY.md §7 'no per-row Python'): the engine must
+not use row-at-a-time Python UDFs or RDD maps — only mapInArrow /
+pandas_udf / applyInPandas / mapInPandas vectorized entry points."""
+
+import pathlib
+import re
+
+BANNED = [
+    (re.compile(r"\.rdd\.map\("), ".rdd.map( — RDD per-row loop"),
+    (re.compile(r"\.rdd\.flatMap\("), ".rdd.flatMap("),
+    (re.compile(r"(?<![\w.])udf\("), "plain udf( — row-at-a-time Python UDF"),
+    (re.compile(r"F\.udf\("), "F.udf("),
+    (re.compile(r"\.foreach\("), ".foreach( — driver-side row loop"),
+    (re.compile(r"\.toLocalIterator\("), ".toLocalIterator("),
+]
+
+
+def test_no_per_row_python_in_engine():
+    root = pathlib.Path(__file__).resolve().parent.parent / "photon_spark"
+    offenders = []
+    for py in root.rglob("*.py"):
+        text = py.read_text()
+        for rx, label in BANNED:
+            for m in rx.finditer(text):
+                line = text[: m.start()].count("\n") + 1
+                offenders.append(f"{py.relative_to(root.parent)}:{line} {label}")
+    assert not offenders, "per-row Python in hot path:\n" + "\n".join(offenders)
