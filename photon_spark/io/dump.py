@@ -1,0 +1,64 @@
+"""JSON dump writer/reader — the graft of photon's dump format
+(reference: json/JsonDumper.java / json/JsonReader.java, format spec
+docs/json-dump-format-0.1.0.md: a header document + place documents,
+with an import-side country filter).
+
+Layout: ``<dump>/header.json`` (run metadata: format version, source
+description, row count, dump timestamp) + ``<dump>/docs/`` JSONL
+written by Spark (one JSON object per corpus row). ``read_dump``
+enforces the schema explicitly (no inference — the reference's
+mapping is static too) and applies the language filter (the country
+filter analog, JsonReader.java:63-70,116-118) — pushed into the scan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DUMP_FORMAT_VERSION = "0.1.0"  # mirrors docs/json-dump-format-0.1.0.md
+
+CORPUS_DDL = (
+    "repo string, path string, commit string, lang string, "
+    "content string, importance double"
+)
+
+
+def dump_corpus(df: DataFrame, out_dir: str, description: str = "") -> dict:
+    """Write the corpus as a JSON dump; returns the header."""
+    if "importance" not in df.columns:
+        df = df.withColumn("importance", F.lit(0.0))
+    cols = ["repo", "path", "commit", "lang", "content", "importance"]
+    df.select(*cols).write.mode("overwrite").json(os.path.join(out_dir, "docs"))
+    n = df.count()
+    header = {
+        "type": "header",
+        "format_version": DUMP_FORMAT_VERSION,
+        "description": description,
+        "n_rows": n,
+        "dumped_at": time.time(),
+    }
+    with open(os.path.join(out_dir, "header.json"), "w") as f:
+        json.dump(header, f, indent=2)
+    return header
+
+
+def read_dump(
+    spark: SparkSession, dump_dir: str, langs: list[str] | None = None
+) -> DataFrame:
+    """Read a dump back (header-validated, fixed schema, optional
+    language filter — the country-filter analog)."""
+    with open(os.path.join(dump_dir, "header.json")) as f:
+        header = json.load(f)
+    if header.get("format_version") != DUMP_FORMAT_VERSION:
+        raise ValueError(
+            f"dump format {header.get('format_version')} != {DUMP_FORMAT_VERSION}"
+        )
+    df = spark.read.schema(CORPUS_DDL).json(os.path.join(dump_dir, "docs"))
+    if langs:
+        df = df.filter(F.lower(F.col("lang")).isin([l.lower() for l in langs]))
+    return df

@@ -40,7 +40,8 @@ class OracleIndex:
     (repo, path, commit, lang, content[, importance]); implements the
     SearchBackend protocol."""
 
-    def __init__(self, corpus: pd.DataFrame):
+    def __init__(self, corpus: pd.DataFrame, synonyms=None):
+        self.synonyms = synonyms  # query-time Synonyms config (A12/A13)
         self.docs: dict[int, dict] = {}
         self.postings: dict[str, dict[str, dict[int, int]]] = {}
 
@@ -251,3 +252,9 @@ class OracleIndex:
         exclude: list[str] | None = None,
     ) -> list[dict]:
         return run_search(self, q, k=k, filters=filters, include=include, exclude=exclude)
+
+    def structured_search(self, sq, k: int = 15) -> list[dict]:
+        """Field-wise structured search (P5); see run_structured."""
+        from photon_spark.query.search_flow import run_structured
+
+        return run_structured(self, sq, k=k)

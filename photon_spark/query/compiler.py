@@ -65,8 +65,23 @@ class _NodeIds:
         return self.n
 
 
-def _exact_clauses(q: str) -> list[Clause]:
-    return [Clause([(t, 1.0) for t in alts]) for alts in analyze_search(q)]
+def _exact_clauses(q: str, synonyms=None) -> list[Clause]:
+    """Clauses from the search analyzer; query-time synonym +
+    classification expansion widens each clause's alternatives
+    (A12/A13 — the multiplexer branches of the `search` analyzer,
+    IndexSettingBuilder.java:120-156)."""
+    clauses = []
+    for alts in analyze_search(q):
+        merged: dict[str, float] = {}
+        for t in alts:
+            merged.setdefault(t, 1.0)
+            if synonyms:
+                for s in synonyms.expand(t):
+                    merged.setdefault(s, 1.0)
+                for c in synonyms.classify(t):
+                    merged.setdefault(c, 1.0)
+        clauses.append(Clause(sorted(merged.items())))
+    return clauses
 
 
 def _fuzzy_clauses(
@@ -117,6 +132,7 @@ def compile_query(
     exclude: list[str] | None = None,
 ) -> SearchPlan:
     ids = _NodeIds()
+    synonyms = getattr(dictionary, "synonyms", None)
     stripped = (q or "").strip()
 
     if not stripped:
@@ -160,7 +176,7 @@ def _short_plan(
             should.append(Match(ids.next(), FIELD_NAME_FULL, [Clause(exp)]))
 
     if qlen >= 5:
-        cl = _exact_clauses(q)
+        cl = _exact_clauses(q, getattr(dictionary, "synonyms", None))
         if cl:
             should.append(
                 Match(ids.next(), FIELD_NAME, cl, boost=0.5, operator="and")
@@ -193,14 +209,18 @@ def _full_plan(
         ngram = Match(ids.next(), FIELD_NGRAM, ngram_clauses, boost=0.1, operator="msm")
     else:
         ngram = Match(
-            ids.next(), FIELD_NGRAM, _exact_clauses(q), boost=0.1, operator="and"
+            ids.next(),
+            FIELD_NGRAM,
+            _exact_clauses(q, getattr(dictionary, "synonyms", None)),
+            boost=0.1,
+            operator="and",
         )
 
     # must 2: dis_max(boost 0.2) of name match vs extension branch
     name_clauses = (
         _fuzzy_clauses(q, FIELD_NAME, dictionary, prefix_len=2)
         if lenient
-        else _exact_clauses(q)
+        else _exact_clauses(q, getattr(dictionary, "synonyms", None))
     )
     name_match = Match(
         ids.next(), FIELD_NAME, name_clauses, boost=1.5 if alpha else 1.0
@@ -230,7 +250,7 @@ def _full_plan(
     root = Bool(ids.next(), must=[ngram, dismax])
 
     # should: fullword match on all
-    all_clauses = _exact_clauses(q)
+    all_clauses = _exact_clauses(q, getattr(dictionary, "synonyms", None))
     if all_clauses:
         root.should.append(Match(ids.next(), FIELD_ALL, all_clauses))
 
@@ -248,3 +268,98 @@ def _full_plan(
             )
 
     return SearchPlan(root=root, filters=filters, kind="full")
+
+
+# ---------------------------------------------------------------------------
+# Structured search (P5 — the /structured endpoint graft)
+# ---------------------------------------------------------------------------
+
+from dataclasses import dataclass as _dataclass  # noqa: E402
+
+from photon_spark.analysis.folding import fold as _fold  # noqa: E402
+
+
+@_dataclass
+class StructuredQuery:
+    """Field-wise query — the graft of photon's structured address
+    (query/StructuredSearchRequest): repo ≈ city, directory ≈ street,
+    name (basename) ≈ place name, ext ≈ housenumber, lang ≈
+    countrycode (non-scoring filter)."""
+
+    repo: str | None = None
+    directory: str | None = None
+    name: str | None = None
+    ext: str | None = None
+    lang: str | None = None
+
+    def any_field(self) -> bool:
+        return any((self.repo, self.directory, self.name, self.ext))
+
+
+# Boost constants grafted from AddressQueryBuilder.java:13-19
+# (city 3, street 5, housenumber 10; state/county/district have no
+# corpus analog).
+_B_REPO = 3.0
+_B_DIR = 5.0
+_B_EXT = 10.0
+
+
+def compile_structured(
+    sq: StructuredQuery,
+    dictionary: TermDictionary,
+    lenient: bool = False,
+    drop_fine: bool = False,
+) -> SearchPlan:
+    """StructuredQuery → grounded plan. ``drop_fine`` is the third
+    retry pass (drop street+housenumber analogs,
+    OpenSearchStructuredSearchHandler.java:41-54)."""
+    ids = _NodeIds()
+    must: list = []
+    filters = {"lang": sq.lang} if sq.lang else None
+
+    if sq.repo:
+        cl = _exact_clauses(sq.repo.replace("/", " "))
+        if cl:
+            must.append(
+                Match(ids.next(), FIELD_ALL, cl, boost=_B_REPO, operator="and")
+            )
+    if sq.directory and not drop_fine:
+        cl = (
+            _fuzzy_clauses(sq.directory.replace("/", " "), FIELD_PARENT, dictionary, 2)
+            if lenient
+            else _exact_clauses(sq.directory.replace("/", " "))
+        )
+        if cl:
+            must.append(
+                Match(ids.next(), FIELD_PARENT, cl, boost=_B_DIR, operator="and")
+            )
+    if sq.name:
+        branches: list = []
+        whole = analyze_search_prefix(sq.name)
+        if whole:
+            branches.append(
+                Match(ids.next(), FIELD_NAME_FULL, [Clause([(whole, 1.0)])])
+            )
+        cl = (
+            _fuzzy_clauses(sq.name, FIELD_NAME, dictionary, prefix_len=2)
+            if lenient
+            else _exact_clauses(sq.name)
+        )
+        if cl:
+            branches.append(Match(ids.next(), FIELD_NAME, cl, operator="and"))
+        if branches:
+            must.append(DisMax(ids.next(), branches))
+    if sq.ext and not drop_fine:
+        ext_tok = _fold(sq.ext.lstrip("."))
+        if ext_tok:
+            must.append(
+                Match(
+                    ids.next(), FIELD_EXT, [Clause([(ext_tok, 1.0)])], boost=_B_EXT
+                )
+            )
+
+    if not must:
+        return SearchPlan(
+            root=Bool(ids.next()), filters=filters, kind="match_all"
+        )
+    return SearchPlan(root=Bool(ids.next(), must=must), filters=filters, kind="structured")

@@ -88,9 +88,16 @@ class Index:
     (the 100 TB side) and are always read through the pruned scan.
     """
 
-    def __init__(self, spark: SparkSession, index_dir: str, cache: bool = True):
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        cache: bool = True,
+        synonyms=None,
+    ):
         self.spark = spark
         self.dir = index_dir
+        self.synonyms = synonyms  # query-time Synonyms config (A12/A13)
         with open(os.path.join(index_dir, "meta.json")) as f:
             self.meta = json.load(f)
         self.n_docs: int = self.meta["n_docs"]
@@ -472,3 +479,10 @@ class Index:
         """Free-text search: strict pass, lenient retry, rescore
         pipeline, limit — the full reference flow."""
         return run_search(self, q, k=k, filters=filters, include=include, exclude=exclude)
+
+    def structured_search(self, sq, k: int = 15) -> list[dict]:
+        """Field-wise structured search (P5): three-pass retry +
+        structured rescore; see search_flow.run_structured."""
+        from photon_spark.query.search_flow import run_structured
+
+        return run_structured(self, sq, k=k)

@@ -115,3 +115,26 @@ def rescore_candidates(
     # R5: final sort (stable over the os_adj ordering)
     candidates.sort(key=lambda c: (-c["score"], -c["os_adj"], c["doc"]))
     return candidates
+
+
+def rescore_structured(candidates: list[dict]) -> list[dict]:
+    """Structured-search rescore: normalization + sort only — no
+    importance re-add, no lexical reranker
+    (OpenSearchStructuredSearchHandler.java:56-73; R2 location bias
+    has no corpus analog)."""
+    for c in candidates:
+        c["score"] = 0.0
+        c["os_adj"] = c["os_score"]
+    candidates.sort(key=lambda c: (-c["os_adj"], c["doc"]))
+    max_score = 10.0
+    for c in candidates:
+        os = c["os_adj"]
+        if os >= max_score:
+            max_score = os
+            c["score"] += 1.0
+        elif max_score < 20:
+            c["score"] += os / max_score
+        elif os > max_score - 20:
+            c["score"] += (os - max_score + 20) / 20
+    candidates.sort(key=lambda c: (-c["score"], -c["os_adj"], c["doc"]))
+    return candidates

@@ -49,3 +49,26 @@ def run_search(
         )
         cands = backend.candidates(plan, ext)
     return rescore_candidates(q, cands)[:k]
+
+
+def run_structured(backend, sq, k: int = 15) -> list[dict]:
+    """Structured search: three-pass retry (strict → lenient fuzzy →
+    drop ext+directory, OpenSearchStructuredSearchHandler.java:38-54),
+    then the structured rescore (normalize + sort, NO reranker —
+    SURVEY §3.2 step 4)."""
+    from photon_spark.query.compiler import compile_structured
+    from photon_spark.query.rerank import rescore_structured
+
+    if not sq.any_field() and not sq.lang:
+        raise ValueError("structured query needs at least one field")
+    ext = ext_limit_for(k)
+    passes = [dict(lenient=False), dict(lenient=True)]
+    if sq.ext or sq.directory:
+        passes.append(dict(lenient=True, drop_fine=True))
+    cands: list[dict] = []
+    for kw in passes:
+        plan = compile_structured(sq, backend, **kw)
+        cands = backend.candidates(plan, ext)
+        if cands:
+            break
+    return rescore_structured(cands)[:k]

@@ -1,0 +1,60 @@
+"""Query-time synonyms + classification terms — the graft of
+photon's synonym config (docs/synonyms.md; loaded into the `search`
+analyzer's multiplexer branches, IndexSettingBuilder.java:67-156).
+
+Config shape (same as the reference's JSON):
+
+    {
+      "search_synonyms": ["str, street", "ave, avenue"],
+      "classification_terms": [
+        {"key": "code", "value": "python", "terms": ["pythonic", "py3"]}
+      ]
+    }
+
+Semantics (pinned by the reference's ConfigSynonyms.java /
+ConfigClassificationTerm.java):
+* search synonyms are comma groups, SINGLE-WORD only (multi-word
+  entries are dropped, as OpenSearch's synonym_graph would reject
+  them in this configuration); matching any group member expands the
+  query clause with every other member.
+* classification terms map a query token to ``#key.value`` category
+  tokens (searchable in the all/ngram fields, which pass ``#`` tokens
+  through whole).
+* both apply at QUERY time only — the index is never rebuilt for a
+  synonym change (reference behavior: synonyms load at server start).
+"""
+
+from __future__ import annotations
+
+from photon_spark.analysis.folding import fold
+
+
+class Synonyms:
+    def __init__(self, config: dict | None = None):
+        config = config or {}
+        self._groups: dict[str, set[str]] = {}
+        for group in config.get("search_synonyms", []):
+            members = [fold(w.strip()) for w in group.split(",")]
+            members = [w for w in members if w and " " not in w]
+            if len(members) < 2:
+                continue
+            for w in members:
+                self._groups.setdefault(w, set()).update(m for m in members if m != w)
+        self._classify: dict[str, list[str]] = {}
+        for ct in config.get("classification_terms", []):
+            cat = f"#{fold(ct['key'])}.{fold(ct['value'])}"
+            for t in ct.get("terms", []):
+                t = fold(t.strip())
+                if t and " " not in t:
+                    self._classify.setdefault(t, []).append(cat)
+
+    def expand(self, token: str) -> list[str]:
+        """Other members of the token's synonym group (sorted)."""
+        return sorted(self._groups.get(token, ()))
+
+    def classify(self, token: str) -> list[str]:
+        """``#key.value`` category tokens for the query token."""
+        return sorted(self._classify.get(token, ()))
+
+    def __bool__(self) -> bool:
+        return bool(self._groups or self._classify)

@@ -1,0 +1,56 @@
+"""Structured-Streaming CDC consumer — the graft of photon's
+continuous update loop (reference:
+continuously_update_from_nominatim.sh:7-31 → NominatimUpdater:
+trigger-fed `photon_updates` table, consume-and-clear, newest-op-wins,
+one update at a time).
+
+The updates land as parquet files in a directory (the
+`photon_updates` table analog; on a cluster this is an Iceberg CDC /
+Kafka source — same `foreachBatch` shape). Each micro-batch applies
+through :func:`photon_spark.index.updater.apply_updates`, which
+already implements newest-op-wins and delta-segment writes.
+Micro-batches are serialized by Structured Streaming itself — the
+reference's ReentrantLock (NominatimUpdater.java:87,161-201) is the
+engine's built-in semantics here. The streaming checkpoint guarantees
+each update file is consumed exactly once across restarts (the
+`DELETE ... RETURNING` consume-and-clear analog,
+NominatimUpdater.java:301-330).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from photon_spark.index.updater import UPDATES_DDL, apply_updates
+
+
+def stream_updates(
+    spark: SparkSession,
+    index_dir: str,
+    updates_dir: str,
+    checkpoint_dir: str,
+    *,
+    available_now: bool = True,
+    processing_time: str = "60 seconds",
+):
+    """Start the CDC stream. ``available_now=True`` drains everything
+    pending and stops (the test / batch-catch-up mode);
+    ``False`` runs the continuous 60 s-cadence loop (U5)."""
+    applied: list[dict] = []
+
+    def process(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        res = apply_updates(spark, index_dir, batch_df)
+        applied.append({"batch_id": batch_id, **res})
+
+    stream = spark.readStream.schema(UPDATES_DDL).parquet(updates_dir)
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return applied
+    return writer.trigger(processingTime=processing_time).start()

@@ -1,0 +1,80 @@
+"""Streaming CDC consumer (U1-U5 analog) + JSON dump round-trip
+(S7/S8)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from photon_spark.index.checkpoint import build_index_resumable
+from photon_spark.index.updater import UPDATES_DDL
+from photon_spark.io.dump import dump_corpus, read_dump
+from photon_spark.query.executor import Index
+from photon_spark.streaming.cdc import stream_updates
+
+
+def test_stream_updates_exactly_once(spark, corpus, tmp_path_factory):
+    idx_dir = str(tmp_path_factory.mktemp("stream_idx"))
+    upd_dir = str(tmp_path_factory.mktemp("stream_upd"))
+    ckpt = str(tmp_path_factory.mktemp("stream_ckpt"))
+    build_index_resumable(spark, spark.createDataFrame(corpus.head(80)), idx_dir, n_groups=2)
+
+    # batch 1: add 10 new files
+    add = corpus.iloc[100:110]
+    rows = [("upsert", r.repo, r.path, r.commit, r.lang, r.content, 1)
+            for r in add.itertuples()]
+    spark.createDataFrame(rows, UPDATES_DDL).write.mode("append").parquet(upd_dir)
+    applied = stream_updates(spark, idx_dir, upd_dir, ckpt)
+    assert len(applied) == 1 and applied[0]["n_added"] > 0
+    n_after_1 = Index(spark, idx_dir, cache=False).n_docs
+
+    # draining again with nothing new must be a no-op (exactly-once)
+    applied = stream_updates(spark, idx_dir, upd_dir, ckpt)
+    assert applied == []
+    assert Index(spark, idx_dir, cache=False).n_docs == n_after_1
+
+    # batch 2: delete one identity — only the NEW file is consumed
+    victim = corpus.iloc[0]
+    spark.createDataFrame(
+        [("delete", victim.repo, victim.path, victim.commit, victim.lang, None, 2)],
+        UPDATES_DDL,
+    ).write.mode("append").parquet(upd_dir)
+    applied = stream_updates(spark, idx_dir, upd_dir, ckpt)
+    assert len(applied) == 1
+    idx = Index(spark, idx_dir, cache=False)
+    assert (
+        idx.docs()
+        .filter((F.col("repo") == victim.repo) & (F.col("path") == victim.path))
+        .count()
+        == 0
+    )
+
+
+def test_dump_round_trip(spark, corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("dump"))
+    src = spark.createDataFrame(corpus.head(60))
+    header = dump_corpus(src, out, description="test dump")
+    assert header["n_rows"] == 60
+    assert os.path.exists(os.path.join(out, "header.json"))
+
+    back = read_dump(spark, out)
+    a = sorted(tuple(r) for r in src.select("repo", "path", "commit", "lang", "content").collect())
+    b = sorted(tuple(r) for r in back.select("repo", "path", "commit", "lang", "content").collect())
+    assert a == b
+
+    only_py = read_dump(spark, out, langs=["python"])
+    assert only_py.filter(F.col("lang") != "python").count() == 0
+    assert only_py.count() == src.filter(F.col("lang") == "python").count()
+
+
+def test_dump_version_check(spark, corpus, tmp_path_factory):
+    import json
+
+    out = str(tmp_path_factory.mktemp("dump_bad"))
+    dump_corpus(spark.createDataFrame(corpus.head(5)), out)
+    hp = os.path.join(out, "header.json")
+    h = json.load(open(hp))
+    h["format_version"] = "9.9.9"
+    json.dump(h, open(hp, "w"))
+    with pytest.raises(ValueError, match="format"):
+        read_dump(spark, out)

@@ -1,0 +1,56 @@
+"""Structured search (P5): rank identity engine vs oracle, field
+semantics, three-pass fallback."""
+
+import pytest
+
+from photon_spark.query.compiler import StructuredQuery
+from photon_spark.query.executor import Index
+
+
+@pytest.fixture(scope="module")
+def engine(spark, index_dir):
+    return Index(spark, index_dir)
+
+
+def _ranked(hits):
+    return [(h["doc"], round(h["score"], 9), round(h["os_adj"], 9)) for h in hits]
+
+
+CASES = [
+    StructuredQuery(name="MainStreet"),
+    StructuredQuery(name="importer", ext="py"),
+    StructuredQuery(repo="org0/proj0"),
+    StructuredQuery(repo="org0/proj0", name="utils"),
+    StructuredQuery(directory="src core", name="QueryBuilder"),
+    StructuredQuery(name="importer", lang="java"),
+    StructuredQuery(name="Mugglen"),          # misspelling → lenient pass
+    StructuredQuery(name="utils", ext="nosuchext"),  # → drop-fine pass
+]
+
+
+@pytest.mark.parametrize("sq", CASES, ids=lambda s: repr(s)[:40])
+def test_structured_rank_identity(engine, oracle, sq):
+    got = _ranked(engine.structured_search(sq, k=10))
+    want = _ranked(oracle.structured_search(sq, k=10))
+    assert got == want
+
+
+def test_structured_field_semantics(engine):
+    hits = engine.structured_search(StructuredQuery(name="importer", ext="py"), k=10)
+    assert hits
+    assert all(h["path"].endswith(".py") for h in hits)
+    hits = engine.structured_search(StructuredQuery(repo="org0/proj0"), k=10)
+    assert hits and all(h["repo"] == "org0/proj0" for h in hits)
+    hits = engine.structured_search(StructuredQuery(name="importer", lang="java"), k=10)
+    assert hits and all(h["lang"] == "java" for h in hits)
+
+
+def test_structured_requires_field(engine):
+    with pytest.raises(ValueError):
+        engine.structured_search(StructuredQuery(), k=5)
+
+
+def test_drop_fine_fallback(engine):
+    # nonsense ext can't match; third pass drops it and matches by name
+    hits = engine.structured_search(StructuredQuery(name="utils", ext="nosuchext"), k=5)
+    assert hits

@@ -1,0 +1,64 @@
+"""Query-time synonyms + classification terms (A12/A13): expansion
+semantics and engine/oracle rank identity with a shared config."""
+
+import pytest
+
+from photon_spark.query.executor import Index
+from photon_spark.query.synonyms import Synonyms
+
+CONFIG = {
+    "search_synonyms": [
+        "utils, helpers",
+        "importer, loader",
+        "bad multi word, entry",   # multi-word members are dropped
+    ],
+    "classification_terms": [
+        {"key": "code", "value": "python", "terms": ["pythonic"]},
+    ],
+}
+
+
+@pytest.fixture(scope="module")
+def syn():
+    return Synonyms(CONFIG)
+
+
+@pytest.fixture(scope="module")
+def engine(spark, index_dir, syn):
+    return Index(spark, index_dir, synonyms=syn)
+
+
+@pytest.fixture(scope="module")
+def syn_oracle(corpus, syn):
+    from photon_spark.oracle.oracle import OracleIndex
+
+    return OracleIndex(corpus, synonyms=syn)
+
+
+def test_expand_and_classify(syn):
+    assert syn.expand("utils") == ["helpers"]
+    assert syn.expand("helpers") == ["utils"]
+    assert syn.expand("entry") == []          # multi-word group dropped
+    assert syn.classify("pythonic") == ["#code.python"]
+
+
+def test_synonym_recall(engine):
+    # docs named utilsNNN must be findable via the synonym "helpers"
+    direct = {h["doc"] for h in engine.search("utils value", k=15)}
+    via_syn = {h["doc"] for h in engine.search("helpers value", k=15)}
+    assert direct & via_syn, "synonym did not bridge utils<->helpers"
+
+
+def test_classification_synonym(engine):
+    # "pythonic" itself is not in any doc; classification maps it to
+    # the #code.python category token
+    hits = engine.search("pythonic parser", k=10)
+    assert hits
+    assert all(h["lang"] == "python" for h in hits)
+
+
+@pytest.mark.parametrize("q", ["helpers value", "loader value", "pythonic parser"])
+def test_rank_identity_with_synonyms(engine, syn_oracle, q):
+    got = [(h["doc"], round(h["score"], 9)) for h in engine.search(q, k=10)]
+    want = [(h["doc"], round(h["score"], 9)) for h in syn_oracle.search(q, k=10)]
+    assert got == want
