@@ -322,6 +322,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _embs(s, d), _query_vec(s, d), k=10
     )  # rows-only: approximate by construction; recall vs brute force in pytest
 
+    def _ivf(s, d):
+        emb = _embs(s, d)
+        cents = sim.ivf_train(emb, n_clusters=8, n_iters=2)
+        return sim.ivf_topk(sim.ivf_assign(emb, cents), cents, _query_vec(s, d), k=10)
+
+    q["ivf_ann_topk"] = _ivf  # rows-only: approximate by construction
+
     # ---- multimodal plumbing (stub decode, real Spark plumbing) ----
     q["multimodal_features"] = lambda s, d: mm.extract_features(
         mm.synth_media(s, n=64), fake=True

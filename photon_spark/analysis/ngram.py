@@ -26,9 +26,22 @@ def edge_ngrams(
     even when longer than ``max_gram`` (Lucene's
     ``preserve_original`` flag).
     """
+    key = (token, min_gram, max_gram, preserve_original)
+    hit = _CACHE.get(key)
+    if hit is not None:
+        return hit
     n = len(token)
     upper = min(n, max_gram)
     grams = [token[:i] for i in range(min_gram, upper + 1)]
     if preserve_original and (n > max_gram or n < min_gram):
         grams.append(token)
+    if len(_CACHE) >= _CACHE_MAX:
+        _CACHE.clear()
+    _CACHE[key] = grams
     return grams
+
+
+# worker-resident memo — identifier vocabularies are heavy-tailed, so
+# the same token expands millions of times per partition
+_CACHE: dict[tuple, list[str]] = {}
+_CACHE_MAX = 1_000_000

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _as_double(vec_col: str) -> Column:
@@ -121,5 +122,113 @@ def lsh_ann_topk(
     return (
         cand.select(F.col(id_col), cosine_to_query(vec_col, query_vec).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means coarse quantizer + cluster-pruned scan
+# ---------------------------------------------------------------------------
+
+def ivf_train(
+    df: DataFrame,
+    n_clusters: int = 16,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Train the coarse quantizer (Lloyd iterations, fully in
+    DataFrame ops — assignment is a broadcast crossJoin + window
+    argmax, the update a posexplode/groupBy mean; centroids are tiny
+    and round-trip through the driver each iteration).
+
+    Deterministic: initial centroids are the ``n_clusters`` rows with
+    the smallest md5(id) (seeded sample without randomness)."""
+    v = df.select(
+        F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
+    )
+    init = (
+        v.withColumn("h", F.md5(F.col("id").cast("string")))
+        .orderBy("h")
+        .limit(n_clusters)
+        .collect()
+    )
+    centroids = [list(r["v"]) for r in init]
+
+    for _ in range(n_iters):
+        cdf = df.sparkSession.createDataFrame(
+            [(i, c) for i, c in enumerate(centroids)], "cid int, c array<double>"
+        )
+        dot = _dot(F.col("v"), F.col("c"))
+        w = Window.partitionBy("id").orderBy(F.desc("d"), F.asc("cid"))
+        assigned = (
+            v.crossJoin(F.broadcast(cdf))
+            .withColumn("d", dot)
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("id", "cid", "v")
+        )
+        means = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cid.setdefault(r["cid"], {})[r["pos"]] = r["m"]
+        dim = len(centroids[0])
+        centroids = [
+            [by_cid.get(i, {}).get(p, centroids[i][p]) for p in range(dim)]
+            for i in range(n_clusters)
+        ]
+    return centroids
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid → (id, cid, v).
+    At rest, ``cid`` is the partition key: a probe prunes the scan to
+    n_probe/n_clusters of the data before any scoring."""
+    v = df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+    cdf = df.sparkSession.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], "cid int, c array<double>"
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("d"), F.asc("cid"))
+    return (
+        v.crossJoin(F.broadcast(cdf))
+        .withColumn("d", _dot(F.col("v"), F.col("c")))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("id", "cid", "v")
+    )
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """ANN top-k over an ivf_assign output: probe the ``n_probe``
+    centroids nearest the query, scan only their clusters."""
+    scores = [
+        (i, sum(a * b for a, b in zip(c, query_vec)))
+        for i, c in enumerate(centroids)
+    ]
+    probes = [i for i, _ in sorted(scores, key=lambda t: (-t[1], t[0]))[:n_probe]]
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    cand = assigned.filter(F.col("cid").isin(probes))
+    cos = F.round(
+        _dot(F.col("v"), qv) / (_norm(F.col("v")) * _norm(qv)), 6
+    )
+    return (
+        cand.select(F.col("id").alias("vec_id"), cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
     )

@@ -1,0 +1,115 @@
+"""Deletion-neighborhood fuzzy dictionary (SymSpell-style) — the
+10^12-scale replacement for query-time prefix scans (SURVEY.md §4.2
+"Fuzzy automaton"; flagged hard part §7: naive levenshtein joins
+explode).
+
+Build side: every dictionary term emits its delete-variants (up to
+``max_deletes`` character deletions). Query side: the query token's
+own delete-variants look up the table with a pruned ``isin`` scan —
+the SymSpell guarantee (two strings within OSA distance *e* share a
+variant when each side deletes ≤ *e* chars; a transposition is
+covered by one delete on each side) makes the result a SUPERSET of
+the true fuzzy matches, and :func:`photon_spark.query.fuzzy.
+fuzzy_expand` verifies with the exact Damerau-Levenshtein distance —
+so the expansion set is IDENTICAL to the prefix-scan route, just
+found with O(variants(q)) lookups instead of a dictionary range scan.
+
+Space: ~(1 + L + L²/2) variants per term at e=2. At extreme vocab
+sizes build with ``max_deletes=1`` or restrict ``fields`` — the
+query side automatically verifies at the requested edit distance
+either way (a smaller neighborhood only costs recall for e=2 typos,
+matching Lucene's own prefixLength recall trade-off).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+import pyarrow as pa
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from photon_spark.analysis import FIELD_NAME, FIELD_NAME_FULL, FIELD_NGRAM, FIELD_PARENT
+
+DEFAULT_FIELDS = (FIELD_NAME, FIELD_NAME_FULL, FIELD_NGRAM, FIELD_PARENT)
+MAX_TERM_LEN_FOR_DELETES = 30
+
+_OUT_SCHEMA = pa.schema(
+    [
+        pa.field("field", pa.string()),
+        pa.field("variant", pa.string()),
+        pa.field("term", pa.string()),
+    ]
+)
+
+
+def deletion_variants(term: str, max_deletes: int) -> set[str]:
+    """All strings reachable by deleting up to ``max_deletes`` chars
+    (the term itself included)."""
+    out = {term}
+    frontier = {term}
+    for _ in range(max_deletes):
+        nxt = set()
+        for t in frontier:
+            for i in range(len(t)):
+                v = t[:i] + t[i + 1:]
+                if v not in out:
+                    nxt.add(v)
+        out |= nxt
+        frontier = nxt
+    return out
+
+
+def _variant_batches(max_deletes: int):
+    def kernel(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in it:
+            fields = batch.column("field").to_pylist()
+            terms = batch.column("term").to_pylist()
+            o_f, o_v, o_t = [], [], []
+            for fld, term in zip(fields, terms):
+                if len(term) > MAX_TERM_LEN_FOR_DELETES or term.startswith("#"):
+                    continue
+                for v in deletion_variants(term, max_deletes):
+                    o_f.append(fld)
+                    o_v.append(v)
+                    o_t.append(term)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(o_f, pa.string()),
+                    pa.array(o_v, pa.string()),
+                    pa.array(o_t, pa.string()),
+                ],
+                schema=_OUT_SCHEMA,
+            )
+
+    return kernel
+
+
+def build_deletion_index(
+    spark: SparkSession,
+    index_dir: str,
+    fields: tuple[str, ...] = DEFAULT_FIELDS,
+    max_deletes: int = 2,
+) -> int:
+    """Materialize ``<index>/deletions`` from the dictionary; returns
+    the variant row count. Idempotent overwrite."""
+    terms = (
+        spark.read.parquet(os.path.join(index_dir, "dictionary"))
+        .filter(F.col("field").isin(list(fields)))
+        .select("field", "term")
+        .distinct()
+    )
+    out = terms.mapInArrow(
+        _variant_batches(max_deletes), "field string, variant string, term string"
+    )
+    (
+        out.repartitionByRange(
+            int(spark.conf.get("spark.sql.shuffle.partitions")), "field", "variant"
+        )
+        .sortWithinPartitions("field", "variant")
+        .write.mode("overwrite")
+        .partitionBy("field")
+        .parquet(os.path.join(index_dir, "deletions"))
+    )
+    return spark.read.parquet(os.path.join(index_dir, "deletions")).count()

@@ -36,6 +36,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--n-buckets", type=int, default=64)
     p.add_argument("--partitions", type=int, default=None)
     p.add_argument("--master", default=None, help="override master (tests); spark-submit sets it otherwise")
+    p.add_argument(
+        "--deletions",
+        action="store_true",
+        help="also build the SymSpell deletion-neighborhood fuzzy dictionary",
+    )
     args = p.parse_args(argv)
 
     from photon_spark.index.checkpoint import build_index_resumable
@@ -51,6 +56,10 @@ def main(argv: list[str] | None = None) -> int:
         n_groups=args.n_groups,
         partitions=args.partitions,
     )
+    if args.deletions:
+        from photon_spark.index.deletions import build_deletion_index
+
+        meta["n_deletion_variants"] = build_deletion_index(spark, args.output)
     print(json.dumps(meta))
     return 0
 

@@ -87,6 +87,13 @@ class OracleIndex:
             if min_len <= len(t) <= max_len and t.startswith(prefix)
         )
 
+    def fuzzy_candidates(
+        self, field: str, token: str, edits: int, prefix_len: int
+    ) -> list[str]:
+        return self.terms_with_prefix(
+            field, token[:prefix_len], len(token) - edits, len(token) + edits
+        )
+
     def term_stats(self, field: str, terms: list[str]) -> dict[str, int]:
         fp = self.postings.get(field, {})
         return {t: len(fp[t]) for t in terms if t in fp}

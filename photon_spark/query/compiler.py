@@ -50,9 +50,12 @@ _SINGLE_ALPHA_RE = re.compile(r"^[^\W\d_]+$", re.UNICODE)
 class TermDictionary(Protocol):
     """What the compiler needs from an index to ground fuzzy clauses."""
 
-    def terms_with_prefix(
-        self, field: str, prefix: str, min_len: int, max_len: int
+    def fuzzy_candidates(
+        self, field: str, token: str, edits: int, prefix_len: int
     ) -> list[str]:
+        """A SUPERSET of the dictionary terms within ``edits`` of
+        ``token`` (fuzzy_expand verifies exactly) — prefix scan or
+        deletion-neighborhood lookup, backend's choice."""
         ...
 
 
@@ -102,9 +105,7 @@ def _fuzzy_clauses(
             if edits == 0:
                 merged[alt] = max(merged.get(alt, 0.0), 1.0)
                 continue
-            cands = dictionary.terms_with_prefix(
-                field, alt[:prefix_len], len(alt) - edits, len(alt) + edits
-            )
+            cands = dictionary.fuzzy_candidates(field, alt, edits, prefix_len)
             for term, boost in fuzzy_expand(alt, cands, edits, prefix_len):
                 if merged.get(term, 0.0) < boost:
                     merged[term] = boost
@@ -168,9 +169,7 @@ def _short_plan(
         if edits == 0:
             exp = [(whole, 1.0)]
         else:
-            cands = dictionary.terms_with_prefix(
-                FIELD_NAME_FULL, whole[:plen], len(whole) - edits, len(whole) + edits
-            )
+            cands = dictionary.fuzzy_candidates(FIELD_NAME_FULL, whole, edits, plen)
             exp = fuzzy_expand(whole, cands, edits, plen)
         if exp:
             should.append(Match(ids.next(), FIELD_NAME_FULL, [Clause(exp)]))

@@ -213,6 +213,38 @@ class Index:
         rows = self._dict_df.filter(cond).select("field", "term", "df").collect()
         return {(r["field"], r["term"]): r["df"] for r in rows}
 
+    def fuzzy_candidates(
+        self, field: str, token: str, edits: int, prefix_len: int
+    ) -> list[str]:
+        """Fuzzy candidate terms: deletion-neighborhood lookup when
+        the index ships a ``deletions`` table (the 10^12-scale path,
+        photon_spark.index.deletions), else a dictionary prefix scan.
+        Both are supersets of the true matches; fuzzy_expand verifies
+        with exact Damerau-Levenshtein, so the route never changes
+        results."""
+        del_dir = os.path.join(self.dir, "deletions")
+        if os.path.isdir(del_dir) and edits > 0:
+            from photon_spark.index.deletions import (
+                MAX_TERM_LEN_FOR_DELETES,
+                deletion_variants,
+            )
+
+            if len(token) <= MAX_TERM_LEN_FOR_DELETES:
+                if getattr(self, "_del_df", None) is None:
+                    self._del_df = self.spark.read.parquet(del_dir)
+                variants = sorted(deletion_variants(token, edits))
+                rows = (
+                    self._del_df.filter(F.col("field") == field)
+                    .filter(F.col("variant").isin(variants))
+                    .select("term")
+                    .distinct()
+                    .collect()
+                )
+                return sorted(r["term"] for r in rows)
+        return self.terms_with_prefix(
+            field, token[:prefix_len], len(token) - edits, len(token) + edits
+        )
+
     def terms_with_prefix(
         self, field: str, prefix: str, min_len: int, max_len: int
     ) -> list[str]:

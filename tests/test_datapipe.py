@@ -135,3 +135,31 @@ def test_multimodal_plumbing(spark):
     fdf = mm.extract_features(media, fake=True)
     frames = mm.frame_sample(fdf, every_n=50).collect()
     assert all(f["frame_idx"] % 50 == 0 for f in frames)
+
+
+def test_ivf_ann(spark):
+    rng = np.random.RandomState(5)
+    centers = rng.randn(8, 16) * 4
+    vecs = np.vstack([c + rng.randn(40, 16) * 0.3 for c in centers]).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    from photon_spark.datapipe.similarity import ivf_assign, ivf_topk, ivf_train
+
+    centroids = ivf_train(df, n_clusters=8, n_iters=3)
+    assigned = ivf_assign(df, centroids).cache()
+    assert assigned.count() == len(vecs)
+
+    q = [float(x) for x in vecs[10]]
+    exact = [r["vec_id"] for r in sim.brute_force_topk(df, q, k=10).collect()]
+    approx_df = ivf_topk(assigned, centroids, q, k=10, n_probe=2)
+    approx = [r["vec_id"] for r in approx_df.collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.7, f"IVF recall {recall}"
+    # the probe prunes: scanned candidates < half the corpus
+    probes_rows = assigned.filter(
+        assigned.cid.isin(
+            [r["cid"] for r in assigned.filter(assigned.id == 10).collect()]
+        )
+    ).count()
+    assert probes_rows < len(vecs) / 2

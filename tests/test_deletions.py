@@ -1,0 +1,51 @@
+"""Deletion-neighborhood fuzzy dictionary: identical results to the
+prefix-scan route (SymSpell superset + exact verification)."""
+
+import pytest
+
+from photon_spark.index.deletions import build_deletion_index, deletion_variants
+from photon_spark.query.executor import Index
+
+
+def test_deletion_variants():
+    v = deletion_variants("abc", 1)
+    assert v == {"abc", "bc", "ac", "ab"}
+    v2 = deletion_variants("abcd", 2)
+    assert "ab" in v2 and "cd" in v2 and "abcd" in v2
+    # transposition coverage: "ab" vs "ba" share a 1-delete variant
+    assert deletion_variants("ab", 1) & deletion_variants("ba", 1)
+
+
+@pytest.fixture(scope="module")
+def del_index(spark, index_dir):
+    n = build_deletion_index(spark, index_dir, max_deletes=2)
+    assert n > 0
+    return Index(spark, index_dir, cache=False)
+
+
+def test_candidates_match_prefix_route(del_index):
+    idx = del_index
+    for field, token, edits, plen in [
+        ("name", "mugglen", 2, 2),
+        ("name", "importr", 1, 2),
+        ("name_full", "mainstreet7", 2, 1),
+    ]:
+        via_del = idx.fuzzy_candidates(field, token, edits, plen)
+        via_prefix = idx.terms_with_prefix(
+            field, token[:plen], len(token) - edits, len(token) + edits
+        )
+        from photon_spark.query.fuzzy import fuzzy_expand
+
+        assert fuzzy_expand(token, via_del, edits, plen) == fuzzy_expand(
+            token, via_prefix, edits, plen
+        ), (field, token)
+
+
+def test_search_identical_with_deletions(del_index, oracle):
+    # the reference fuzzy pins (QueryBasicSearchTest:100-108) must
+    # hold identically through the deletion route
+    for q in ("mugglen", "mueggeln", "mrege stream", "etoile"):
+        got = [(h["doc"], round(h["score"], 9)) for h in del_index.search(q, k=10)]
+        want = [(h["doc"], round(h["score"], 9)) for h in oracle.search(q, k=10)]
+        assert got == want, q
+    assert del_index.search("mukklen", k=5) == []
