@@ -305,7 +305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["simhash"] = lambda s, d: dd.simhash(_docs(s, d), bits=16)
     q["minhash_lsh_pairs"] = lambda s, d: dd.minhash_lsh_pairs(
         _docs(s, d), n_hashes=16, bands=4, threshold=0.3
-    )  # rows-only: LSH banding is the scale path; exact twin = ngram_jaccard_pairs
+    )
     q["embedding_near_dup"] = lambda s, d: dd.embedding_near_dup_pairs(
         _embs(s, d), threshold=0.5
     )
@@ -541,8 +541,40 @@ SELECT vec_id,
 FROM v
 ORDER BY cosine DESC, vec_id ASC LIMIT 10"""
 
-    # rows-only (no SQL oracle): minhash_lsh_pairs (scale path of
-    # ngram_jaccard_pairs), lsh_ann_topk (approximate by design),
-    # multimodal_features (synthetic binary), engine_search_* (full
-    # analyzer semantics — rank-identity checked in pytest).
+    coeffs16 = dd.minhash_coeffs(16)
+    coef16_vals = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(coeffs16))
+    o["minhash_lsh_pairs"] = f"""
+WITH base AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)])) AS gram
+  FROM base WHERE len(toks) >= 3
+), h AS (
+  SELECT doc_id, {_sql_h60("gram")} % {dd.MINHASH_P} AS h FROM sh
+), coef AS (
+  SELECT * FROM (VALUES {coef16_vals}) AS t(hash_idx, a, b)
+), mh AS (
+  SELECT h.doc_id, coef.hash_idx, MIN((coef.a * h.h + coef.b) % {dd.MINHASH_P}) AS m
+  FROM h CROSS JOIN coef GROUP BY h.doc_id, coef.hash_idx
+), sig AS (
+  SELECT doc_id, list(m ORDER BY hash_idx) AS s FROM mh GROUP BY doc_id
+), banded AS (
+  SELECT doc_id, i AS band,
+         md5(array_to_string(s[i*4+1:i*4+4], ',')) AS bh
+  FROM sig, (SELECT unnest(range(0, 4)) AS i)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(list_sum([CASE WHEN sa.s[i] = sb.s[i] THEN 1 ELSE 0 END for i in range(1, 17)]) / 16.0, 6) AS est_jaccard
+FROM pairs JOIN sig sa ON pairs.id_a = sa.doc_id JOIN sig sb ON pairs.id_b = sb.doc_id
+WHERE ROUND(list_sum([CASE WHEN sa.s[i] = sb.s[i] THEN 1 ELSE 0 END for i in range(1, 17)]) / 16.0, 6) >= 0.3"""
+
+    # rows-only (no SQL oracle): lsh_ann_topk / ivf_ann_topk
+    # (approximate by design), multimodal_features (synthetic binary),
+    # engine_search_* (full analyzer semantics — rank-identity checked
+    # in pytest).
     return o

@@ -1,0 +1,116 @@
+"""Thin request/response layer — the graft of photon's HTTP surface
+(reference: App.java:411-440 routes; parameter validation
+query/RequestFactoryBase.java:19-20,105-149 returning HTTP 400;
+GeocodeJSON assembly searcher/GeoJsonFormatter.java:19-139).
+
+No HTTP server here (the serving story is batch / spark-submit); the
+layer is the validated-params → engine → formatted-JSON contract a
+front-end would mount.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from photon_spark.query.compiler import StructuredQuery
+
+MAX_RESULTS = 50  # config/ApiServerConfig.java:42-50
+DEFAULT_LIMIT = 15  # query/RequestBase.java:13
+
+_SEARCH_PARAMS = {"q", "limit", "lang", "repo", "include", "exclude", "k"}
+_STRUCTURED_PARAMS = {"repo", "directory", "name", "ext", "lang", "limit"}
+
+
+class BadRequest(ValueError):
+    """Maps to HTTP 400 (reference returns BadRequestResponse)."""
+
+
+def _limit(params: dict) -> int:
+    raw = params.get("limit", DEFAULT_LIMIT)
+    try:
+        limit = int(raw)
+    except (TypeError, ValueError):
+        raise BadRequest(f"invalid limit: {raw!r}")
+    if limit < 1:
+        raise BadRequest("limit must be >= 1")
+    return min(limit, MAX_RESULTS)  # silently capped, RequestFactoryBase
+
+
+def validate_search(params: dict) -> dict:
+    """Whitelist + shape checks for /api-analog requests."""
+    unknown = set(params) - _SEARCH_PARAMS
+    if unknown:
+        raise BadRequest(f"unknown parameters: {sorted(unknown)}")
+    q = (params.get("q") or "").strip()
+    include = params.get("include") or []
+    exclude = params.get("exclude") or []
+    if not q and not include and not exclude:
+        raise BadRequest("missing query parameter 'q'")
+    filters = {}
+    if params.get("lang"):
+        filters["lang"] = str(params["lang"])
+    if params.get("repo"):
+        filters["repo"] = str(params["repo"])
+    return {
+        "q": q,
+        "k": _limit(params),
+        "filters": filters or None,
+        "include": list(include),
+        "exclude": list(exclude),
+    }
+
+
+def validate_structured(params: dict) -> tuple[StructuredQuery, int]:
+    unknown = set(params) - _STRUCTURED_PARAMS
+    if unknown:
+        raise BadRequest(f"unknown parameters: {sorted(unknown)}")
+    sq = StructuredQuery(
+        repo=params.get("repo"),
+        directory=params.get("directory"),
+        name=params.get("name"),
+        ext=params.get("ext"),
+        lang=params.get("lang"),
+    )
+    if not sq.any_field():
+        raise BadRequest("structured search needs at least one field")
+    return sq, _limit(params)
+
+
+def format_results(hits: list[dict]) -> dict[str, Any]:
+    """FeatureCollection-shaped response (GeocodeJSON graft: the
+    geometry becomes the file coordinate — repo/path/commit)."""
+    features = []
+    for h in hits:
+        features.append(
+            {
+                "type": "Feature",
+                "properties": {
+                    "doc_id": h.get("doc_id"),
+                    "repo": h.get("repo"),
+                    "path": h.get("path"),
+                    "lang": h.get("lang"),
+                    "score": round(float(h.get("score", h.get("os_score", 0.0))), 6),
+                    "importance": h.get("importance"),
+                },
+            }
+        )
+    return {"type": "FeatureCollection", "features": features}
+
+
+class SearchAPI:
+    """Bind an engine backend to the validated surface."""
+
+    def __init__(self, backend):
+        self.backend = backend
+
+    def api(self, params: dict) -> dict:
+        v = validate_search(params)
+        hits = self.backend.search(
+            v["q"], k=v["k"], filters=v["filters"],
+            include=v["include"], exclude=v["exclude"],
+        )
+        return format_results(hits)
+
+    def structured(self, params: dict) -> dict:
+        sq, k = validate_structured(params)
+        return format_results(self.backend.structured_search(sq, k=k))

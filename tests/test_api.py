@@ -1,0 +1,48 @@
+"""API layer (R8-R10 analogs): validation 400s, limit capping,
+FeatureCollection shape."""
+
+import pytest
+
+from photon_spark.api import BadRequest, SearchAPI, format_results, validate_search
+from photon_spark.query.executor import Index
+
+
+@pytest.fixture(scope="module")
+def api(spark, index_dir):
+    return SearchAPI(Index(spark, index_dir))
+
+
+def test_validation_400s():
+    with pytest.raises(BadRequest, match="unknown"):
+        validate_search({"q": "x", "bogus": 1})
+    with pytest.raises(BadRequest, match="missing query"):
+        validate_search({})
+    with pytest.raises(BadRequest, match="invalid limit"):
+        validate_search({"q": "x", "limit": "NaN"})
+    with pytest.raises(BadRequest, match=">= 1"):
+        validate_search({"q": "x", "limit": 0})
+
+
+def test_limit_capped():
+    v = validate_search({"q": "x", "limit": 999})
+    assert v["k"] == 50  # MAX_RESULTS cap, ApiServerConfig.java:42-50
+
+
+def test_api_end_to_end(api):
+    out = api.api({"q": "MainStreet", "limit": 3})
+    assert out["type"] == "FeatureCollection"
+    assert 1 <= len(out["features"]) <= 3
+    f = out["features"][0]
+    assert f["type"] == "Feature"
+    assert set(f["properties"]) >= {"doc_id", "repo", "path", "lang", "score"}
+
+
+def test_structured_end_to_end(api):
+    out = api.structured({"name": "importer", "ext": "py", "limit": 5})
+    assert all(f["properties"]["path"].endswith(".py") for f in out["features"])
+    with pytest.raises(BadRequest):
+        api.structured({"limit": 5})
+
+
+def test_format_empty():
+    assert format_results([]) == {"type": "FeatureCollection", "features": []}
