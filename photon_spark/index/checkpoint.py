@@ -45,6 +45,7 @@ from pyspark.sql.window import Window
 from photon_spark.analysis.analyzers import KNOWN_LANGS
 from photon_spark.index.build import (
     DEFAULT_BLOCK_SIZE,
+    assign_ordinals,
     DEFAULT_N_BUCKETS,
     INDEX_FORMAT_VERSION,
     _make_block_encoder,
@@ -144,7 +145,7 @@ def build_index_resumable(
         ).repartitionByRange(max(1, partitions // 4), "doc").sortWithinPartitions(
             "doc"
         ).write.mode("overwrite").parquet(docs_path)
-        n_docs = spark.read.parquet(docs_path).count()
+        n_docs = assign_ordinals(spark, docs_path)
         mark = st.mark(
             "docs",
             {"n_input_files": n_input, "n_docs": n_docs, "wall_s": time.time() - t0},
@@ -160,9 +161,9 @@ def build_index_resumable(
         content = src.select(
             F.sha2(F.col("content"), 256).alias("doc_id"), "content"
         ).dropDuplicates(["doc_id"])
-        tok_src = docs_df.select("doc_id", "doc", "repo", "path", "lang").join(
-            content, "doc_id"
-        )
+        tok_src = docs_df.select(
+            "doc_id", F.col("ord").alias("doc"), "repo", "path", "lang"
+        ).join(content, "doc_id")
         # explicit partition count: tokenize EXPANDS ~100× (ngram
         # fields), so AQE's size-based coalescing of the small input
         # shuffle would serialize the heaviest python stage
@@ -281,6 +282,7 @@ def build_index_resumable(
         "n_groups": n_groups,
         "build_seconds": elapsed,
         "files_per_sec": n_input / elapsed if elapsed > 0 else None,
+        "next_ord": n_docs,
         "resumable": True,
     }
     spark.createDataFrame(

@@ -120,8 +120,20 @@ def apply_updates(
     # no-op guard: an upsert whose content (⇒ doc_id) is already
     # present must NOT get a second posting copy in the delta
     existing_ids = old_docs.select("doc_id").distinct()
-    truly_new = new_docs.join(existing_ids, "doc_id", "left_anti")
-    reattached = new_docs.join(existing_ids, "doc_id", "left_semi").drop("content")
+    # dense ordinals: new doc_ids get fresh ords after next_ord (never
+    # reused — the Lucene segment model); re-attached duplicates keep
+    # the existing doc's ord
+    next_ord = int(meta.get("next_ord", meta["n_docs"]))
+    truly_new = new_docs.join(existing_ids, "doc_id", "left_anti").withColumn(
+        "ord",
+        F.row_number().over(Window.orderBy("doc")) - 1 + F.lit(next_ord),
+    )
+    reattached = (
+        new_docs.drop("content")
+        .join(old_docs.select("doc_id", F.col("ord").alias("old_ord")), "doc_id")
+        .withColumn("ord", F.col("old_ord"))
+        .drop("old_ord")
+    )
 
     n_added = truly_new.count()
     # one docs row per doc_id: a surviving representative wins over a
@@ -152,9 +164,9 @@ def apply_updates(
     # delta segment for the added docs
     seg = _next_seg(index_dir)
     if n_added > 0:
-        tokens = truly_new.select("doc", "repo", "path", "lang", "content").mapInArrow(
-            _tokenize_batches, _TOKENS_DDL
-        )
+        tokens = truly_new.select(
+            F.col("ord").alias("doc"), "repo", "path", "lang", "content"
+        ).mapInArrow(_tokenize_batches, _TOKENS_DDL)
         parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
         dict_delta = tokens.groupBy("field", "term").agg(
             F.count(F.lit(1)).cast("long").alias("df"),
@@ -185,6 +197,7 @@ def apply_updates(
     shutil.rmtree(old)
 
     meta["n_docs"] = n_docs
+    meta["next_ord"] = next_ord + n_added
     meta.setdefault("segments", []).append(
         {"seg": seg, "n_added": n_added, "n_removed": n_removed, "ts": time.time()}
     )

@@ -144,7 +144,11 @@ def _batch_candidates(
         present_expr = (
             (is_q & p) if present_expr is None else ((is_q & p) | present_expr)
         )
-    joined = pivoted.join(index.docs(), "doc").withColumn("os_score", score_expr)
+    joined = (
+        pivoted.withColumnRenamed("doc", "ord")
+        .join(index.docs(), "ord")
+        .withColumn("os_score", score_expr)
+    )
     joined = joined.filter(present_expr)
 
     w = Window.partitionBy("qid").orderBy(F.desc("os_score"), F.asc("doc"))

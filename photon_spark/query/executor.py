@@ -101,6 +101,9 @@ class Index:
         with open(os.path.join(index_dir, "meta.json")) as f:
             self.meta = json.load(f)
         self.n_docs: int = self.meta["n_docs"]
+        # ordinal space bound (dense segment docIDs; grows with delta
+        # segments, never reused)
+        self.next_ord: int = self.meta.get("next_ord", self.meta["n_docs"])
         pcols = [
             "field", "term", "min_doc", "max_doc", "n", "max_tf",
             "doc_bytes", "tf_bytes",
@@ -183,7 +186,8 @@ class Index:
         max_tf = {r["term"]: r["max_tf"] for r in rows}
         blocks = self.raw_blocks(field, sorted(idf))
         return wand_topk(
-            self.spark, blocks, idf, k, r_bits=r_bits, required=required, max_tf=max_tf
+            self.spark, blocks, idf, k,
+            n_total=self.next_ord, r_bits=r_bits, required=required, max_tf=max_tf,
         )
 
     def term_stats(self, field: str, terms: list[str]) -> dict[str, int]:
@@ -453,12 +457,14 @@ class Index:
     def candidates(self, plan: SearchPlan, ext_limit: int) -> list[dict]:
         docs = self.docs()
         if plan.kind == "match_all":
-            scored = docs.select("doc", F.lit(0.0).alias("score"))
+            joined = docs.withColumn("score", F.lit(0.0))
         else:
             scored = self._eval_plan(plan)
             if scored is None:
                 return []
-        joined = scored.join(docs, "doc")
+            # postings are keyed by dense ordinal; the docs join
+            # resolves metadata + the sha-int `doc` used for ties
+            joined = scored.withColumnRenamed("doc", "ord").join(docs, "ord")
         # function-score add-ons, fixed order: type weight, importance
         os_score = F.col("score")
         if plan.type_weight:
@@ -472,22 +478,22 @@ class Index:
         joined = joined.withColumn("os_score", os_score)
         fdf = self.filter_docs(plan.filters)
         if fdf is not None:
-            joined = joined.join(fdf, "doc", "left_semi")
+            joined = joined.join(fdf.withColumnRenamed("doc", "ord"), "ord", "left_semi")
         # category algebra (Q20): include any-of, exclude none-of
         if plan.include:
             inc = (
                 self.postings(FIELD_ALL, sorted(set(plan.include)))
-                .select("doc")
+                .select(F.col("doc").alias("ord"))
                 .distinct()
             )
-            joined = joined.join(inc, "doc", "left_semi")
+            joined = joined.join(inc, "ord", "left_semi")
         if plan.exclude:
             exc = (
                 self.postings(FIELD_ALL, sorted(set(plan.exclude)))
-                .select("doc")
+                .select(F.col("doc").alias("ord"))
                 .distinct()
             )
-            joined = joined.join(exc, "doc", "left_anti")
+            joined = joined.join(exc, "ord", "left_anti")
         rows = (
             joined.select(
                 "doc", "doc_id", "repo", "path", "lang", "importance", "os_score"

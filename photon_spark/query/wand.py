@@ -8,10 +8,10 @@ Distributed shape:
 1. The pruned postings scan (field + term predicate) yields BLOCK
    rows — never globally decoded.
 2. Each block is assigned to the doc-range partition(s) it overlaps:
-   ``rng = top r bits of (doc + 2^63)`` — exact int64 bit math, no
-   float bucketing. docIDs are sha256-derived ⇒ uniform ⇒ ranges are
-   balanced regardless of term skew, and a hot term's blocks spread
-   over all ranges (the skew story again).
+   ``rng = (ord · R) DIV N`` — exact integer math, no float
+   bucketing. Dense segment ordinals ⇒ ranges are balanced regardless
+   of term skew, and a hot term's blocks spread over all ranges (the
+   skew story again).
 3. ``applyInPandas`` per range runs the numpy kernel:
    a. bootstrap θ = k-th best single-term score from the highest-
       upper-bound term present (real achievable scores ⇒ valid lower
@@ -45,15 +45,17 @@ def _sat(tf: np.ndarray | float) -> np.ndarray | float:
     return tf * (scoring.K1 + 1.0) / (tf + scoring.K1)
 
 
-def _rng_of(doc: np.ndarray, r_bits: int) -> np.ndarray:
-    u = doc.astype(np.int64).view(np.uint64) + np.uint64(1 << 63)
-    return (u >> np.uint64(64 - r_bits)).astype(np.int64)
+def _rng_of(doc: np.ndarray, n_ranges: int, n_total: int) -> np.ndarray:
+    """Range bucket of a dense ordinal: (ord * R) // N — exact int64
+    (ord·R < 2^63 at any realistic scale)."""
+    return (doc.astype(np.int64) * np.int64(n_ranges)) // np.int64(n_total)
 
 
 def _make_kernel(
     idf: dict[str, float],
     k: int,
-    r_bits: int,
+    n_ranges: int,
+    n_total: int,
     required: int,
     max_tf: dict[str, int] | None = None,
 ):
@@ -81,7 +83,7 @@ def _make_kernel(
             for i in np.flatnonzero(mask):
                 n = int(pdf["n"].iat[i])
                 d = decode_doc_block(pdf["doc_bytes"].iat[i], n)
-                keep = _rng_of(d, r_bits) == rng  # clip to this range
+                keep = _rng_of(d, n_ranges, n_total) == rng  # clip to this range
                 if not keep.any():
                     continue
                 t = decode_tfs(pdf["tf_bytes"].iat[i], n).astype(np.float64)
@@ -159,6 +161,7 @@ def wand_topk(
     idf: dict[str, float],
     k: int,
     *,
+    n_total: int,
     r_bits: int = 5,
     required: int = 1,
     max_tf: dict[str, int] | None = None,
@@ -167,21 +170,19 @@ def wand_topk(
 
     ``blocks`` is the raw (undecoded) postings scan restricted to the
     query terms; ``idf`` maps term → idf weight (driver-computed from
-    the dictionary); ``required`` ≥ 2 turns OR into an
+    the dictionary); ``n_total`` bounds the dense ordinal space
+    (Index.next_ord); ``required`` ≥ 2 turns OR into an
     intersection-style conjunctive match (operator=AND / msm).
     """
-    r = 1 << (r_bits - 1)
+    n_ranges = 1 << r_bits
     assigned = blocks.withColumn(
-        "rng_lo",
-        F.shiftrightunsigned(F.col("min_doc"), 64 - r_bits).bitwiseXOR(F.lit(r)).cast("long"),
+        "rng_lo", F.expr(f"(min_doc * {n_ranges}) DIV {n_total}")
     ).withColumn(
-        "rng_hi",
-        F.shiftrightunsigned(F.col("max_doc"), 64 - r_bits).bitwiseXOR(F.lit(r)).cast("long"),
+        "rng_hi", F.expr(f"(max_doc * {n_ranges}) DIV {n_total}")
     )
-    # XOR of the sign bit makes the bucket id follow unsigned doc order
     exploded = assigned.withColumn(
         "rng", F.explode(F.sequence("rng_lo", "rng_hi"))
     ).drop("rng_lo", "rng_hi")
-    kernel = _make_kernel(idf, k, r_bits, required, max_tf)
+    kernel = _make_kernel(idf, k, n_ranges, n_total, required, max_tf)
     local = exploded.groupBy("rng").applyInPandas(kernel, _OUT_SCHEMA)
     return local.orderBy(F.desc("score"), F.asc("doc")).limit(k)

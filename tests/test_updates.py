@@ -19,11 +19,20 @@ def _upserts(spark, pdf, ts=1):
     return spark.createDataFrame(rows, UPDATES_DDL)
 
 
-def _topk(idx, terms, k=10):
-    return [
-        (r["doc"], round(r["score"], 9))
+def _topk(idx, terms, k=10_000):
+    """Full ranking resolved to doc_ids, sorted (score desc, doc_id
+    asc) — ordinals are segment-local (an incrementally-updated index
+    numbers docs differently than a fresh build), so comparisons go
+    through the stable doc_id."""
+    id_of = {
+        r["ord"]: r["doc_id"]
+        for r in idx.docs().select("ord", "doc_id").collect()
+    }
+    rows = [
+        (round(r["score"], 9), id_of[r["doc"]])
         for r in idx.bm25_topk(FIELD_ALL, terms, k=k).collect()
     ]
+    return sorted(rows, key=lambda t: (-t[0], t[1]))
 
 
 @pytest.fixture(scope="module")
@@ -81,12 +90,11 @@ def test_delete_and_modify(spark, dirs):
     # full `search` correctly requires a *name* match, QueryBasicSearchTest:225-236)
     import hashlib
 
-    from photon_spark.index.build import doc_int_py
-
     new_content = f"modified content {probe} merge stream"
-    want = doc_int_py(hashlib.sha256(new_content.encode()).hexdigest())
-    got = [r["doc"] for r in idx.bm25_topk(FIELD_ALL, [probe], k=5).collect()]
-    assert got == [want]
+    want_id = hashlib.sha256(new_content.encode()).hexdigest()
+    ords = [r["doc"] for r in idx.bm25_topk(FIELD_ALL, [probe], k=5).collect()]
+    id_of = {r["ord"]: r["doc_id"] for r in idx.docs().select("ord", "doc_id").collect()}
+    assert [id_of[o] for o in ords] == [want_id]
     # ...and the docs table points the identity at the new commit
     row = (
         idx.docs()
