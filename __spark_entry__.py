@@ -151,11 +151,13 @@ def _engine(spark: SparkSession, sf_dir: str):
             F.col("text").alias("content"),
             (F.lit(1.0) / (F.lit(1.0) + F.col("doc_id").cast("double") / F.lit(100.0))).alias("importance"),
         )
-        # mapping-version suffix: a stale on-disk index from an older
-        # corpus mapping must never be reused silently
+        # version-keyed cache dir: a stale on-disk index from an older
+        # format or corpus mapping must never be reused silently
+        from photon_spark.index.build import INDEX_FORMAT_VERSION
+
         out = os.path.join(
             tempfile.gettempdir(),
-            "photon_spark_idx_v2_" + key.replace("/", "_"),
+            f"photon_spark_idx_{INDEX_FORMAT_VERSION}_" + key.replace("/", "_"),
         )
         build_index(spark, src, out)
         _ENGINE_CACHE[key] = Index(spark, out)

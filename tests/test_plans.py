@@ -1,0 +1,50 @@
+"""Physical-plan guards: the pruned-scan properties the 100 TB design
+relies on must appear in `.explain` (pushdown regressions are silent
+otherwise)."""
+
+import pytest
+
+from photon_spark.analysis import FIELD_ALL
+from photon_spark.query.executor import Index
+
+
+@pytest.fixture(scope="module")
+def index(spark, index_dir):
+    return Index(spark, index_dir, cache=False)
+
+
+def _formatted(df):
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_postings_scan_is_pruned(index):
+    plan = _formatted(index.raw_blocks(FIELD_ALL, ["merge", "stream"]))
+    assert "PartitionFilters" in plan and "field" in plan
+    assert "PushedFilters" in plan and "In(term, [merge,stream]" in plan
+    # column pruning: the scan must not read doc/tf payloads it won't use
+    assert "ReadSchema" in plan
+
+
+def test_brute_force_topk_uses_take_ordered(spark):
+    import numpy as np
+
+    from photon_spark.datapipe.similarity import brute_force_topk
+
+    rng = np.random.RandomState(3)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    plan = _formatted(brute_force_topk(df, [0.1] * 8, k=5))
+    assert "TakeOrderedAndProject" in plan  # per-partition heaps, no global sort
+
+
+def test_scoring_join_is_broadcast(index):
+    from photon_spark.query.compiler import compile_query
+
+    plan = compile_query("merge stream", index, lenient=False)
+    df = index._eval_plan(plan)
+    s = _formatted(df)
+    assert "BroadcastHashJoin" in s or "BroadcastExchange" in s
