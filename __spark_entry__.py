@@ -340,6 +340,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["engine_search_full"] = lambda s, d: _engine_search_df(s, d, "table merge stream", k=10)
     q["engine_search_short"] = lambda s, d: _engine_search_df(s, d, "tab", k=10)
 
+    def _engine_reverse(s, d):
+        idx = _engine(s, d)
+        probe = idx.docs().orderBy("ord").head()
+        hits = idx.reverse(probe["repo"], probe["path"], k=10, radius=6)
+        return s.createDataFrame(
+            [(i + 1, h["doc_id"], h["repo"], h["path"], int(h["distance"]))
+             for i, h in enumerate(hits)],
+            "rank int, doc_id string, repo string, path string, distance int",
+        )
+
+    q["engine_reverse"] = _engine_reverse  # rows-only: tree-distance lookup
+
     return q
 
 

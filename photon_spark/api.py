@@ -114,3 +114,25 @@ class SearchAPI:
     def structured(self, params: dict) -> dict:
         sq, k = validate_structured(params)
         return format_results(self.backend.structured_search(sq, k=k))
+
+    def reverse(self, params: dict) -> dict:
+        unknown = set(params) - {"repo", "path", "limit", "radius"}
+        if unknown:
+            raise BadRequest(f"unknown parameters: {sorted(unknown)}")
+        if not params.get("repo") and not params.get("path"):
+            raise BadRequest("reverse needs repo and/or path")
+        try:
+            radius = int(params.get("radius", 8))
+        except (TypeError, ValueError):
+            raise BadRequest("invalid radius")
+        hits = self.backend.reverse(
+            params.get("repo") or "", params.get("path") or "",
+            k=_limit({"limit": params.get("limit", 1)}), radius=radius,
+        )
+        out = format_results(hits)
+        for f, h in zip(out["features"], hits):
+            f["properties"]["distance"] = h["distance"]
+        return out
+
+    def status(self) -> dict:
+        return self.backend.status()

@@ -265,3 +265,18 @@ class OracleIndex:
         from photon_spark.query.search_flow import run_structured
 
         return run_structured(self, sq, k=k)
+
+    def reverse(
+        self, repo: str, path: str, k: int = 1, radius: int = 8
+    ) -> list[dict]:
+        """Reverse lookup twin (pure python tree distance)."""
+        from photon_spark.query.reverse import coord_segments, tree_distance
+
+        q = coord_segments(repo, path)
+        rows = []
+        for d in self.docs.values():
+            dist = tree_distance(coord_segments(d["repo"], d["path"]), q)
+            if dist <= radius:
+                rows.append({**{k2: d[k2] for k2 in ("doc", "doc_id", "repo", "path", "lang", "importance")}, "distance": dist})
+        rows.sort(key=lambda r: (r["distance"], -r["importance"], r["doc"]))
+        return rows[:k]

@@ -524,3 +524,23 @@ class Index:
         from photon_spark.query.search_flow import run_structured
 
         return run_structured(self, sq, k=k)
+
+    def reverse(
+        self, repo: str, path: str, k: int = 1, radius: int = 8
+    ) -> list[dict]:
+        """Reverse lookup (Q15/Q16 graft): nearest docs in the repo
+        tree; see photon_spark.query.reverse."""
+        from photon_spark.query.reverse import reverse_candidates
+
+        return [r.asDict() for r in reverse_candidates(self.docs(), repo, path, k, radius).collect()]
+
+    def status(self) -> dict:
+        """/status analog (reference App.java:448-455 + DatabaseProperties):
+        index metadata for health checks."""
+        return {
+            "status": "Ok",
+            "version": self.meta.get("version"),
+            "n_docs": self.n_docs,
+            "next_ord": self.next_ord,
+            "segments": len(self.meta.get("segments", [])),
+        }

@@ -1,0 +1,84 @@
+"""Reverse lookup — the graft of photon's /reverse endpoint
+(reference: opensearch/ReverseQueryBuilder.java:10-16 geo_distance
+filter; OpenSearchReverseHandler.java:50-67 distance sort;
+query/ReverseRequest.java:13-19 defaults radius 1.0, limit 1).
+
+Corpus analog: the "coordinate" is a position in the repository tree
+— ``(repo, path)``. The distance between two files is the TREE
+distance between their directory nodes (segments to walk up from one
+to the common ancestor plus down to the other), the natural metric
+of the corpus exactly as haversine is for places. ``radius`` bounds
+the tree distance (the km-radius analog); results sort by distance
+asc, then importance desc, then doc asc (photon's distance sort with
+its deterministic tie-break).
+
+Both evaluators (Spark columnar + oracle python) share the metric
+definition; rank identity is pinned in tests/test_reverse.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_RADIUS = 8  # tree hops; analog of the 1.0 km default
+DEFAULT_LIMIT = 1   # ReverseRequest.java:19
+
+
+def coord_segments(repo: str, path: str) -> list[str]:
+    """The tree coordinate: repo segments + directory segments + file."""
+    segs = [s for s in (repo or "").split("/") if s]
+    segs += [s for s in (path or "").split("/") if s]
+    return segs
+
+
+def tree_distance(a: list[str], b: list[str]) -> int:
+    """Hops up from a to the common ancestor + hops down to b."""
+    lcp = 0
+    for x, y in zip(a, b):
+        if x != y:
+            break
+        lcp += 1
+    return (len(a) - lcp) + (len(b) - lcp)
+
+
+def tree_distance_col(segs_col: Column, query_segs: list[str]) -> Column:
+    """Columnar twin of :func:`tree_distance` for a fixed query point:
+    a fold over zipped segments tracking (still-matching, lcp)."""
+    q = F.array(*[F.lit(s) for s in query_segs])
+    # pad the zip to max length with nulls; count pairwise equals while
+    # the prefix is unbroken
+    zipped = F.zip_with(segs_col, q, lambda x, y: (x == y).cast("int"))
+    lcp = F.aggregate(
+        zipped,
+        F.struct(F.lit(1).alias("run"), F.lit(0).alias("n")),
+        lambda acc, v: F.struct(
+            (acc["run"] * F.coalesce(v, F.lit(0))).alias("run"),
+            (acc["n"] + acc["run"] * F.coalesce(v, F.lit(0))).alias("n"),
+        ),
+        lambda acc: acc["n"],
+    )
+    return (F.size(segs_col) - lcp) + (F.lit(len(query_segs)) - lcp)
+
+
+def reverse_candidates(
+    docs: DataFrame,
+    repo: str,
+    path: str,
+    k: int = DEFAULT_LIMIT,
+    radius: int = DEFAULT_RADIUS,
+) -> DataFrame:
+    """Nearest docs to the (repo, path) coordinate within ``radius``
+    tree hops, sorted (distance asc, importance desc, doc asc)."""
+    q = coord_segments(repo, path)
+    segs = F.filter(
+        F.concat(F.split(F.col("repo"), "/"), F.split(F.col("path"), "/")),
+        lambda s: s != F.lit(""),
+    )
+    with_d = docs.withColumn("distance", tree_distance_col(segs, q))
+    return (
+        with_d.filter(F.col("distance") <= radius)
+        .orderBy(F.asc("distance"), F.desc("importance"), F.asc("doc"))
+        .limit(k)
+        .select("doc", "doc_id", "repo", "path", "lang", "importance", "distance")
+    )

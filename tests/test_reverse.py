@@ -1,0 +1,57 @@
+"""Reverse lookup (Q15/Q16 graft): rank identity + radius semantics."""
+
+import pytest
+
+from photon_spark.query.executor import Index
+from photon_spark.query.reverse import coord_segments, tree_distance
+
+
+@pytest.fixture(scope="module")
+def engine(spark, index_dir):
+    return Index(spark, index_dir, cache=False)
+
+
+def test_tree_distance():
+    a = coord_segments("org/proj", "src/core/File.py")
+    assert tree_distance(a, a) == 0
+    b = coord_segments("org/proj", "src/core/Other.py")
+    assert tree_distance(a, b) == 2  # up one, down one
+    c = coord_segments("org/proj", "src/util/File.py")
+    assert tree_distance(a, c) == 4
+    d = coord_segments("other/repo", "src/core/File.py")
+    assert tree_distance(a, d) == 10
+
+
+def test_reverse_self_is_nearest(engine, oracle):
+    any_doc = next(iter(oracle.docs.values()))
+    got = engine.reverse(any_doc["repo"], any_doc["path"], k=1)
+    assert got[0]["doc_id"] == any_doc["doc_id"]
+    assert got[0]["distance"] == 0
+
+
+@pytest.mark.parametrize("k,radius", [(1, 8), (5, 6), (10, 4)])
+def test_reverse_rank_identity(engine, oracle, k, radius):
+    probe = next(iter(oracle.docs.values()))
+    got = [(h["doc"], h["distance"]) for h in
+           engine.reverse(probe["repo"], probe["path"], k=k, radius=radius)]
+    want = [(h["doc"], h["distance"]) for h in
+            oracle.reverse(probe["repo"], probe["path"], k=k, radius=radius)]
+    assert got == want
+
+
+def test_reverse_radius_excludes(engine):
+    hits = engine.reverse("no/suchrepo", "none/at/all.py", k=10, radius=0)
+    assert hits == []
+
+
+def test_api_reverse_and_status(spark, index_dir):
+    from photon_spark.api import BadRequest, SearchAPI
+
+    api = SearchAPI(Index(spark, index_dir, cache=False))
+    st = api.status()
+    assert st["status"] == "Ok" and st["n_docs"] > 0
+    any_doc = api.backend.docs().head()
+    out = api.reverse({"repo": any_doc["repo"], "path": any_doc["path"], "limit": 3})
+    assert out["features"][0]["properties"]["distance"] == 0
+    with pytest.raises(BadRequest):
+        api.reverse({"limit": 1})
