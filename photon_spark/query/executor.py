@@ -504,6 +504,27 @@ class Index:
         )
         return [r.asDict() for r in rows]
 
+    def candidates_multi(
+        self, plans: list[SearchPlan], ext_limit: int
+    ) -> list[list[dict]]:
+        """Evaluate several plans in ONE Spark job (the speculative
+        strict+lenient execution: photon's two-pass retry P6 costs two
+        round-trips; evaluating both upfront costs ~one). Results are
+        identical to sequential candidates() calls — the caller still
+        picks strict-first. Non-scoring filter context differs per
+        plan only in `filters`/include/exclude, which the batch path
+        doesn't model — callers must pass plans sharing those (true
+        for strict/lenient pairs) or fall back to candidates().
+        """
+        from photon_spark.query.batch import _batch_candidates, _offset_ids
+
+        keyed = {}
+        for i, p in enumerate(plans):
+            _offset_ids(p.root, (i + 1) * 100_000)
+            keyed[i] = p
+        out = _batch_candidates(self, keyed, ext_limit)
+        return [out.get(i, []) for i in range(len(plans))]
+
     # ---------------- public API ----------------
 
     def search(

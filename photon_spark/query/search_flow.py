@@ -42,10 +42,14 @@ def run_search(
     plan = compile_query(
         q, backend, lenient=False, filters=filters, include=include, exclude=exclude
     )
+    # lazy two-pass (P6): the strict pass usually hits, and compiling
+    # the lenient plan costs real fuzzy-dictionary lookups — measured
+    # slower to speculate both in one job than to retry on empty
     cands = backend.candidates(plan, ext)
     if not cands:
         plan = compile_query(
-            q, backend, lenient=True, filters=filters, include=include, exclude=exclude
+            q, backend, lenient=True, filters=filters,
+            include=include, exclude=exclude,
         )
         cands = backend.candidates(plan, ext)
     return rescore_candidates(q, cands)[:k]
