@@ -97,15 +97,36 @@ def _fuzzy_clauses(
     """Per-clause fuzzy expansion: every graph alternative is fuzzed
     (AUTO per-token unless ``fixed_edits``); expansions merge keeping
     the max boost per term, deterministic order."""
+    token_groups = analyze_search(q)
+    # batch the dictionary grounding: ONE scan per field for all fuzzy
+    # tokens of the query instead of a scan per token (the per-token
+    # scans dominated lenient-plan compile latency). The batch returns
+    # a per-field candidate SUPERSET; fuzzy_expand verifies exactly,
+    # so results are identical to per-token lookups.
+    requests = []
+    for alts in token_groups:
+        for alt in alts:
+            edits = auto_fuzziness(len(alt)) if fixed_edits is None else fixed_edits
+            if edits > 0:
+                requests.append((alt, edits))
+    batch = getattr(dictionary, "fuzzy_candidates_batch", None)
+    shared: list[str] | None = None
+    if batch is not None and len(requests) > 1:
+        shared = batch(field, requests, prefix_len)
+
     clauses = []
-    for alts in analyze_search(q):
+    for alts in token_groups:
         merged: dict[str, float] = {}
         for alt in alts:
             edits = auto_fuzziness(len(alt)) if fixed_edits is None else fixed_edits
             if edits == 0:
                 merged[alt] = max(merged.get(alt, 0.0), 1.0)
                 continue
-            cands = dictionary.fuzzy_candidates(field, alt, edits, prefix_len)
+            cands = (
+                shared
+                if shared is not None
+                else dictionary.fuzzy_candidates(field, alt, edits, prefix_len)
+            )
             for term, boost in fuzzy_expand(alt, cands, edits, prefix_len):
                 if merged.get(term, 0.0) < boost:
                     merged[term] = boost

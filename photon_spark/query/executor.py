@@ -249,6 +249,51 @@ class Index:
             field, token[:prefix_len], len(token) - edits, len(token) + edits
         )
 
+    def fuzzy_candidates_batch(
+        self, field: str, requests: list[tuple[str, int]], prefix_len: int
+    ) -> list[str]:
+        """One dictionary/deletion scan covering all (token, edits)
+        requests of a field — returns the candidate UNION (a superset
+        per request; fuzzy_expand verifies exactly)."""
+        del_dir = os.path.join(self.dir, "deletions")
+        if os.path.isdir(del_dir):
+            from photon_spark.index.deletions import (
+                MAX_TERM_LEN_FOR_DELETES,
+                deletion_variants,
+            )
+
+            variants: set[str] = set()
+            ok = True
+            for token, edits in requests:
+                if len(token) > MAX_TERM_LEN_FOR_DELETES:
+                    ok = False
+                    break
+                variants |= deletion_variants(token, edits)
+            if ok and variants:
+                if getattr(self, "_del_df", None) is None:
+                    self._del_df = self.spark.read.parquet(del_dir)
+                rows = (
+                    self._del_df.filter(F.col("field") == field)
+                    .filter(F.col("variant").isin(sorted(variants)))
+                    .select("term")
+                    .distinct()
+                    .collect()
+                )
+                return sorted(r["term"] for r in rows)
+        cond = None
+        for token, edits in requests:
+            c = F.col("term").startswith(token[:prefix_len]) & F.length(
+                "term"
+            ).between(len(token) - edits, len(token) + edits)
+            cond = c if cond is None else (cond | c)
+        rows = (
+            self._dict_df.filter(F.col("field") == field)
+            .filter(cond)
+            .select("term")
+            .collect()
+        )
+        return sorted(r["term"] for r in rows)
+
     def terms_with_prefix(
         self, field: str, prefix: str, min_len: int, max_len: int
     ) -> list[str]:
