@@ -17,7 +17,7 @@ from photon_spark.query.compiler import StructuredQuery
 MAX_RESULTS = 50  # config/ApiServerConfig.java:42-50
 DEFAULT_LIMIT = 15  # query/RequestBase.java:13
 
-_SEARCH_PARAMS = {"q", "limit", "lang", "repo", "include", "exclude", "k"}
+_SEARCH_PARAMS = {"q", "limit", "lang", "repo", "include", "exclude", "k", "osm_tag"}
 _STRUCTURED_PARAMS = {"repo", "directory", "name", "ext", "lang", "limit"}
 
 
@@ -51,12 +51,21 @@ def validate_search(params: dict) -> dict:
         filters["lang"] = str(params["lang"])
     if params.get("repo"):
         filters["repo"] = str(params["repo"])
+    osm_tag = params.get("osm_tag") or []
+    if osm_tag:
+        from photon_spark.query.tagfilter import BadTagFilter, parse_tag_filters
+
+        try:
+            parse_tag_filters(list(osm_tag))
+        except BadTagFilter as e:
+            raise BadRequest(str(e))
     return {
         "q": q,
         "k": _limit(params),
         "filters": filters or None,
         "include": list(include),
         "exclude": list(exclude),
+        "osm_tag": list(osm_tag),
     }
 
 
@@ -107,7 +116,7 @@ class SearchAPI:
         v = validate_search(params)
         hits = self.backend.search(
             v["q"], k=v["k"], filters=v["filters"],
-            include=v["include"], exclude=v["exclude"],
+            include=v["include"], exclude=v["exclude"], osm_tag=v["osm_tag"],
         )
         return format_results(hits)
 

@@ -218,6 +218,8 @@ class OracleIndex:
         exc_set: set[int] = set()
         for t in sorted(set(plan.exclude)):
             exc_set |= set(all_fp.get(t, {}))
+        from photon_spark.query.tagfilter import ext_of_path, tag_predicate_py
+
         rows = []
         for d, s in scored.items():
             if fset is not None and d not in fset:
@@ -227,6 +229,10 @@ class OracleIndex:
             if d in exc_set:
                 continue
             meta = self.docs[d]
+            if plan.tag_filters and not tag_predicate_py(
+                plan.tag_filters, meta["lang"], ext_of_path(meta["path"])
+            ):
+                continue
             os_score = s
             if plan.type_weight:
                 os_score = os_score + (
@@ -257,8 +263,12 @@ class OracleIndex:
         filters: dict[str, str] | None = None,
         include: list[str] | None = None,
         exclude: list[str] | None = None,
+        osm_tag: list[str] | None = None,
     ) -> list[dict]:
-        return run_search(self, q, k=k, filters=filters, include=include, exclude=exclude)
+        return run_search(
+            self, q, k=k, filters=filters, include=include,
+            exclude=exclude, osm_tag=osm_tag,
+        )
 
     def structured_search(self, sq, k: int = 15) -> list[dict]:
         """Field-wise structured search (P5); see run_structured."""
@@ -267,14 +277,23 @@ class OracleIndex:
         return run_structured(self, sq, k=k)
 
     def reverse(
-        self, repo: str, path: str, k: int = 1, radius: int = 8
+        self, repo: str, path: str, k: int = 1, radius: int = 8,
+        osm_tag: list[str] | None = None,
     ) -> list[dict]:
         """Reverse lookup twin (pure python tree distance)."""
         from photon_spark.query.reverse import coord_segments, tree_distance
+        from photon_spark.query.tagfilter import (
+            ext_of_path,
+            parse_tag_filters,
+            tag_predicate_py,
+        )
 
+        tfs = parse_tag_filters(osm_tag)
         q = coord_segments(repo, path)
         rows = []
         for d in self.docs.values():
+            if tfs and not tag_predicate_py(tfs, d["lang"], ext_of_path(d["path"])):
+                continue
             dist = tree_distance(coord_segments(d["repo"], d["path"]), q)
             if dist <= radius:
                 rows.append({**{k2: d[k2] for k2 in ("doc", "doc_id", "repo", "path", "lang", "importance")}, "distance": dist})

@@ -24,7 +24,7 @@ from pyspark.sql.window import Window
 
 from photon_spark.query import scoring
 from photon_spark.query.compiler import compile_query
-from photon_spark.query.plan import Bool, DisMax, FnMul, Match, PlanNode, SearchPlan
+from photon_spark.query.plan import Bool, DisMax, FnMul, PlanNode, SearchPlan
 from photon_spark.query.rerank import rescore_candidates
 from photon_spark.query.search_flow import ext_limit_for
 

@@ -152,6 +152,7 @@ def compile_query(
     filters: dict[str, str] | None = None,
     include: list[str] | None = None,
     exclude: list[str] | None = None,
+    osm_tag: list[str] | None = None,
 ) -> SearchPlan:
     ids = _NodeIds()
     synonyms = getattr(dictionary, "synonyms", None)
@@ -166,6 +167,10 @@ def compile_query(
         plan = _full_plan(stripped, dictionary, lenient, filters, ids)
     plan.include = _cat_terms(include)
     plan.exclude = _cat_terms(exclude)
+    if osm_tag:
+        from photon_spark.query.tagfilter import parse_tag_filters
+
+        plan.tag_filters = parse_tag_filters(osm_tag)
     return plan
 
 

@@ -521,6 +521,13 @@ class Index:
             * F.lit(plan.importance_factor)
         )
         joined = joined.withColumn("os_score", os_score)
+        if plan.tag_filters:
+            from photon_spark.query.tagfilter import ext_col, tag_predicate_col
+
+            pred = tag_predicate_col(
+                plan.tag_filters, F.col("lang"), ext_col(F.col("path"))
+            )
+            joined = joined.filter(pred)
         fdf = self.filter_docs(plan.filters)
         if fdf is not None:
             joined = joined.join(fdf.withColumnRenamed("doc", "ord"), "ord", "left_semi")
@@ -579,10 +586,14 @@ class Index:
         filters: dict[str, str] | None = None,
         include: list[str] | None = None,
         exclude: list[str] | None = None,
+        osm_tag: list[str] | None = None,
     ) -> list[dict]:
         """Free-text search: strict pass, lenient retry, rescore
         pipeline, limit — the full reference flow."""
-        return run_search(self, q, k=k, filters=filters, include=include, exclude=exclude)
+        return run_search(
+            self, q, k=k, filters=filters, include=include,
+            exclude=exclude, osm_tag=osm_tag,
+        )
 
     def structured_search(self, sq, k: int = 15) -> list[dict]:
         """Field-wise structured search (P5): three-pass retry +
@@ -592,13 +603,28 @@ class Index:
         return run_structured(self, sq, k=k)
 
     def reverse(
-        self, repo: str, path: str, k: int = 1, radius: int = 8
+        self, repo: str, path: str, k: int = 1, radius: int = 8,
+        osm_tag: list[str] | None = None,
     ) -> list[dict]:
         """Reverse lookup (Q15/Q16 graft): nearest docs in the repo
-        tree; see photon_spark.query.reverse."""
+        tree; optional tag filters apply like the reference's
+        reverseWithTags. See photon_spark.query.reverse."""
         from photon_spark.query.reverse import reverse_candidates
 
-        return [r.asDict() for r in reverse_candidates(self.docs(), repo, path, k, radius).collect()]
+        docs = self.docs()
+        if osm_tag:
+            from photon_spark.query.tagfilter import (
+                ext_col,
+                parse_tag_filters,
+                tag_predicate_col,
+            )
+
+            docs = docs.filter(
+                tag_predicate_col(
+                    parse_tag_filters(osm_tag), F.col("lang"), ext_col(F.col("path"))
+                )
+            )
+        return [r.asDict() for r in reverse_candidates(docs, repo, path, k, radius).collect()]
 
     def status(self) -> dict:
         """/status analog (reference App.java:448-455 + DatabaseProperties):

@@ -86,6 +86,9 @@ class SearchPlan:
     # IMPORTANCE_FACTOR(30) × importanceWeight(1.0), missing → 1e-5)
     importance_factor: float = 30.0
     filters: dict[str, str] | None = None
+    # OSM-tag filter algebra (Q19, searcher/TagFilter.java) — parsed
+    # TagFilter objects over the (lang, ext) pair
+    tag_filters: list = field(default_factory=list)
     # category algebra (reference Q20, opensearch/CategoryFilter.java:
     # 21-40, docs/categories.md): include = doc must match ANY of these
     # '#'-terms; exclude = doc must match NONE of them

@@ -37,10 +37,12 @@ def run_search(
     filters: dict[str, str] | None = None,
     include: list[str] | None = None,
     exclude: list[str] | None = None,
+    osm_tag: list[str] | None = None,
 ) -> list[dict]:
     ext = ext_limit_for(k)
     plan = compile_query(
-        q, backend, lenient=False, filters=filters, include=include, exclude=exclude
+        q, backend, lenient=False, filters=filters, include=include,
+        exclude=exclude, osm_tag=osm_tag,
     )
     # lazy two-pass (P6): the strict pass usually hits, and compiling
     # the lenient plan costs real fuzzy-dictionary lookups — measured
@@ -49,7 +51,7 @@ def run_search(
     if not cands:
         plan = compile_query(
             q, backend, lenient=True, filters=filters,
-            include=include, exclude=exclude,
+            include=include, exclude=exclude, osm_tag=osm_tag,
         )
         cands = backend.candidates(plan, ext)
     return rescore_candidates(q, cands)[:k]

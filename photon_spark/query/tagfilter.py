@@ -1,0 +1,152 @@
+"""OSM-tag filter algebra (Q19) — exact graft of the reference's
+3-state tag filters (parser searcher/TagFilter.java:30-69; combiner
+opensearch/OsmTagFilter.java:20-89; truth table pinned by
+query/QueryFilterTagValueTest.java:97-133).
+
+Corpus mapping: ``osm_key`` ≈ ``lang``, ``osm_value`` ≈ ``ext`` (the
+file extension) — one categorical pair per doc, same shape as the
+reference's (tag key, tag value).
+
+Syntax (same as the reference's ``osm_tag`` parameter):
+  ``key:value``  include pair        ``key``      include key
+  ``:value``     include value       ``!key``     exclude key
+  ``!key:value`` exclude pair        ``key:!value`` include key with
+  ``:!value``    exclude value                      NOT value
+Combination: bool(must(should(include-filters)),
+mustNot(should(exclude-filters))) — i.e. a doc passes iff (no include
+filters OR any include matches) AND no exclude matches.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from enum import Enum
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+class Kind(Enum):
+    INCLUDE = "include"
+    EXCLUDE = "exclude"
+    EXCLUDE_VALUE = "exclude_value"
+
+
+class BadTagFilter(ValueError):
+    """Invalid osm_tag format (reference → HTTP 400)."""
+
+
+@dataclass(frozen=True)
+class TagFilter:
+    kind: Kind
+    key: str | None
+    value: str | None
+
+
+def parse_tag_filter(filt: str) -> TagFilter:
+    """Exact port of TagFilter.buildOsmTagFilter (TagFilter.java:30-69)."""
+    kind = None
+    key = None
+    value = None
+    parts = filt.split(":")
+    if len(parts) == 2:
+        exclude_key = parts[0].startswith("!")
+        exclude_value = parts[1].startswith("!")
+        key = (parts[0][1:] if exclude_key else parts[0]).strip() or None
+        value = (parts[1][1:] if exclude_value else parts[1]).strip()
+        if value:
+            if key is not None and not exclude_key and exclude_value:
+                kind = Kind.EXCLUDE_VALUE
+            else:
+                kind = Kind.EXCLUDE if (exclude_key or exclude_value) else Kind.INCLUDE
+    elif len(parts) == 1 and parts[0] == filt:
+        exclude = filt.startswith("!")
+        key = filt[1:] if exclude else filt
+        if key:
+            kind = Kind.EXCLUDE if exclude else Kind.INCLUDE
+    if kind is None:
+        raise BadTagFilter(f"Invalid format for osm_tag parameter: {filt!r}")
+    return TagFilter(kind, key, value if value else None)
+
+
+def parse_tag_filters(filters: list[str] | None) -> list[TagFilter]:
+    return [parse_tag_filter(f) for f in (filters or [])]
+
+
+# ---------------------------------------------------------------------------
+# evaluation — Spark Column predicate and pure-python twin
+# ---------------------------------------------------------------------------
+
+def _single_col(tf: TagFilter, key_col: Column, val_col: Column) -> Column:
+    """The per-filter match predicate (OsmTagFilter.addOsmTagFilter)."""
+    if tf.kind == Kind.EXCLUDE_VALUE:
+        return key_col.eqNullSafe(tf.key) & ~val_col.eqNullSafe(tf.value)
+    if tf.value is None:
+        return key_col.eqNullSafe(tf.key)
+    if tf.key is None:
+        return val_col.eqNullSafe(tf.value)
+    return key_col.eqNullSafe(tf.key) & val_col.eqNullSafe(tf.value)
+
+
+def tag_predicate_col(
+    filters: list[TagFilter], key_col: Column, val_col: Column
+) -> Column | None:
+    """bool(must(should(includes)), mustNot(should(excludes)))."""
+    if not filters:
+        return None
+    inc, exc = None, None
+    for tf in filters:
+        p = _single_col(tf, key_col, val_col)
+        if tf.kind == Kind.EXCLUDE:
+            exc = p if exc is None else (exc | p)
+        else:
+            inc = p if inc is None else (inc | p)
+    out = None
+    if inc is not None:
+        out = inc
+    if exc is not None:
+        out = ~exc if out is None else (out & ~exc)
+    return out
+
+
+def _single_py(tf: TagFilter, key: str | None, value: str | None) -> bool:
+    if tf.kind == Kind.EXCLUDE_VALUE:
+        return key == tf.key and value != tf.value
+    if tf.value is None:
+        return key == tf.key
+    if tf.key is None:
+        return value == tf.value
+    return key == tf.key and value == tf.value
+
+
+def tag_predicate_py(
+    filters: list[TagFilter], key: str | None, value: str | None
+) -> bool:
+    if not filters:
+        return True
+    inc_seen, inc_hit, exc_hit = False, False, False
+    for tf in filters:
+        m = _single_py(tf, key, value)
+        if tf.kind == Kind.EXCLUDE:
+            exc_hit = exc_hit or m
+        else:
+            inc_seen = True
+            inc_hit = inc_hit or m
+    return (inc_hit or not inc_seen) and not exc_hit
+
+
+def ext_of_path(path: str | None) -> str | None:
+    """The doc's osm_value analog: the file extension (folded)."""
+    segs = [s for s in (path or "").split("/") if s]
+    if segs and "." in segs[-1][1:]:
+        return segs[-1].rpartition(".")[2].lower()
+    return None
+
+
+def ext_col(path_col: Column) -> Column:
+    base = F.element_at(F.split(path_col, "/"), -1)
+    ext = F.lower(F.element_at(F.split(base, r"\."), -1))
+    has_ext = (F.size(F.split(base, r"\.")) > 1) & (
+        F.length(base) > F.length(ext) + 1
+    )
+    return F.when(has_ext, ext)

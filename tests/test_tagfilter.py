@@ -1,0 +1,120 @@
+"""Q19 tag-filter algebra: the reference truth table
+(QueryFilterTagValueTest.java:97-133) translated 1:1 — (lang, ext)
+plays (osm_key, osm_value); 9 pairs × 2 docs, query 'myplace'."""
+
+import pandas as pd
+import pytest
+
+from photon_spark.index.build import build_index
+from photon_spark.oracle.oracle import OracleIndex
+from photon_spark.query.executor import Index
+from photon_spark.query.tagfilter import BadTagFilter, parse_tag_filter
+
+# (key=lang, value=ext) — mirrors the reference TAGS list
+TAGS = [
+    ("tourism", "attraction"),
+    ("tourism", "hotel"),
+    ("tourism", "museum"),
+    ("tourism", "information"),
+    ("amenity", "parking"),
+    ("amenity", "restaurant"),
+    ("amenity", "information"),
+    ("food", "information"),
+    ("railway", "station"),
+]
+
+
+def _corpus() -> pd.DataFrame:
+    rows = []
+    i = 0
+    for key, value in TAGS:
+        for _ in range(2):
+            rows.append(
+                (
+                    "org/tags",
+                    f"data/MyPlace{i}.{value}",
+                    f"{i:040d}"[:40],
+                    key,
+                    f"unique content {i} for myplace number {i}",
+                    0.5,
+                )
+            )
+            i += 1
+    return pd.DataFrame(
+        rows, columns=["repo", "path", "commit", "lang", "content", "importance"]
+    )
+
+
+@pytest.fixture(scope="module")
+def tag_engine(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("tag_idx"))
+    build_index(spark, spark.createDataFrame(_corpus()), out)
+    return Index(spark, out, cache=False)
+
+
+@pytest.fixture(scope="module")
+def tag_oracle():
+    return OracleIndex(_corpus())
+
+
+SINGLE = [  # QueryFilterTagValueTest.simpleTagFilterProvider
+    ("tourism:attraction", 2),
+    (":attraction", 2),
+    (":information", 6),
+    ("tourism", 8),
+    ("!tourism:attraction", 16),
+    (":!information", 12),
+    ("!tourism", 10),
+    ("tourism:!information", 6),
+]
+
+COMBINED = [  # QueryFilterTagValueTest.combinedTagFilterProvider
+    (["food", "amenity"], 8),
+    ([":parking", ":museum"], 4),
+    (["food", ":information"], 6),
+    (["!tourism", "!amenity"], 4),
+    (["tourism", "!amenity"], 8),
+    ([":information", "!amenity"], 4),
+    (["tourism:!information", "food"], 8),
+    (["tourism:!information", "tourism:!hotel"], 8),
+    (["tourism", "!:information", "food"], 6),
+]
+
+
+@pytest.mark.parametrize("filt,expected", SINGLE)
+def test_single_tag_filter(tag_engine, tag_oracle, filt, expected):
+    got = tag_engine.search("myplace", k=50, osm_tag=[filt])
+    assert len(got) == expected, filt
+    want = tag_oracle.search("myplace", k=50, osm_tag=[filt])
+    assert [h["doc"] for h in got] == [h["doc"] for h in want]
+
+
+@pytest.mark.parametrize("filts,expected", COMBINED)
+def test_combined_tag_filter(tag_engine, tag_oracle, filts, expected):
+    got = tag_engine.search("myplace", k=50, osm_tag=filts)
+    assert len(got) == expected, filts
+    want = tag_oracle.search("myplace", k=50, osm_tag=filts)
+    assert [h["doc"] for h in got] == [h["doc"] for h in want]
+
+
+@pytest.mark.parametrize("filt,expected", SINGLE)
+def test_reverse_tag_filter(tag_engine, filt, expected):
+    # the reference pins the same table on /reverse
+    hits = tag_engine.reverse("org/tags", "data/MyPlace0.attraction",
+                              k=50, radius=10, osm_tag=[filt])
+    assert len(hits) == expected, filt
+
+
+def test_parser_errors_and_shapes():
+    with pytest.raises(BadTagFilter):
+        parse_tag_filter("a:b:c")
+    with pytest.raises(BadTagFilter):
+        parse_tag_filter("")
+    with pytest.raises(BadTagFilter):
+        parse_tag_filter("!")
+    t = parse_tag_filter("key:!value")
+    assert t.kind.value == "exclude_value" and t.key == "key" and t.value == "value"
+    t = parse_tag_filter("!key:value")
+    assert t.kind.value == "exclude"
+    t = parse_tag_filter(":value")
+    assert t.key is None and t.value == "value"
