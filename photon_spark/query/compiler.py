@@ -130,8 +130,13 @@ def _fuzzy_clauses(
             for term, boost in fuzzy_expand(alt, cands, edits, prefix_len):
                 if merged.get(term, 0.0) < boost:
                     merged[term] = boost
-        if merged:
-            clauses.append(Clause(sorted(merged.items())))
+        # a clause with NO dictionary candidates must still COUNT:
+        # minimum_should_match counts query clauses, not index hits
+        # (pinned by QueryBasicSearchTest "castillo state thing" —
+        # dropping unmatched clauses silently weakens conjunctions)
+        clauses.append(Clause(sorted(merged.items())))
+    if all(not c.expansions for c in clauses):
+        return []
     return clauses
 
 

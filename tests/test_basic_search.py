@@ -1,0 +1,133 @@
+"""Recall matrix — the reference's QueryBasicSearchTest translated
+over the code corpus (place names → file basenames). Each case builds
+the same minimal corpus the reference seeds and asserts which queries
+find the doc (reference: query/QueryBasicSearchTest.java)."""
+
+import pandas as pd
+import pytest
+
+from photon_spark.index.build import build_index
+from photon_spark.query.executor import Index
+
+
+@pytest.fixture(scope="module")
+def mk(spark, tmp_path_factory):
+    def make(names, dirs="place"):
+        rows = [
+            (
+                "org/basic",
+                f"{dirs}/{name}.txt",
+                f"{i:040d}"[:40],
+                "md",
+                f"body text number {i}",
+                0.0,
+            )
+            for i, name in enumerate(names)
+        ]
+        pdf = pd.DataFrame(
+            rows,
+            columns=["repo", "path", "commit", "lang", "content", "importance"],
+        )
+        out = str(tmp_path_factory.mktemp("basic_idx"))
+        build_index(spark, spark.createDataFrame(pdf), out)
+        return Index(spark, out, cache=False)
+
+    return make
+
+
+def works(idx, *queries):
+    for q in queries:
+        assert idx.search(q), f"query {q!r} found nothing"
+
+
+def fails(idx, *queries):
+    for q in queries:
+        assert idx.search(q) == [], f"query {q!r} unexpectedly matched"
+
+
+def test_case_folding(mk):  # testSearchGetsAllWords analog (BER)
+    idx = mk(["BER"])
+    works(idx, "ber", "Ber", "BER")
+    fails(idx, "bär")  # ä folds to a — 'bar' ≠ 'ber'
+
+
+def test_very_short_name_normalised(mk):  # öl
+    idx = mk(["öl"])
+    works(idx, "Ol", "Öl", "öl", "ol")
+
+
+def test_single_word_name(mk):  # Müggeln
+    idx = mk(["Müggeln"])
+    works(idx, "müggeln", "Müggeln", "muggeln", "mugglen", "mueggeln")
+    fails(idx, "mukklen")
+
+
+def test_ethel_ligature(mk):  # Bœuf / Nœds
+    idx = mk(["Bœuf sur le Toit", "Noeds"])
+    works(idx, "Bœuff", "Boeuff", "Noedss", "Nœdss")
+
+
+def test_e_umlaut_recall(mk):  # Moëns / Mons umlaut folding
+    # German normalization folds both names to "mons" (oe→o), exactly
+    # like the reference's analyzer — every query form must find
+    # Moëns. The reference additionally pins Moëns FIRST, but that
+    # order comes from OpenSearch's insertion-order tie-break; our
+    # deterministic tie-break is content-sha order, so rank-first is
+    # asserted only for the exact form (which wins via the reranker).
+    idx = mk(["Moëns", "Mons"])
+    for q in ("Moëns", "Moens", "Moenss", "Moënss"):
+        hits = idx.search(q)
+        assert any(h["path"].endswith("Moëns.txt") for h in hits), q
+    assert idx.search("Moëns")[0]["path"].endswith("Moëns.txt")
+
+
+@pytest.mark.parametrize(
+    "value", ["with (braces)", "split - up X", "dot.notation.a.x.c"]
+)
+def test_complex_name(mk, value):
+    idx = mk([value])
+    works(idx, value)
+
+
+def test_prefix_matching(mk):  # Mönchengladbach Hbf
+    idx = mk(["Mönchengladbach Hbf"])
+    works(idx, "m", "M", "mo", "Mö", "Mon", "mön", "moen", "moncen", "hbf")
+    fails(idx, "monn")
+
+
+def test_default_name_matrix(mk):  # Muffle Flu
+    idx = mk(["Muffle Flu"])
+    works(idx, "muffle flu", "flu", "muffle", "mufle flu", "muffle flu 9")
+    fails(idx, "huffle fluff")
+
+
+def test_skip_terms(mk):  # Hunted House Hotel
+    idx = mk(["Hunted House Hotel"])
+    works(
+        idx,
+        "hunted",
+        "hunted hotel",
+        "hunted house hotel",
+        "hunted house hotel 7",
+        "hunted hotel 7",
+    )
+
+
+def test_name_and_address_conjunction(mk):
+    # testSearchByNameAndAddress: address parts → directory segments
+    idx = mk(["Castillo"], dirs="callino/madrid/quartier/el-block/montagña/estado")
+    works(
+        idx,
+        "castillo",
+        "castillo callino",
+        "castillo quartier madrid",
+        "castillo block montagna estado",
+    )
+    fails(idx, "castillo state thing")
+
+
+def test_must_contain_a_name_term(mk):
+    # testSearchMustContainANameTerm: Palermo in state Sicilia
+    idx = mk(["Palermo"], dirs="sicilia")
+    works(idx, "Palermo", "Paler", "Palermo Sici", "Sicilia, Paler")
+    fails(idx, "Sicilia", "Sici")
