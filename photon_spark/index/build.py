@@ -40,7 +40,7 @@ from pyspark.sql.window import Window
 
 from photon_spark.analysis import analyze_doc
 from photon_spark.analysis.analyzers import KNOWN_LANGS
-from photon_spark.index.codec import encode_doc_block, encode_tfs
+from photon_spark.index.codec import encode_blocks_bulk
 
 INDEX_FORMAT_VERSION = "2.0.0-1"  # dense-ordinal postings (v1 mirrored Server.java:40)
 
@@ -175,95 +175,122 @@ def _tokenize_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
 def _make_block_encoder(block_size: int, n_buckets: int):
     """Streaming partition encoder: consumes (field, term, doc, tf)
     sorted within the partition, cuts term runs into blocks of
-    ``block_size``, emits encoded posting rows. Carries the open run
-    across Arrow batch boundaries; numpy run-detection, no per-token
-    Python."""
+    ``block_size``, emits encoded posting rows.
+
+    Fully vectorized: per batch, run/block boundaries come from numpy
+    change-flags, per-block max_tf from ``np.maximum.reduceat``, and
+    ALL blocks' varints are written in one pass and sliced out of the
+    shared buffer (codec.encode_blocks_bulk) — a per-(term, block)
+    python loop here was the index-build hot spot (millions of
+    tiny-df ngram terms). The open tail run (< block_size rows)
+    carries across Arrow batch boundaries so mid-run blocks stay
+    full.
+    """
 
     def encode(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        cur_key: tuple[str, str] | None = None
-        cur_docs: list[np.ndarray] = []
-        cur_tfs: list[np.ndarray] = []
-        out: list[tuple] = []
+        carry_key: tuple[str, str] | None = None
+        carry_docs = np.zeros(0, dtype=np.int64)
+        carry_tfs = np.zeros(0, dtype=np.int64)
 
-        def flush(final: bool) -> None:
-            """Emit blocks from the open run. When not final, keep the
-            sub-block remainder so mid-run blocks are always full."""
-            nonlocal cur_docs, cur_tfs
-            if cur_key is None or not cur_docs:
-                cur_docs, cur_tfs = [], []
-                return
-            docs = np.concatenate(cur_docs)
-            tfs = np.concatenate(cur_tfs)
-            n_full = len(docs) if final else (len(docs) // block_size) * block_size
-            field, term = cur_key
-            bucket = zlib.crc32(term.encode("utf-8")) % n_buckets
-            for s in range(0, n_full, block_size):
-                d = docs[s:s + block_size]
-                t = tfs[s:s + block_size]
-                out.append(
-                    (
-                        field,
-                        term,
-                        bucket,
-                        int(d[0]),
-                        int(d[-1]),
-                        len(d),
-                        int(t.max()),
-                        encode_doc_block(d),
-                        encode_tfs(t),
-                    )
-                )
-            if final or n_full == len(docs):
-                cur_docs, cur_tfs = [], []
-            else:
-                cur_docs, cur_tfs = [docs[n_full:]], [tfs[n_full:]]
-
-        def drain() -> pa.RecordBatch:
-            nonlocal out
-            cols = list(zip(*out))
-            rb = pa.RecordBatch.from_arrays(
+        def emit(fields, terms, docs, tfs, run_starts, run_ends, full_only_last):
+            """Encode the given runs; returns a RecordBatch or None.
+            ``full_only_last``: for the final run keep only full
+            blocks (the remainder becomes the carry)."""
+            nonlocal carry_key, carry_docs, carry_tfs
+            block_starts: list[np.ndarray] = []
+            row_field: list[str] = []
+            row_term: list[str] = []
+            counts: list[int] = []
+            for ri, (s, e) in enumerate(zip(run_starts, run_ends)):
+                length = e - s
+                if full_only_last and ri == len(run_starts) - 1:
+                    n_full = (length // block_size) * block_size
+                    carry_key = (fields[s], terms[s])
+                    carry_docs = docs[s + n_full:e].copy()
+                    carry_tfs = tfs[s + n_full:e].copy()
+                    e = s + n_full
+                    if n_full == 0:
+                        continue
+                bs = np.arange(s, e, block_size, dtype=np.int64)
+                block_starts.append(bs)
+                row_field.extend([fields[s]] * len(bs))
+                row_term.extend([terms[s]] * len(bs))
+                counts.append(e - s)
+            if not block_starts:
+                return None
+            starts = np.concatenate(block_starts)
+            # compact the encoded regions (runs may have gaps where the
+            # carry was cut): build the kept index ranges
+            keep = np.concatenate(
                 [
-                    pa.array(cols[0], pa.string()),
-                    pa.array(cols[1], pa.string()),
-                    pa.array(cols[2], pa.int32()),
-                    pa.array(cols[3], pa.int64()),
-                    pa.array(cols[4], pa.int64()),
-                    pa.array(cols[5], pa.int32()),
-                    pa.array(cols[6], pa.int32()),
-                    pa.array(cols[7], pa.binary()),
-                    pa.array(cols[8], pa.binary()),
+                    np.arange(bs[0], bs[0] + c, dtype=np.int64)
+                    for bs, c in zip(block_starts, counts)
+                ]
+            )
+            kd = docs[keep]
+            kt = tfs[keep]
+            # remap block starts into the compacted arrays
+            lens = np.concatenate([[0], np.cumsum(np.asarray(counts))])
+            cstarts = []
+            for bs, c, off in zip(block_starts, counts, lens[:-1]):
+                cstarts.append(bs - bs[0] + off)
+            cstarts = np.concatenate(cstarts)
+            ends = np.append(cstarts[1:], len(kd))
+            ns = (ends - cstarts).astype(np.int64)
+            max_tf = np.maximum.reduceat(kt, cstarts)
+            doc_b, tf_b = encode_blocks_bulk(kd, kt, cstarts)
+            buckets = [zlib.crc32(t.encode("utf-8")) % n_buckets for t in row_term]
+            return pa.RecordBatch.from_arrays(
+                [
+                    pa.array(row_field, pa.string()),
+                    pa.array(row_term, pa.string()),
+                    pa.array(buckets, pa.int32()),
+                    pa.array(kd[cstarts], pa.int64()),
+                    pa.array(kd[ends - 1], pa.int64()),
+                    pa.array(ns.astype(np.int32), pa.int32()),
+                    pa.array(max_tf.astype(np.int32), pa.int32()),
+                    pa.array(doc_b, pa.binary()),
+                    pa.array(tf_b, pa.binary()),
                 ],
                 schema=_POSTINGS_SCHEMA,
             )
-            out = []
-            return rb
 
         for batch in it:
+            if batch.num_rows == 0:
+                continue
             fields = np.asarray(batch.column("field").to_pylist(), dtype=object)
             terms = np.asarray(batch.column("term").to_pylist(), dtype=object)
-            docs = batch.column("doc").to_numpy(zero_copy_only=False)
-            tfs = batch.column("tf").to_numpy(zero_copy_only=False)
-            if len(fields) == 0:
-                continue
-            # run boundaries where (field, term) changes
+            docs = batch.column("doc").to_numpy(zero_copy_only=False).astype(np.int64)
+            tfs = batch.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
+            if carry_key is not None:
+                # prepend the open run (always < block_size rows)
+                ck_f, ck_t = carry_key
+                nc = len(carry_docs)
+                fields = np.concatenate([np.full(nc, ck_f, dtype=object), fields])
+                terms = np.concatenate([np.full(nc, ck_t, dtype=object), terms])
+                docs = np.concatenate([carry_docs, docs])
+                tfs = np.concatenate([carry_tfs, tfs])
+                carry_key, carry_docs, carry_tfs = None, carry_docs[:0], carry_tfs[:0]
             change = np.ones(len(fields), dtype=bool)
             change[1:] = (fields[1:] != fields[:-1]) | (terms[1:] != terms[:-1])
-            starts = np.flatnonzero(change)
-            ends = np.append(starts[1:], len(fields))
-            for s, e in zip(starts, ends):
-                key = (fields[s], terms[s])
-                if key != cur_key:
-                    flush(final=True)
-                    cur_key = key
-                cur_docs.append(docs[s:e])
-                cur_tfs.append(tfs[s:e])
-                if sum(len(a) for a in cur_docs) >= block_size:
-                    flush(final=False)  # cut full blocks, keep memory flat
-            if len(out) >= 1024:
-                yield drain()
-        flush(final=True)
-        if out:
-            yield drain()
+            run_starts = np.flatnonzero(change)
+            run_ends = np.append(run_starts[1:], len(fields))
+            rb = emit(fields, terms, docs, tfs, run_starts, run_ends, True)
+            if rb is not None:
+                yield rb
+        if carry_key is not None and len(carry_docs):
+            f, t = carry_key
+            rb = emit(
+                np.full(len(carry_docs), f, dtype=object),
+                np.full(len(carry_docs), t, dtype=object),
+                carry_docs,
+                carry_tfs,
+                np.array([0]),
+                np.array([len(carry_docs)]),
+                False,
+            )
+            if rb is not None:
+                yield rb
 
     return encode
 

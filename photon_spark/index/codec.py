@@ -94,3 +94,50 @@ def encode_tfs(tfs: np.ndarray) -> bytes:
 
 def decode_tfs(buf: bytes, n: int) -> np.ndarray:
     return decode_varints(buf, n).astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# bulk block encoding — one vectorized pass for ALL blocks of a batch
+# ---------------------------------------------------------------------------
+
+def _varint_lengths(vals: np.ndarray) -> np.ndarray:
+    nb = np.ones(len(vals), dtype=np.int64)
+    for t in _THRESHOLDS:
+        nb += vals >= t
+    return nb
+
+
+def encode_blocks_bulk(
+    docs: np.ndarray, tfs: np.ndarray, block_starts: np.ndarray
+) -> tuple[list[bytes], list[bytes]]:
+    """Encode many posting blocks at once.
+
+    ``docs``/``tfs`` are the concatenated sorted values of all blocks;
+    ``block_starts`` the start index of each block (ascending, first
+    element 0). Per-block output equals ``encode_doc_block`` /
+    ``encode_tfs`` on the block's slice — but the varint write happens
+    in ONE vectorized pass over the whole batch, and blocks are then
+    cut out of the shared buffer (a per-(term,block) python loop was
+    the index-build hot spot: millions of tiny-df ngram terms).
+    """
+    n = len(docs)
+    if n == 0:
+        return [], []
+    u = np.ascontiguousarray(docs, dtype=np.int64).view(np.uint64) + np.uint64(1 << 63)
+    deltas = np.empty_like(u)
+    deltas[0] = u[0]
+    np.subtract(u[1:], u[:-1], out=deltas[1:])
+    deltas[block_starts] = u[block_starts]  # block-initial values are absolute
+
+    doc_buf = encode_varints(deltas)
+    tf_vals = np.ascontiguousarray(tfs, dtype=np.uint64)
+    tf_buf = encode_varints(tf_vals)
+
+    dlen = np.concatenate([[0], np.cumsum(_varint_lengths(deltas))])
+    tlen = np.concatenate([[0], np.cumsum(_varint_lengths(tf_vals))])
+    bounds = np.append(block_starts, n)
+    doc_bytes = [
+        doc_buf[dlen[s]:dlen[e]] for s, e in zip(bounds[:-1], bounds[1:])
+    ]
+    tf_bytes = [tf_buf[tlen[s]:tlen[e]] for s, e in zip(bounds[:-1], bounds[1:])]
+    return doc_bytes, tf_bytes
