@@ -100,6 +100,16 @@ class Index:
         self.synonyms = synonyms  # query-time Synonyms config (A12/A13)
         with open(os.path.join(index_dir, "meta.json")) as f:
             self.meta = json.load(f)
+        # format-version guard (reference: DatabaseProperties.java:31-37
+        # refuses a DB written by an incompatible version)
+        from photon_spark.index.build import INDEX_FORMAT_VERSION
+
+        major = str(self.meta.get("version", "")).split(".")[0]
+        if major != INDEX_FORMAT_VERSION.split(".")[0]:
+            raise ValueError(
+                f"index format {self.meta.get('version')} incompatible with "
+                f"engine {INDEX_FORMAT_VERSION} — rebuild or compact the index"
+            )
         self.n_docs: int = self.meta["n_docs"]
         # ordinal space bound (dense segment docIDs; grows with delta
         # segments, never reused)

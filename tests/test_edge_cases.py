@@ -74,3 +74,18 @@ def test_all_duplicates_collapse(spark, tmp_path_factory):
     assert meta["n_docs"] == 1
     d = idx.docs().collect()[0]
     assert d["n_dupes"] == 5
+
+
+def test_index_version_guard(spark, index_dir, tmp_path_factory):
+    """Reference DatabaseProperties version check analog: an index
+    written by an incompatible major format must be refused."""
+    import json
+    import shutil
+
+    bad = str(tmp_path_factory.mktemp("old_idx")) + "/idx"
+    shutil.copytree(index_dir, bad)
+    meta = json.load(open(bad + "/meta.json"))
+    meta["version"] = "1.0.0-4"
+    json.dump(meta, open(bad + "/meta.json", "w"))
+    with pytest.raises(ValueError, match="incompatible"):
+        Index(spark, bad, cache=False)
