@@ -3,12 +3,20 @@
 * brute_force_topk — exact cosine top-k vs a query vector; one
   narrow map + TakeOrdered (per-partition heaps, no full sort).
   The baseline and the oracle for the ANN path.
-* lsh_ann_topk — random-hyperplane LSH: probe only the query's
-  hash bucket(s); at 100 TB the bucket prune replaces the full scan
-  (bucket is a partition key of the stored index → partition
-  pruning). Recall < 1 by construction; the driver-facing contract
-  is "rows-only" (no SQL oracle), the pytest suite checks
-  recall >= threshold vs brute force.
+* lsh_index / lsh_ann_topk — random-hyperplane LSH. ``lsh_index``
+  MATERIALIZES the bucket assignment as a bucket-partitioned parquet
+  table (+ ``_meta.json`` with the plane parameters); a probe then
+  reads only the query's bucket partitions (``bucket IN (...)`` is a
+  partition filter — the scan prunes to ~|probes|/2^n_planes of the
+  data before any scoring). ``lsh_ann_topk`` without an index falls
+  back to computing buckets on the fly (the small-scale/oracle
+  path). Recall < 1 by construction; pytest checks recall vs brute
+  force.
+* ivf_train / ivf_index / ivf_topk — IVF coarse quantizer.
+  Assignment is a NARROW map (per-row argmax over the broadcast
+  centroid array — no crossJoin, no shuffle); ``ivf_index`` persists
+  the assignment cid-partitioned so a probe is a partition-pruned
+  scan of n_probe clusters.
 
 Hyperplanes are deterministic md5-derived pseudo-gaussians so every
 run (and the oracle, if ever needed) regenerates identical planes.
@@ -16,9 +24,11 @@ run (and the oracle, if ever needed) regenerates identical planes.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import json
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 
 def _as_double(vec_col: str) -> Column:
@@ -92,6 +102,70 @@ def bucket_of(vec_col: str, planes: list[list[float]]) -> Column:
     return acc
 
 
+def _probe_buckets(
+    query_vec: list[float], planes: list[list[float]], multiprobe: int
+) -> list[int]:
+    qb = 0
+    for i, plane in enumerate(planes):
+        if sum(a * b for a, b in zip(query_vec, plane)) > 0:
+            qb |= 1 << i
+    probe = {qb}
+    if multiprobe:
+        for i in range(len(planes)):
+            probe.add(qb ^ (1 << i))
+    return sorted(probe)
+
+
+def lsh_index(
+    df: DataFrame,
+    out_dir: str,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> None:
+    """Materialize the LSH bucket assignment as a bucket-partitioned
+    parquet table — the build step the probe-side partition prune
+    depends on. One narrow map (sign bits against broadcast-literal
+    planes), one write; ``_meta.json`` records the plane parameters
+    so probes regenerate identical planes."""
+    dim = df.select(F.size(F.col(vec_col)).alias("d")).head()["d"]
+    planes = hyperplanes(dim, n_planes, seed)
+    (
+        df.withColumn("bucket", bucket_of(vec_col, planes))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(out_dir)
+    )
+    with open(os.path.join(out_dir, "_meta.json"), "w") as f:
+        json.dump({"n_planes": n_planes, "seed": seed, "dim": dim}, f)
+
+
+def lsh_ann_topk_indexed(
+    spark: SparkSession,
+    index_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe: int = 1,
+) -> DataFrame:
+    """ANN top-k against a materialized :func:`lsh_index` table: the
+    ``bucket IN (...)`` predicate is a PARTITION filter — only the
+    probed buckets' files are read (~(1+n_planes)/2^n_planes of the
+    data at multiprobe=1), then one narrow cosine map + TakeOrdered."""
+    with open(os.path.join(index_dir, "_meta.json")) as f:
+        meta = json.load(f)
+    planes = hyperplanes(meta["dim"], meta["n_planes"], meta["seed"])
+    probe = _probe_buckets(query_vec, planes, multiprobe)
+    cand = spark.read.parquet(index_dir).filter(F.col("bucket").isin(probe))
+    return (
+        cand.select(F.col(id_col), cosine_to_query(vec_col, query_vec).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def lsh_ann_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -102,22 +176,15 @@ def lsh_ann_topk(
     seed: int = 42,
     multiprobe: int = 1,
 ) -> DataFrame:
-    """ANN top-k: score only rows in the query's LSH bucket (plus
-    ``multiprobe`` Hamming-1 neighbor buckets). At scale the bucket
-    column is a partition key → the scan prunes to ~1/2^n_planes of
-    the data before any scoring."""
+    """ANN top-k computing buckets on the fly (the small-scale /
+    oracle path — identical results to the indexed route, which is
+    the deployment shape: build :func:`lsh_index` once, probe with
+    :func:`lsh_ann_topk_indexed`)."""
     dim = len(query_vec)
     planes = hyperplanes(dim, n_planes, seed)
-    qb = 0
-    for i, plane in enumerate(planes):
-        if sum(a * b for a, b in zip(query_vec, plane)) > 0:
-            qb |= 1 << i
-    probe = {qb}
-    if multiprobe:
-        for i in range(n_planes):
-            probe.add(qb ^ (1 << i))
+    probe = _probe_buckets(query_vec, planes, multiprobe)
     cand = df.withColumn("bucket", bucket_of(vec_col, planes)).filter(
-        F.col("bucket").isin(sorted(probe))
+        F.col("bucket").isin(probe)
     )
     return (
         cand.select(F.col(id_col), cosine_to_query(vec_col, query_vec).alias("cosine"))
@@ -130,6 +197,21 @@ def lsh_ann_topk(
 # IVF (inverted-file) ANN: k-means coarse quantizer + cluster-pruned scan
 # ---------------------------------------------------------------------------
 
+def _argmax_cid(centroids: list[list[float]]) -> Column:
+    """Per-row nearest-centroid id as a NARROW expression: the k dot
+    products against literal centroid arrays land in one array column,
+    ``array_position(arr, array_max(arr))`` picks the argmax (first
+    occurrence ⇒ ties break cid-asc). No crossJoin, no shuffle —
+    centroids ship as codegen literals (the broadcast analog)."""
+    dots = F.array(
+        *[
+            _dot(F.col("v"), F.array(*[F.lit(float(x)) for x in c]))
+            for c in centroids
+        ]
+    )
+    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+
+
 def ivf_train(
     df: DataFrame,
     n_clusters: int = 16,
@@ -138,9 +220,10 @@ def ivf_train(
     vec_col: str = "embedding",
 ) -> list[list[float]]:
     """Train the coarse quantizer (Lloyd iterations, fully in
-    DataFrame ops — assignment is a broadcast crossJoin + window
-    argmax, the update a posexplode/groupBy mean; centroids are tiny
-    and round-trip through the driver each iteration).
+    DataFrame ops — assignment is a narrow per-row argmax against
+    literal centroids, the update a posexplode/groupBy mean: ONE
+    shuffle per iteration; centroids are tiny and round-trip through
+    the driver each iteration).
 
     Deterministic: initial centroids are the ``n_clusters`` rows with
     the smallest md5(id) (seeded sample without randomness)."""
@@ -156,18 +239,7 @@ def ivf_train(
     centroids = [list(r["v"]) for r in init]
 
     for _ in range(n_iters):
-        cdf = df.sparkSession.createDataFrame(
-            [(i, c) for i, c in enumerate(centroids)], "cid int, c array<double>"
-        )
-        dot = _dot(F.col("v"), F.col("c"))
-        w = Window.partitionBy("id").orderBy(F.desc("d"), F.asc("cid"))
-        assigned = (
-            v.crossJoin(F.broadcast(cdf))
-            .withColumn("d", dot)
-            .withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select("id", "cid", "v")
-        )
+        assigned = v.withColumn("cid", _argmax_cid(centroids))
         means = (
             assigned.select("cid", F.posexplode("v").alias("pos", "x"))
             .groupBy("cid", "pos")
@@ -191,21 +263,52 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Assign every vector to its nearest centroid → (id, cid, v).
-    At rest, ``cid`` is the partition key: a probe prunes the scan to
-    n_probe/n_clusters of the data before any scoring."""
+    """Assign every vector to its nearest centroid → (id, cid, v):
+    one narrow map (per-row argmax over literal centroids — see
+    :func:`_argmax_cid`), zero shuffles. At rest, ``cid`` is the
+    partition key: a probe prunes the scan to n_probe/n_clusters of
+    the data before any scoring (materialize with :func:`ivf_index`)."""
     v = df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
-    cdf = df.sparkSession.createDataFrame(
-        [(i, c) for i, c in enumerate(centroids)], "cid int, c array<double>"
+    return v.withColumn("cid", _argmax_cid(centroids)).select("id", "cid", "v")
+
+
+def ivf_index(
+    df: DataFrame,
+    out_dir: str,
+    n_clusters: int = 16,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Train + assign + MATERIALIZE the IVF index: the assignment
+    lands cid-partitioned on disk, centroids in ``_meta.json`` — a
+    probe reads only its n_probe cluster partitions. Returns the
+    centroids."""
+    cents = ivf_train(df, n_clusters, n_iters, id_col, vec_col)
+    (
+        ivf_assign(df, cents, id_col, vec_col)
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(out_dir)
     )
-    w = Window.partitionBy("id").orderBy(F.desc("d"), F.asc("cid"))
-    return (
-        v.crossJoin(F.broadcast(cdf))
-        .withColumn("d", _dot(F.col("v"), F.col("c")))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("id", "cid", "v")
-    )
+    with open(os.path.join(out_dir, "_meta.json"), "w") as f:
+        json.dump({"centroids": cents}, f)
+    return cents
+
+
+def ivf_topk_indexed(
+    spark: SparkSession,
+    index_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """ANN top-k against a materialized :func:`ivf_index` table: the
+    ``cid IN (...)`` predicate is a PARTITION filter — only the
+    probed clusters' files are read."""
+    with open(os.path.join(index_dir, "_meta.json")) as f:
+        cents = json.load(f)["centroids"]
+    return ivf_topk(spark.read.parquet(index_dir), cents, query_vec, k, n_probe)
 
 
 def ivf_topk(

@@ -136,6 +136,23 @@ def assign_ordinals(spark: SparkSession, docs_path: str) -> int:
     return acc
 
 
+def write_docs_by_repo(
+    spark: SparkSession, out_dir: str, partitions: int
+) -> None:
+    """Repo-sorted projection of the docs table — the reverse-lookup
+    index (tree-locality analog of photon's BKD geo index): range-
+    partitioned + sorted by (repo, path) so a reverse probe's
+    repo/path-prefix predicate (query/reverse.prune_predicate) prunes
+    parquet row groups instead of scanning the corpus."""
+    (
+        spark.read.parquet(os.path.join(out_dir, "docs"))
+        .repartitionByRange(max(1, int(partitions) // 4), "repo", "path")
+        .sortWithinPartitions("repo", "path")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "docs_by_repo"))
+    )
+
+
 def term_bucket(term: str, n_buckets: int = DEFAULT_N_BUCKETS) -> int:
     """Partition-pruning bucket of a term (crc32, same as F.crc32)."""
     return zlib.crc32(term.encode("utf-8")) % n_buckets
@@ -303,11 +320,17 @@ def build_index(
     block_size: int = DEFAULT_BLOCK_SIZE,
     n_buckets: int = DEFAULT_N_BUCKETS,
     partitions: int | None = None,
+    deletions: bool = True,
 ) -> dict:
     """Run the full index build; returns build metrics.
 
     ``source`` is a DataFrame or parquet path with columns
     (repo, path, commit, lang, content[, importance]).
+
+    ``deletions=True`` (default) materializes the SymSpell
+    deletion-neighborhood table — the scale-safe fuzzy grounding
+    route. Without it the serving path falls back to a capped
+    dictionary prefix scan (recall-lossy past the cap).
     """
     t0 = time.time()
     if isinstance(source, str):
@@ -344,6 +367,7 @@ def build_index(
         "doc"
     ).write.mode("overwrite").parquet(os.path.join(out_dir, "docs"))
     assign_ordinals(spark, os.path.join(out_dir, "docs"))
+    write_docs_by_repo(spark, out_dir, partitions)
 
     # --- tokenize (SPIMI runs), keyed by dense ordinal ---------------
     ords = spark.read.parquet(os.path.join(out_dir, "docs")).select("doc_id", "ord")
@@ -376,6 +400,11 @@ def build_index(
     postings.write.mode("overwrite").partitionBy("field").parquet(
         os.path.join(out_dir, "postings")
     )
+
+    if deletions:
+        from photon_spark.index.deletions import build_deletion_index
+
+        build_deletion_index(spark, out_dir)
 
     docs.unpersist()
     elapsed = time.time() - t0

@@ -100,6 +100,7 @@ def build_index_resumable(
     n_groups: int = DEFAULT_N_GROUPS,
     partitions: int | None = None,
     fail_at_group: int | None = None,
+    deletions: bool = True,
 ) -> dict:
     """Checkpointed build; safe to re-invoke after any crash.
 
@@ -146,6 +147,9 @@ def build_index_resumable(
             "doc"
         ).write.mode("overwrite").parquet(docs_path)
         n_docs = assign_ordinals(spark, docs_path)
+        from photon_spark.index.build import write_docs_by_repo
+
+        write_docs_by_repo(spark, out_dir, partitions)
         mark = st.mark(
             "docs",
             {"n_input_files": n_input, "n_docs": n_docs, "wall_s": time.time() - t0},
@@ -237,6 +241,14 @@ def build_index_resumable(
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
         spark.conf.set("spark.sql.files.openCostInBytes", prev_open)
+
+    # ---- stage: deletions (SymSpell fuzzy table, checkpointed) ------
+    if deletions and st.done("deletions") is None:
+        from photon_spark.index.deletions import build_deletion_index
+
+        t0 = time.time()
+        n_var = build_deletion_index(spark, out_dir)
+        st.mark("deletions", {"n_variants": n_var, "wall_s": time.time() - t0})
 
     # ---- stage: finalize (meta + lineage + metrics tables) ----------
     elapsed = time.time() - t_start

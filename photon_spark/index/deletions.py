@@ -93,7 +93,16 @@ def build_deletion_index(
     max_deletes: int = 2,
 ) -> int:
     """Materialize ``<index>/deletions`` from the dictionary; returns
-    the variant row count. Idempotent overwrite."""
+    the variant row count. Idempotent overwrite.
+
+    Writes ``deletions/_meta.json`` (underscore-prefixed → invisible
+    to parquet readers) recording the build parameters, so the query
+    side can detect a request that EXCEEDS what was built (edits >
+    max_deletes, or a token long enough that in-range dictionary
+    terms were skipped by the length cap) and fall back to the
+    prefix-scan route instead of silently losing recall."""
+    import json
+
     terms = (
         spark.read.parquet(os.path.join(index_dir, "dictionary"))
         .filter(F.col("field").isin(list(fields)))
@@ -112,4 +121,25 @@ def build_deletion_index(
         .partitionBy("field")
         .parquet(os.path.join(index_dir, "deletions"))
     )
+    with open(os.path.join(index_dir, "deletions", "_meta.json"), "w") as f:
+        json.dump(
+            {
+                "max_deletes": max_deletes,
+                "max_term_len": MAX_TERM_LEN_FOR_DELETES,
+                "fields": list(fields),
+            },
+            f,
+        )
     return spark.read.parquet(os.path.join(index_dir, "deletions")).count()
+
+
+def read_deletion_meta(index_dir: str) -> dict | None:
+    """Parameters the deletions table was built with, or None if the
+    table (or its meta — older builds) is absent."""
+    import json
+
+    p = os.path.join(index_dir, "deletions", "_meta.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)

@@ -77,8 +77,16 @@ def apply_updates(
     docs_path = os.path.join(index_dir, "docs")
     old_docs = spark.read.parquet(docs_path)
 
-    # newest op per identity wins (U2)
-    w = Window.partitionBy("repo", "path").orderBy(F.desc("ts"))
+    # newest op per identity wins (U2). Ties on ts resolve
+    # deterministically: an explicit `seq` column (queue sequence
+    # order, NominatimUpdater applies entries in sequence) wins if
+    # present, else delete-beats-upsert ('delete' < 'upsert' asc),
+    # then commit desc — never nondeterministic.
+    order = [F.desc("ts")]
+    if "seq" in updates.columns:
+        order.append(F.desc("seq"))
+    order += [F.asc("op"), F.desc("commit")]
+    w = Window.partitionBy("repo", "path").orderBy(*order)
     latest = (
         updates.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -190,11 +198,33 @@ def apply_updates(
             .parquet(os.path.join(index_dir, "postings_delta", f"seg={seg}"))
         )
 
+    # tombstones: ordinals that died in this batch (affected
+    # identities whose ord is no longer live). O(batch) rows — the
+    # Lucene liveDocs analog; the WAND serving path (which scores raw
+    # postings without a docs join) filters against these
+    affected_ords = old_docs.join(keys, ["repo", "path"], "left_semi").select("ord")
+    dead = affected_ords.join(
+        spark.read.parquet(tmp).select("ord"), "ord", "left_anti"
+    )
+    dead.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(index_dir, "tombstones", f"seg={seg}")
+    )
+
     # atomic docs swap (Iceberg MERGE INTO in production)
     old = docs_path + ".old"
     os.rename(docs_path, old)
     os.rename(tmp, docs_path)
     shutil.rmtree(old)
+
+    # refresh the repo-sorted reverse-lookup projection (stale copies
+    # would serve removed docs); at 10^12 scale this is the Iceberg
+    # sorted-clone maintenance job
+    from photon_spark.index.build import write_docs_by_repo
+
+    if os.path.isdir(os.path.join(index_dir, "docs_by_repo")):
+        write_docs_by_repo(
+            spark, index_dir, int(spark.conf.get("spark.sql.shuffle.partitions"))
+        )
 
     meta["n_docs"] = n_docs
     meta["next_ord"] = next_ord + n_added
@@ -213,8 +243,9 @@ def compact(spark: SparkSession, index_dir: str, source: DataFrame) -> dict:
     and restores exact df counts (the segment-merge analog)."""
     from photon_spark.index.checkpoint import build_index_resumable
 
-    for sub in ("postings_delta", "dictionary_delta", "_state", "postings",
-                "dictionary", "docs", "runs", "lineage", "metrics"):
+    for sub in ("postings_delta", "dictionary_delta", "tombstones", "_state",
+                "postings", "dictionary", "docs", "docs_by_repo", "runs",
+                "lineage", "metrics"):
         p = os.path.join(index_dir, sub)
         if os.path.isdir(p):
             shutil.rmtree(p)

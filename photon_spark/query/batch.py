@@ -46,7 +46,17 @@ def _offset_ids(node: PlanNode, off: int) -> None:
 def _batch_candidates(
     index, plans: dict[int, SearchPlan], ext_limit: int
 ) -> dict[int, list[dict]]:
-    """Evaluate many grounded plans in one job → per-qid candidates."""
+    """Evaluate many grounded plans in one job → per-qid candidates.
+
+    Per-plan filter context IS honored: kw filters / category
+    include/exclude become a per-qid (qid, ord) allow/deny side table
+    (one shared postings scan over the union of filter terms, then a
+    left join + qid-guarded predicate); tag/layer filters are plain
+    column predicates CASE-dispatched by qid. Results are identical
+    to sequential ``candidates()`` calls (pinned by
+    tests/test_batch.py). ``match_all`` plans produce no scoring rows
+    and must go through ``candidates()`` — ``candidates_multi``
+    routes them there."""
     # one dictionary job for the union of every plan's needs
     needs: dict[str, set[str]] = {}
     for plan in plans.values():
@@ -151,6 +161,79 @@ def _batch_candidates(
     )
     joined = joined.filter(present_expr)
 
+    # ---- per-qid filter context ----------------------------------
+    # kw filters / category include/exclude: (qid, ord) side tables
+    # from one pruned postings scan each, applied with a left join +
+    # qid-guarded predicate (plans without that context pass through)
+    from photon_spark.analysis import FIELD_ALL as _F_ALL
+
+    flt_parts, inc_parts, exc_parts = [], [], []
+    for qid, plan in plans.items():
+        fdf = index.filter_docs(plan.filters)
+        if fdf is not None:
+            flt_parts.append(
+                fdf.select(F.lit(qid).alias("qid"), F.col("doc").alias("ord"))
+            )
+        if plan.include:
+            inc_parts.append(
+                index.postings(_F_ALL, sorted(set(plan.include)))
+                .select(F.lit(qid).alias("qid"), F.col("doc").alias("ord"))
+                .distinct()
+            )
+        if plan.exclude:
+            exc_parts.append(
+                index.postings(_F_ALL, sorted(set(plan.exclude)))
+                .select(F.lit(qid).alias("qid"), F.col("doc").alias("ord"))
+                .distinct()
+            )
+
+    def _union(parts):
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    if flt_parts:
+        qids = [qid for qid, p in plans.items() if p.filters]
+        joined = (
+            joined.join(
+                _union(flt_parts).withColumn("f_ok", F.lit(1)), ["qid", "ord"], "left"
+            )
+            .filter(~F.col("qid").isin(qids) | F.col("f_ok").isNotNull())
+            .drop("f_ok")
+        )
+    if inc_parts:
+        qids = [qid for qid, p in plans.items() if p.include]
+        joined = (
+            joined.join(
+                _union(inc_parts).withColumn("i_ok", F.lit(1)), ["qid", "ord"], "left"
+            )
+            .filter(~F.col("qid").isin(qids) | F.col("i_ok").isNotNull())
+            .drop("i_ok")
+        )
+    if exc_parts:
+        joined = (
+            joined.join(
+                _union(exc_parts).withColumn("e_hit", F.lit(1)), ["qid", "ord"], "left"
+            )
+            .filter(F.col("e_hit").isNull())
+            .drop("e_hit")
+        )
+
+    # tag filters: plain column predicates, qid-guarded
+    tag_pred = None
+    for qid, plan in plans.items():
+        if plan.tag_filters:
+            from photon_spark.query.tagfilter import ext_col, tag_predicate_col
+
+            p = tag_predicate_col(
+                plan.tag_filters, F.col("lang"), ext_col(F.col("path"))
+            )
+            cl = (F.col("qid") != qid) | p
+            tag_pred = cl if tag_pred is None else (tag_pred & cl)
+    if tag_pred is not None:
+        joined = joined.filter(tag_pred)
+
     w = Window.partitionBy("qid").orderBy(F.desc("os_score"), F.asc("doc"))
     out_rows = (
         joined.withColumn("rk", F.row_number().over(w))
@@ -171,14 +254,23 @@ def batch_search(index, queries: list[str], k: int = 15) -> dict[str, list[dict]
     Spark jobs. Result per query identical to ``index.search(q, k)``."""
     ext = ext_limit_for(k)
     plans: dict[int, SearchPlan] = {}
+    seq: dict[int, list[dict]] = {}
     for qi, q in enumerate(queries):
         plan = compile_query(q, index, lenient=False)
+        if plan.kind == "match_all":
+            seq[qi] = index.candidates(plan, ext)
+            continue
         _offset_ids(plan.root, (qi + 1) * _ID_STRIDE)
         plans[qi] = plan
-    cands = _batch_candidates(index, plans, ext)
+    cands = _batch_candidates(index, plans, ext) if plans else {}
+    cands.update(seq)
 
-    # lenient second pass for strict-empty queries (P6)
-    retry = {qi: q for qi, q in enumerate(queries) if not cands.get(qi)}
+    # lenient second pass for strict-empty queries (P6); match_all
+    # queries don't retry (a lenient match_all is the same plan)
+    retry = {
+        qi: q for qi, q in enumerate(queries)
+        if not cands.get(qi) and qi not in seq
+    }
     if retry:
         lplans: dict[int, SearchPlan] = {}
         for qi, q in retry.items():

@@ -141,6 +141,18 @@ class Index:
                 .groupBy("field", "term")
                 .agg(F.sum("df").alias("df"), F.max("max_tf").alias("max_tf"))
             )
+        # tombstoned ordinals from incremental deletes (updater.py) —
+        # the Lucene liveDocs analog. O(updates since compaction), so
+        # resident on the driver like the dictionary; consumed by the
+        # WAND path which scores raw postings without a docs join.
+        tomb_dir = os.path.join(index_dir, "tombstones")
+        self._dead: np.ndarray | None = None
+        if os.path.isdir(tomb_dir):
+            rows = spark.read.parquet(tomb_dir).select("ord").collect()
+            if rows:
+                self._dead = np.unique(
+                    np.array([r["ord"] for r in rows], dtype=np.int64)
+                )
         if cache:
             self._dict_df = self._dict_df.cache()
             self._docs_df = self._docs_df.cache()
@@ -197,7 +209,8 @@ class Index:
         blocks = self.raw_blocks(field, sorted(idf))
         return wand_topk(
             self.spark, blocks, idf, k,
-            n_total=self.next_ord, r_bits=r_bits, required=required, max_tf=max_tf,
+            n_total=self.next_ord, r_bits=r_bits, required=required,
+            max_tf=max_tf, dead=self._dead,
         )
 
     def term_stats(self, field: str, terms: list[str]) -> dict[str, int]:
@@ -227,34 +240,48 @@ class Index:
         rows = self._dict_df.filter(cond).select("field", "term", "df").collect()
         return {(r["field"], r["term"]): r["df"] for r in rows}
 
+    def _deletion_route_ok(self, field: str, token: str, edits: int) -> bool:
+        """True when the deletions table PROVABLY covers this request:
+        built for this field, at ≥ this edit distance, and every
+        dictionary term within range of the token is short enough not
+        to have been skipped by the build-side length cap."""
+        if getattr(self, "_del_meta", False) is False:
+            from photon_spark.index.deletions import read_deletion_meta
+
+            self._del_meta = read_deletion_meta(self.dir)
+        meta = self._del_meta
+        return (
+            meta is not None
+            and field in meta["fields"]
+            and edits <= meta["max_deletes"]
+            and len(token) + edits <= meta["max_term_len"]
+        )
+
     def fuzzy_candidates(
         self, field: str, token: str, edits: int, prefix_len: int
     ) -> list[str]:
         """Fuzzy candidate terms: deletion-neighborhood lookup when
-        the index ships a ``deletions`` table (the 10^12-scale path,
-        photon_spark.index.deletions), else a dictionary prefix scan.
-        Both are supersets of the true matches; fuzzy_expand verifies
-        with exact Damerau-Levenshtein, so the route never changes
-        results."""
-        del_dir = os.path.join(self.dir, "deletions")
-        if os.path.isdir(del_dir) and edits > 0:
-            from photon_spark.index.deletions import (
-                MAX_TERM_LEN_FOR_DELETES,
-                deletion_variants,
-            )
+        the index ships a ``deletions`` table covering the request
+        (the 10^12-scale path, photon_spark.index.deletions), else a
+        capped dictionary prefix scan. Both are supersets of the true
+        matches; fuzzy_expand verifies with exact Damerau-Levenshtein,
+        so the route never changes results."""
+        if edits > 0 and self._deletion_route_ok(field, token, edits):
+            from photon_spark.index.deletions import deletion_variants
 
-            if len(token) <= MAX_TERM_LEN_FOR_DELETES:
-                if getattr(self, "_del_df", None) is None:
-                    self._del_df = self.spark.read.parquet(del_dir)
-                variants = sorted(deletion_variants(token, edits))
-                rows = (
-                    self._del_df.filter(F.col("field") == field)
-                    .filter(F.col("variant").isin(variants))
-                    .select("term")
-                    .distinct()
-                    .collect()
+            if getattr(self, "_del_df", None) is None:
+                self._del_df = self.spark.read.parquet(
+                    os.path.join(self.dir, "deletions")
                 )
-                return sorted(r["term"] for r in rows)
+            variants = sorted(deletion_variants(token, edits))
+            rows = (
+                self._del_df.filter(F.col("field") == field)
+                .filter(F.col("variant").isin(variants))
+                .select("term")
+                .distinct()
+                .collect()
+            )
+            return sorted(r["term"] for r in rows)
         return self.terms_with_prefix(
             field, token[:prefix_len], len(token) - edits, len(token) + edits
         )
@@ -264,60 +291,81 @@ class Index:
     ) -> list[str]:
         """One dictionary/deletion scan covering all (token, edits)
         requests of a field — returns the candidate UNION (a superset
-        per request; fuzzy_expand verifies exactly)."""
-        del_dir = os.path.join(self.dir, "deletions")
-        if os.path.isdir(del_dir):
-            from photon_spark.index.deletions import (
-                MAX_TERM_LEN_FOR_DELETES,
-                deletion_variants,
-            )
+        per request; fuzzy_expand verifies exactly). Requests the
+        deletions table doesn't cover go through the capped prefix
+        scan; the two routes' results union."""
+        eligible = [
+            (t, e) for t, e in requests if self._deletion_route_ok(field, t, e)
+        ]
+        fallback = [(t, e) for t, e in requests if (t, e) not in set(eligible)]
+        out: set[str] = set()
+        if eligible:
+            from photon_spark.index.deletions import deletion_variants
 
             variants: set[str] = set()
-            ok = True
-            for token, edits in requests:
-                if len(token) > MAX_TERM_LEN_FOR_DELETES:
-                    ok = False
-                    break
+            for token, edits in eligible:
                 variants |= deletion_variants(token, edits)
-            if ok and variants:
-                if getattr(self, "_del_df", None) is None:
-                    self._del_df = self.spark.read.parquet(del_dir)
-                rows = (
-                    self._del_df.filter(F.col("field") == field)
-                    .filter(F.col("variant").isin(sorted(variants)))
-                    .select("term")
-                    .distinct()
-                    .collect()
+            if getattr(self, "_del_df", None) is None:
+                self._del_df = self.spark.read.parquet(
+                    os.path.join(self.dir, "deletions")
                 )
-                return sorted(r["term"] for r in rows)
-        cond = None
-        for token, edits in requests:
-            c = F.col("term").startswith(token[:prefix_len]) & F.length(
-                "term"
-            ).between(len(token) - edits, len(token) + edits)
-            cond = c if cond is None else (cond | c)
+            rows = (
+                self._del_df.filter(F.col("field") == field)
+                .filter(F.col("variant").isin(sorted(variants)))
+                .select("term")
+                .distinct()
+                .collect()
+            )
+            out.update(r["term"] for r in rows)
+        if fallback:
+            cond = None
+            for token, edits in fallback:
+                c = F.col("term").startswith(token[:prefix_len]) & F.length(
+                    "term"
+                ).between(len(token) - edits, len(token) + edits)
+                cond = c if cond is None else (cond | c)
+            out.update(self._capped_term_collect(field, cond))
+        return sorted(out)
+
+    # hard bound on driver-side fuzzy candidate collection — beyond
+    # this the expansion is truncated (deterministically: term asc)
+    # with a warning; the deletions table is the scale path
+    MAX_PREFIX_CANDIDATES = 10_000
+
+    def _capped_term_collect(self, field: str, cond) -> list[str]:
+        cap = self.MAX_PREFIX_CANDIDATES
         rows = (
             self._dict_df.filter(F.col("field") == field)
             .filter(cond)
             .select("term")
+            .orderBy("term")
+            .limit(cap + 1)
             .collect()
         )
+        if len(rows) > cap:
+            import warnings
+
+            warnings.warn(
+                f"fuzzy prefix scan on field {field!r} truncated at "
+                f"{cap} candidates — build the deletions table "
+                "(index.deletions.build_deletion_index) for full recall",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+            rows = rows[:cap]
         return sorted(r["term"] for r in rows)
 
     def terms_with_prefix(
         self, field: str, prefix: str, min_len: int, max_len: int
     ) -> list[str]:
         """Fuzzy candidate enumeration (dictionary prefix scan —
-        pushed down to the term-sorted parquet; the 10^12-scale path
-        swaps this for the deletion-neighborhood table)."""
-        df = (
-            self._dict_df
-            .filter(F.col("field") == field)
-            .filter(F.length("term").between(min_len, max_len))
-        )
+        pushed down to the term-sorted parquet and CAPPED at
+        MAX_PREFIX_CANDIDATES; the 10^12-scale path swaps this for
+        the deletion-neighborhood table)."""
+        cond = F.length("term").between(min_len, max_len)
         if prefix:
-            df = df.filter(F.col("term").startswith(prefix))
-        return sorted(r["term"] for r in df.select("term").collect())
+            cond = cond & F.col("term").startswith(prefix)
+        return self._capped_term_collect(field, cond)
 
     def docs(self) -> DataFrame:
         return self._docs_df
@@ -326,10 +374,19 @@ class Index:
 
     def filter_docs(self, filters: dict[str, str] | None) -> DataFrame | None:
         """Non-scoring filter context: docIDs matching ALL kw filter
-        terms (posting intersection)."""
+        terms (posting intersection). Lookup terms normalize exactly
+        like the index side (analyzers.py kw zone): ``lang`` values
+        are folded (ascii + german normalization), everything else is
+        lowercased — a non-ASCII lang filter must hit the folded
+        indexed term, not silently miss."""
         if not filters:
             return None
-        terms = [f"{k}:{v.lower()}" for k, v in sorted(filters.items())]
+        from photon_spark.analysis.folding import fold
+
+        terms = [
+            f"{k}:{fold(v) if k == 'lang' else v.lower()}"
+            for k, v in sorted(filters.items())
+        ]
         p = self.postings(FIELD_KEYWORD, terms)
         return (
             p.groupBy("doc")
@@ -573,18 +630,23 @@ class Index:
         strict+lenient execution: photon's two-pass retry P6 costs two
         round-trips; evaluating both upfront costs ~one). Results are
         identical to sequential candidates() calls — the caller still
-        picks strict-first. Non-scoring filter context differs per
-        plan only in `filters`/include/exclude, which the batch path
-        doesn't model — callers must pass plans sharing those (true
-        for strict/lenient pairs) or fall back to candidates().
+        picks strict-first. Per-plan filter context (kw filters,
+        include/exclude, tag filters) is applied per qid inside the
+        batch; ``match_all`` plans have no scoring rows and are routed
+        through the sequential path.
         """
         from photon_spark.query.batch import _batch_candidates, _offset_ids
 
         keyed = {}
+        seq: dict[int, list[dict]] = {}
         for i, p in enumerate(plans):
+            if p.kind == "match_all":
+                seq[i] = self.candidates(p, ext_limit)
+                continue
             _offset_ids(p.root, (i + 1) * 100_000)
             keyed[i] = p
-        out = _batch_candidates(self, keyed, ext_limit)
+        out = _batch_candidates(self, keyed, ext_limit) if keyed else {}
+        out.update(seq)
         return [out.get(i, []) for i in range(len(plans))]
 
     # ---------------- public API ----------------
@@ -618,10 +680,21 @@ class Index:
     ) -> list[dict]:
         """Reverse lookup (Q15/Q16 graft): nearest docs in the repo
         tree; optional tag filters apply like the reference's
-        reverseWithTags. See photon_spark.query.reverse."""
-        from photon_spark.query.reverse import reverse_candidates
+        reverseWithTags. See photon_spark.query.reverse.
+
+        When the radius implies a repo/path prefix (prune_predicate)
+        and the index ships the repo-sorted ``docs_by_repo``
+        projection, the scan runs against that table so the prefix
+        predicate prunes row groups (no corpus-wide scan)."""
+        from photon_spark.query.reverse import prune_predicate, reverse_candidates
 
         docs = self.docs()
+        if prune_predicate(repo, path, radius) is not None:
+            br_dir = os.path.join(self.dir, "docs_by_repo")
+            if os.path.isdir(br_dir):
+                if getattr(self, "_docs_by_repo", None) is None:
+                    self._docs_by_repo = self.spark.read.parquet(br_dir)
+                docs = self._docs_by_repo
         if osm_tag:
             from photon_spark.query.tagfilter import (
                 ext_col,

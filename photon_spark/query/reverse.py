@@ -61,6 +61,56 @@ def tree_distance_col(segs_col: Column, query_segs: list[str]) -> Column:
     return (F.size(segs_col) - lcp) + (F.lit(len(query_segs)) - lcp)
 
 
+def prune_predicate(repo: str, path: str, radius: int):
+    """Provable candidate prune for a reverse lookup, or None.
+
+    For any doc, ``distance = (len(q) - lcp) + (len(d) - lcp) >=
+    len(q) - lcp``, so a doc within ``radius`` MUST share at least
+    ``p = len(q) - radius`` leading coordinate segments with the
+    query. When ``p`` covers the query's whole repo, that is a plain
+    ``repo = X`` equality (+ a path-prefix startswith) — predicates
+    parquet pushes down, so a repo-sorted docs projection prunes its
+    row groups instead of scanning the corpus (the BKD-index analog,
+    reference opensearch/ReverseQueryBuilder.java:10-16).
+    Returns None when the radius is too wide to prune (p <= 0).
+    """
+    q = coord_segments(repo, path)
+    p = len(q) - radius
+    if p <= 0:
+        return None
+    need = q[:p]
+    s = "/".join(need)
+    # branch 1: the doc's repo alone covers the required prefix
+    branches = [(F.col("repo") == s) | F.col("repo").startswith(s + "/")]
+    # branch 2..p+1: the doc's repo holds the first j coordinate
+    # segments and its path supplies the rest (repo/path boundaries
+    # float freely in coordinate space)
+    for j in range(p):
+        rp = "/".join(need[:j])
+        pp = "/".join(need[j:])
+        rcond = (
+            (F.col("repo") == rp)
+            if j > 0
+            else (F.col("repo").isNull() | (F.col("repo") == ""))
+        )
+        pcond = (F.col("path") == pp) | F.col("path").startswith(pp + "/")
+        branches.append(rcond & pcond)
+    # non-normalized escape hatch: empty segments make string-prefix
+    # checks diverge from segment-prefix semantics — keep such docs
+    # (superset is safe; the exact distance filter runs after)
+    branches.append(
+        F.col("repo").startswith("/")
+        | F.col("repo").endswith("/")
+        | F.col("repo").contains("//")
+        | F.col("path").startswith("/")
+        | F.col("path").contains("//")
+    )
+    pred = branches[0]
+    for b in branches[1:]:
+        pred = pred | b
+    return pred
+
+
 def reverse_candidates(
     docs: DataFrame,
     repo: str,
@@ -69,8 +119,17 @@ def reverse_candidates(
     radius: int = DEFAULT_RADIUS,
 ) -> DataFrame:
     """Nearest docs to the (repo, path) coordinate within ``radius``
-    tree hops, sorted (distance asc, importance desc, doc asc)."""
+    tree hops, sorted (distance asc, importance desc, doc asc).
+
+    The scan is pruned FIRST by :func:`prune_predicate` (repo/path
+    prefix implied by the radius — pushdown-able), then the exact
+    tree distance filters the survivors; rank output is identical to
+    the unpruned scan (the predicate is implied by
+    ``distance <= radius``, proof in prune_predicate)."""
     q = coord_segments(repo, path)
+    pred = prune_predicate(repo, path, radius)
+    if pred is not None:
+        docs = docs.filter(pred)
     segs = F.filter(
         F.concat(F.split(F.col("repo"), "/"), F.split(F.col("path"), "/")),
         lambda s: s != F.lit(""),

@@ -44,11 +44,18 @@ class TagFilter:
 
 
 def parse_tag_filter(filt: str) -> TagFilter:
-    """Exact port of TagFilter.buildOsmTagFilter (TagFilter.java:30-69)."""
+    """Exact port of TagFilter.buildOsmTagFilter (TagFilter.java:30-69).
+
+    Java's ``String.split(":")`` drops TRAILING empty fields, so
+    ``"key:value:"`` parses as an include pair and ``"key:"`` as a
+    bare key — mirrored here by popping trailing empty parts before
+    the length dispatch."""
     kind = None
     key = None
     value = None
     parts = filt.split(":")
+    while parts and parts[-1] == "":
+        parts.pop()
     if len(parts) == 2:
         exclude_key = parts[0].startswith("!")
         exclude_value = parts[1].startswith("!")
@@ -59,9 +66,10 @@ def parse_tag_filter(filt: str) -> TagFilter:
                 kind = Kind.EXCLUDE_VALUE
             else:
                 kind = Kind.EXCLUDE if (exclude_key or exclude_value) else Kind.INCLUDE
-    elif len(parts) == 1 and parts[0] == filt:
-        exclude = filt.startswith("!")
-        key = filt[1:] if exclude else filt
+    elif len(parts) == 1:
+        token = parts[0]
+        exclude = token.startswith("!")
+        key = token[1:] if exclude else token
         if key:
             kind = Kind.EXCLUDE if exclude else Kind.INCLUDE
     if kind is None:
@@ -144,7 +152,10 @@ def ext_of_path(path: str | None) -> str | None:
 
 
 def ext_col(path_col: Column) -> Column:
-    base = F.element_at(F.split(path_col, "/"), -1)
+    # last NON-EMPTY segment, matching ext_of_path on paths with a
+    # trailing '/' (guarded: the filtered array may be empty)
+    segs = F.filter(F.split(path_col, "/"), lambda s: s != F.lit(""))
+    base = F.when(F.size(segs) > 0, F.element_at(segs, -1)).otherwise(F.lit(""))
     ext = F.lower(F.element_at(F.split(base, r"\."), -1))
     has_ext = (F.size(F.split(base, r"\.")) > 1) & (
         F.length(base) > F.length(ext) + 1

@@ -58,6 +58,7 @@ def _make_kernel(
     n_total: int,
     required: int,
     max_tf: dict[str, int] | None = None,
+    dead: np.ndarray | None = None,
 ):
     # per-term upper bound: idf · sat(global max tf) from the
     # dictionary when available, else the tf→∞ supremum (k1+1)·idf
@@ -84,6 +85,10 @@ def _make_kernel(
                 n = int(pdf["n"].iat[i])
                 d = decode_doc_block(pdf["doc_bytes"].iat[i], n)
                 keep = _rng_of(d, n_ranges, n_total) == rng  # clip to this range
+                if dead is not None and len(dead):
+                    # tombstone filter BEFORE θ-bootstrap/aggregation:
+                    # a dead doc must neither surface nor inflate θ
+                    keep &= ~np.isin(d, dead)
                 if not keep.any():
                     continue
                 t = decode_tfs(pdf["tf_bytes"].iat[i], n).astype(np.float64)
@@ -165,6 +170,7 @@ def wand_topk(
     r_bits: int = 5,
     required: int = 1,
     max_tf: dict[str, int] | None = None,
+    dead: np.ndarray | None = None,
 ) -> DataFrame:
     """Top-k (doc, score, nm) for a bag of weighted terms.
 
@@ -172,7 +178,10 @@ def wand_topk(
     query terms; ``idf`` maps term → idf weight (driver-computed from
     the dictionary); ``n_total`` bounds the dense ordinal space
     (Index.next_ord); ``required`` ≥ 2 turns OR into an
-    intersection-style conjunctive match (operator=AND / msm).
+    intersection-style conjunctive match (operator=AND / msm);
+    ``dead`` is the tombstoned-ordinal array (O(updates since last
+    compaction) — stale postings of deleted docs are skipped at
+    decode time, so results only contain live docs).
     """
     n_ranges = 1 << r_bits
     assigned = blocks.withColumn(
@@ -183,6 +192,6 @@ def wand_topk(
     exploded = assigned.withColumn(
         "rng", F.explode(F.sequence("rng_lo", "rng_hi"))
     ).drop("rng_lo", "rng_hi")
-    kernel = _make_kernel(idf, k, n_ranges, n_total, required, max_tf)
+    kernel = _make_kernel(idf, k, n_ranges, n_total, required, max_tf, dead)
     local = exploded.groupBy("rng").applyInPandas(kernel, _OUT_SCHEMA)
     return local.orderBy(F.desc("score"), F.asc("doc")).limit(k)

@@ -35,3 +35,29 @@ def test_batch_two_jobs_only(index):
     out = batch_search(index, ["zzz_a", "zzz_b"], k=5)
     assert set(out) == {"zzz_a", "zzz_b"}
     assert out["zzz_a"] == [] and out["zzz_b"] == []
+
+
+def test_candidates_multi_honors_filter_context(spark, index):
+    """Per-plan kw filters / include/exclude / tag filters inside the
+    batch evaluator must match sequential candidates() exactly."""
+    from photon_spark.query.compiler import compile_query
+
+    variants = [
+        dict(filters={"lang": "python"}),
+        dict(filters={"lang": "java"}, exclude=["code.java"]),
+        dict(include=["code.python"]),
+        dict(osm_tag=["python"]),
+        dict(osm_tag=["!java"]),
+        dict(),
+    ]
+    q = "merge stream table"
+    want = []
+    plans = []
+    for kw in variants:
+        p = compile_query(q, index, lenient=False, **kw)
+        want.append(index.candidates(p, 20))
+        plans.append(compile_query(q, index, lenient=False, **kw))
+    got = index.candidates_multi(plans, 20)
+    for kw, w, g in zip(variants, want, got):
+        key = lambda h: (h["doc"], round(h["os_score"], 9))
+        assert [key(h) for h in g] == [key(h) for h in w], kw

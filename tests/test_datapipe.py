@@ -163,3 +163,36 @@ def test_ivf_ann(spark):
         )
     ).count()
     assert probes_rows < len(vecs) / 2
+
+
+def test_ann_indexed_variants(spark, tmp_path_factory):
+    """Materialized ANN indexes: identical results to the on-the-fly
+    route, and the probe scan is PARTITION-pruned (the 100 TB story
+    exists in the plan, not just the docstring)."""
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(300, 16).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [float(x) for x in vecs[17]]
+
+    lsh_dir = str(tmp_path_factory.mktemp("lsh_idx"))
+    sim.lsh_index(df, lsh_dir, n_planes=4)
+    flydf = sim.lsh_ann_topk(df, q, k=10, n_planes=4)
+    idxdf = sim.lsh_ann_topk_indexed(spark, lsh_dir, q, k=10)
+    fly = [(r["vec_id"], r["cosine"]) for r in flydf.collect()]
+    idx = [(r["vec_id"], r["cosine"]) for r in idxdf.collect()]
+    assert fly == idx
+    plan = idxdf._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [bucket" in plan.replace("#", " #").replace(
+        "bucket #", "bucket#"
+    ) or "bucket" in plan.split("PartitionFilters")[1][:120]
+
+    ivf_dir = str(tmp_path_factory.mktemp("ivf_idx"))
+    cents = sim.ivf_index(df, ivf_dir, n_clusters=8, n_iters=2)
+    flydf2 = sim.ivf_topk(sim.ivf_assign(df, cents), cents, q, k=10, n_probe=2)
+    idxdf2 = sim.ivf_topk_indexed(spark, ivf_dir, q, k=10, n_probe=2)
+    fly2 = [(r["vec_id"], r["cosine"]) for r in flydf2.collect()]
+    idx2 = [(r["vec_id"], r["cosine"]) for r in idxdf2.collect()]
+    assert fly2 == idx2
+    plan2 = idxdf2._jdf.queryExecution().executedPlan().toString()
+    assert "cid" in plan2.split("PartitionFilters")[1][:120]

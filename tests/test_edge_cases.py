@@ -89,3 +89,22 @@ def test_index_version_guard(spark, index_dir, tmp_path_factory):
     json.dump(meta, open(bad + "/meta.json", "w"))
     with pytest.raises(ValueError, match="incompatible"):
         Index(spark, bad, cache=False)
+
+
+def test_non_ascii_lang_filter(spark, tmp_path_factory):
+    # kw-filter normalization must match the index side: the index
+    # writes lang:{fold(lang)} — a non-ASCII filter value has to hit
+    idx, _ = _build(
+        spark,
+        [
+            ("r/r", "a/Same.py", "a" * 40, "Münster", "merge stream value"),
+            ("r/r", "b/Same.py", "b" * 40, "python", "merge stream value two"),
+        ],
+        tmp_path_factory,
+        "edge_lang",
+    )
+    hits = idx.search("Same", filters={"lang": "Münster"})
+    assert [h["path"] for h in hits] == ["a/Same.py"]
+    # folded spelling hits the same doc (both normalize to 'munster')
+    hits2 = idx.search("Same", filters={"lang": "münster"})
+    assert [h["path"] for h in hits2] == ["a/Same.py"]

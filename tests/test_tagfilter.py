@@ -118,3 +118,42 @@ def test_parser_errors_and_shapes():
     assert t.kind.value == "exclude"
     t = parse_tag_filter(":value")
     assert t.key is None and t.value == "value"
+
+
+# ---------------------------------------------------------------------------
+# Java split semantics: trailing ':' separators (String.split drops
+# trailing empty fields — "key:value:" is an include pair, "key:" a
+# bare key, "::"/":" invalid)
+# ---------------------------------------------------------------------------
+
+def test_trailing_separator_pair():
+    tf = parse_tag_filter("tourism:hotel:")
+    assert (tf.kind.value, tf.key, tf.value) == ("include", "tourism", "hotel")
+
+
+def test_trailing_separator_key_only():
+    tf = parse_tag_filter("tourism:")
+    assert (tf.kind.value, tf.key, tf.value) == ("include", "tourism", None)
+    tf = parse_tag_filter("!tourism:")
+    assert (tf.kind.value, tf.key, tf.value) == ("exclude", "tourism", None)
+
+
+@pytest.mark.parametrize("bad", ["::", ":", ":::", ":!"])
+def test_only_separators_invalid(bad):
+    with pytest.raises(BadTagFilter):
+        parse_tag_filter(bad)
+
+
+def test_ext_col_matches_py_on_trailing_slash(spark):
+    from pyspark.sql import functions as F
+
+    from photon_spark.query.tagfilter import ext_col, ext_of_path
+
+    paths = ["a/b.txt/", "a/b.txt", "a/", "", "/", "dir//f.py", "a/.hidden"]
+    df = spark.createDataFrame([(p,) for p in paths], "path string")
+    got = {
+        r["path"]: r["ext"]
+        for r in df.select("path", ext_col(F.col("path")).alias("ext")).collect()
+    }
+    for p in paths:
+        assert got[p] == ext_of_path(p), p

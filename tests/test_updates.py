@@ -140,3 +140,38 @@ def test_compact_restores_single_segment(spark, dirs, corpus):
     idx = Index(spark, base_dir, cache=False)
     assert idx.n_docs == meta["n_docs"]
     assert len(_topk(idx, ["merge"])) > 0
+
+
+def test_wand_tombstones_filter_deleted_docs(spark, dirs):
+    """bm25_topk (raw-postings WAND path, no docs join) must not
+    surface docs deleted by apply_updates — the tombstone table
+    filters their stale postings at decode time."""
+    import hashlib
+
+    base_dir, _, base_pdf, _ = dirs
+    idx0 = Index(spark, base_dir, cache=False)
+    live = {
+        (r["repo"], r["path"])
+        for r in idx0.docs()
+        .filter(F.col("n_dupes") == 1)
+        .select("repo", "path")
+        .collect()
+    }
+    victim = next(
+        r for r in base_pdf.itertuples() if (r.repo, r.path) in live
+    )
+    tok = next(t for t in victim.content.split() if t.isalpha() and len(t) >= 3)
+    batch = spark.createDataFrame(
+        [("delete", victim.repo, victim.path, victim.commit, victim.lang, None, 30)],
+        UPDATES_DDL,
+    )
+    apply_updates(spark, base_dir, batch)
+    idx = Index(spark, base_dir, cache=False)
+    dead_id = hashlib.sha256(victim.content.encode()).hexdigest()
+    rows = idx.bm25_topk(FIELD_ALL, [tok], k=10_000).collect()
+    id_of = {
+        r["ord"]: r["doc_id"] for r in idx.docs().select("ord", "doc_id").collect()
+    }
+    got = [id_of.get(r["doc"]) for r in rows]
+    assert dead_id not in got
+    assert None not in got  # every WAND hit resolves to a live doc
