@@ -359,6 +359,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["engine_search_short"] = lambda s, d: _engine_search_df(s, d, "tab", k=10)
 
     def _engine_reverse(s, d):
+        # ORACLED: the DuckDB twin recomputes the engine's doc table
+        # (sha dedupe over the corpus mapping) + the tree-distance
+        # metric from scratch — value-hash identical
         idx = _engine(s, d)
         probe = idx.docs().orderBy("ord").head()
         hits = idx.reverse(probe["repo"], probe["path"], k=10, radius=6)
@@ -368,7 +371,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "rank int, doc_id string, repo string, path string, distance int",
         )
 
-    q["engine_reverse"] = _engine_reverse  # rows-only: tree-distance lookup
+    q["engine_reverse"] = _engine_reverse
+
+    def _engine_exact(s, d):
+        # ORACLED: exact-term AND match through the REAL index
+        # (analyzer → SPIMI postings → decode → fused plan eval →
+        # importance function-score) — the DuckDB twin recomputes the
+        # zone-priority tf (basename prio 5 / content prio 1), df/idf
+        # over the deduped docs, BM25 sum and the importance add-on
+        from photon_spark.analysis import FIELD_ALL as _FA
+        from photon_spark.query.plan import Bool, Clause, Match, SearchPlan
+
+        idx = _engine(s, d)
+        plan = SearchPlan(
+            root=Bool(
+                2,
+                must=[
+                    Match(
+                        1,
+                        _FA,
+                        [Clause([(t, 1.0)]) for t in ("merge", "window")],
+                        operator="and",
+                    )
+                ],
+            ),
+            kind="full",
+        )
+        cands = idx.candidates(plan, 20)
+        rows = [(i + 1, c["doc_id"], float(c["os_score"])) for i, c in enumerate(cands)]
+        return s.createDataFrame(
+            rows, "rank int, doc_id string, os double"
+        ).select("rank", "doc_id", F.round("os", 6).alias("score"))
+
+    q["engine_exact_topk"] = _engine_exact
+
+    def _engine_filtered(s, d):
+        # ORACLED: same exact-term plan + a lang kw filter — the
+        # non-scoring filter context (posting intersection on the kw
+        # field, O7/Q21) verified end-to-end
+        from photon_spark.analysis import FIELD_ALL as _FA
+        from photon_spark.query.plan import Bool, Clause, Match, SearchPlan
+
+        idx = _engine(s, d)
+        plan = SearchPlan(
+            root=Bool(
+                2,
+                must=[
+                    Match(
+                        1,
+                        _FA,
+                        [Clause([(t, 1.0)]) for t in ("merge", "window")],
+                        operator="and",
+                    )
+                ],
+            ),
+            filters={"lang": "en"},
+            kind="full",
+        )
+        cands = idx.candidates(plan, 20)
+        rows = [(i + 1, c["doc_id"], float(c["os_score"])) for i, c in enumerate(cands)]
+        return s.createDataFrame(
+            rows, "rank int, doc_id string, os double"
+        ).select("rank", "doc_id", F.round("os", 6).alias("score"))
+
+    q["engine_filtered_topk"] = _engine_filtered
 
     return q
 
@@ -605,8 +671,107 @@ SELECT id_a, id_b,
 FROM pairs JOIN sig sa ON pairs.id_a = sa.doc_id JOIN sig sb ON pairs.id_b = sb.doc_id
 WHERE ROUND(list_sum([CASE WHEN sa.s[i] = sb.s[i] THEN 1 ELSE 0 END for i in range(1, 17)]) / 16.0, 6) >= 0.3"""
 
+    # ---- engine-native oracles -------------------------------------
+    # DuckDB twin of the _engine corpus mapping + sha-dedupe (the
+    # engine's docs table, photon_spark/index/build.py:324-334)
+    engine_docs_cte = r"""
+WITH mapped AS (
+  SELECT doc_id AS odid, source, lang, text,
+         array_to_string(list_slice(regexp_split_to_array(lower(text), '\s+'), 1, 2), '_') AS title
+  FROM documents
+), srcmap AS (
+  SELECT source AS repo,
+         'docs/' || title || '_' || CAST(odid AS VARCHAR) || '.txt' AS path,
+         sha256(source || ':' || CAST(odid AS VARCHAR)) AS commit,
+         lang, text AS content,
+         1.0 / (1.0 + CAST(odid AS DOUBLE) / 100.0) AS importance
+  FROM mapped
+), ids AS (
+  SELECT *, sha256(content) AS doc_id FROM srcmap
+), edocs AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY repo, path, commit) AS rn
+    FROM ids) t WHERE rn = 1
+)
+"""
+
+    o["engine_reverse"] = engine_docs_cte + """
+, coords AS (
+  SELECT doc_id, repo, path, importance,
+         list_concat(list_filter(string_split(repo, '/'), x -> x <> ''),
+                     list_filter(string_split(path, '/'), x -> x <> '')) AS segs
+  FROM edocs
+), probe AS (
+  SELECT segs AS qsegs FROM coords ORDER BY doc_id LIMIT 1
+), dists AS (
+  SELECT c.doc_id, c.repo, c.path, c.importance,
+         (len(c.segs) + len(p.qsegs) - 2 * COALESCE(
+            NULLIF(list_position(
+              list_transform(range(1, least(len(c.segs), len(p.qsegs)) + 1),
+                             i -> c.segs[i] = p.qsegs[i]),
+              false), 0) - 1,
+            least(len(c.segs), len(p.qsegs)))) AS distance
+  FROM coords c, probe p
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY distance ASC, importance DESC, doc_id ASC) AS INTEGER) AS rank,
+       doc_id, repo, path, CAST(distance AS INTEGER) AS distance
+FROM dists WHERE distance <= 6
+ORDER BY distance ASC, importance DESC, doc_id ASC
+LIMIT 10"""
+
+    # zone-priority tf: 5 when the term is one of the basename tokens
+    # (= the doc's first two text tokens), else 1 for a content term
+    # (analyzers.py zone table); AND over both query clauses; score +
+    # importance × 30 (Q11); order (os_score desc, doc_id asc).
+    # ``lang_filter`` adds the kw filter-context twin (Q21): the
+    # engine intersects `lang:<v>` postings, the oracle an equality.
+    def _sql_engine_exact(lang_filter: str | None = None) -> str:
+        extra = f"AND lang = '{lang_filter}'" if lang_filter else ""
+        return engine_docs_cte + f"""
+, toks AS (
+  SELECT doc_id, importance,
+         list_distinct(list_filter(regexp_split_to_array(lower(content), '\\s+'), x -> x <> '')) AS tl,
+         list_slice(regexp_split_to_array(lower(content), '\\s+'), 1, 2) AS f2
+  FROM edocs WHERE TRUE {extra}
+), etf AS (
+  SELECT doc_id, importance, t.term,
+         CASE WHEN list_contains(f2, t.term) THEN 5.0 ELSE 1.0 END AS tf
+  FROM toks, (VALUES ('merge'), ('window')) AS t(term)
+  WHERE list_contains(tl, t.term)
+), n AS (
+  SELECT COUNT(*)::DOUBLE AS n_docs FROM edocs
+), alltoks AS (
+  -- df/idf come from the UNFILTERED dictionary (filter context never
+  -- changes scoring in the engine)
+  SELECT doc_id,
+         list_distinct(list_filter(regexp_split_to_array(lower(content), '\\s+'), x -> x <> '')) AS tl
+  FROM edocs
+), stats AS (
+  SELECT t.term, COUNT(*) AS df
+  FROM alltoks, (VALUES ('merge'), ('window')) AS t(term)
+  WHERE list_contains(alltoks.tl, t.term)
+  GROUP BY t.term
+), scored AS (
+  SELECT etf.doc_id,
+         MIN(etf.importance) AS importance,
+         SUM(ln(1.0 + ((SELECT n_docs FROM n) - s.df + 0.5) / (s.df + 0.5))
+             * (etf.tf * {K1 + 1.0}) / (etf.tf + {K1})) AS s,
+         COUNT(*) AS nm
+  FROM etf JOIN stats s USING (term)
+  GROUP BY etf.doc_id
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY s + importance * 30.0 DESC, doc_id ASC) AS INTEGER) AS rank,
+       doc_id,
+       ROUND(s + importance * 30.0, 6) AS score
+FROM scored WHERE nm = 2
+ORDER BY s + importance * 30.0 DESC, doc_id ASC
+LIMIT 20"""
+
+    o["engine_exact_topk"] = _sql_engine_exact()
+    o["engine_filtered_topk"] = _sql_engine_exact("en")
+
     # rows-only (no SQL oracle): lsh_ann_topk / ivf_ann_topk
     # (approximate by design), multimodal_features (synthetic binary),
-    # engine_search_* (full analyzer semantics — rank-identity checked
-    # in pytest).
+    # engine_search_* (full analyzer + fuzzy + rescore semantics —
+    # rank-identity checked in pytest).
     return o
