@@ -34,6 +34,10 @@ from photon_spark.analysis.analyzers import (
     FIELD_NAME_FULL,
     FIELD_EXT,
     FIELD_PARENT,
+    FIELD_NAME_SEQ,
+    FIELD_PARENT_SEQ,
+    seq_ngrams,
+    seq_tokens,
     doc_type,
 )
 
@@ -59,5 +63,9 @@ __all__ = [
     "FIELD_NAME_FULL",
     "FIELD_EXT",
     "FIELD_PARENT",
+    "FIELD_NAME_SEQ",
+    "FIELD_PARENT_SEQ",
+    "seq_ngrams",
+    "seq_tokens",
     "doc_type",
 ]

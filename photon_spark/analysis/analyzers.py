@@ -64,6 +64,14 @@ FIELD_EXT = "ext"
 # Directory-segment tokens — collector.parent analog (street of a
 # housenumber; indexed with index_name_ngram, IndexMapping.java:113-119).
 FIELD_PARENT = "parent"
+# Adjacency fields for match_phrase (Q6): the structured strict pass
+# uses matchPhrase on collector.field.* (AddressQueryBuilder.java:
+# 240-259) — grafted as a next-word index: adjacent token bigrams
+# (+ trigrams for 3+-word phrases) of the basename / each directory
+# segment, terms like "new york". A phrase query becomes an AND over
+# its n-gram chain — no positional decode at query time.
+FIELD_NAME_SEQ = "name_seq"
+FIELD_PARENT_SEQ = "parent_seq"
 
 # Zone priorities (PhotonDocSerializer.java:58-106 analog).
 PRIO_NAME = 5
@@ -81,6 +89,39 @@ MAX_TOKEN_LEN = 500
 
 def _keep(tok: str) -> bool:
     return MIN_TOKEN_LEN <= len(tok) <= MAX_TOKEN_LEN
+
+
+def seq_tokens(value: str, possessives: bool = False) -> list[str]:
+    """Ordered folded token sequence of one zone value (word-delimiter
+    parts WITHOUT catenation — adjacency preserved). Shared by the
+    doc side (name_seq / parent_seq) and the phrase query compiler,
+    so phrase grounding can never drift from the index."""
+    v = normalize_apostrophes(value or "")
+    if possessives:
+        v = expand_possessives(v)
+    out: list[str] = []
+    for chunk in v.split():
+        for part in word_delimiter(chunk, catenate=False):
+            t = fold(part)
+            if _keep(t):
+                out.append(t)
+    return out
+
+
+def seq_ngrams(tokens: list[str]) -> list[str]:
+    """Adjacency terms of an ordered token sequence: space-joined
+    bigrams, plus trigrams when the sequence has ≥3 tokens. A phrase
+    of n≥2 query tokens matches iff the doc carries its full n-gram
+    chain (AND) — trigram chains make 3-4 word phrases exact and the
+    false-positive odds for longer ones negligible (short name-like
+    values). Single tokens are NOT emitted — a 1-word phrase is an
+    ordinary whole-token match on the base field."""
+    out = []
+    for i in range(len(tokens) - 1):
+        out.append(f"{tokens[i]} {tokens[i + 1]}")
+    for i in range(len(tokens) - 2):
+        out.append(f"{tokens[i]} {tokens[i + 1]} {tokens[i + 2]}")
+    return out
 
 
 def category_prefixes(category: str) -> list[str]:
@@ -221,6 +262,16 @@ def analyze_doc(
             for g in edge_ngrams(t, 5, 30, preserve_original=True):
                 parent_terms[g] = 1
 
+    # --- name_seq / parent_seq: adjacency n-grams for match_phrase --
+    name_seq_terms: dict[str, int] = {}
+    for g in seq_ngrams(seq_tokens(basename, possessives=True)):
+        name_seq_terms[g] = 1
+
+    parent_seq_terms: dict[str, int] = {}
+    for seg in dir_segs:
+        for g in seq_ngrams(seq_tokens(seg)):
+            parent_seq_terms[g] = 1
+
     # --- kw: exact-match filter terms (non-scoring) ------------------
     kw_terms: dict[str, int] = {}
     if lang:
@@ -228,6 +279,13 @@ def analyze_doc(
     if repo:
         kw_terms[f"repo:{repo.lower()}"] = 1
     kw_terms[f"type:{doc_type(lang)}"] = 1
+    # field-presence markers — the exists-filter terms (Q8,
+    # QueryBuilders.exists analog): a doc with an extension / a parent
+    # directory carries the marker; mustNot(exists) tests its absence
+    if ext_terms:
+        kw_terms["has_ext:1"] = 1
+    if dir_segs:
+        kw_terms["has_parent:1"] = 1
 
     return {
         FIELD_ALL: all_terms,
@@ -237,6 +295,8 @@ def analyze_doc(
         FIELD_NAME_FULL: name_full_terms,
         FIELD_EXT: ext_terms,
         FIELD_PARENT: parent_terms,
+        FIELD_NAME_SEQ: name_seq_terms,
+        FIELD_PARENT_SEQ: parent_seq_terms,
         FIELD_KEYWORD: kw_terms,
     }
 

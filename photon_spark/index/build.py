@@ -42,7 +42,9 @@ from photon_spark.analysis import analyze_doc
 from photon_spark.analysis.analyzers import KNOWN_LANGS
 from photon_spark.index.codec import encode_blocks_bulk
 
-INDEX_FORMAT_VERSION = "2.0.0-1"  # dense-ordinal postings (v1 mirrored Server.java:40)
+# 2.0: dense-ordinal postings (v1 mirrored Server.java:40)
+# 2.1: adjacency seq fields (match_phrase) + exists kw markers
+INDEX_FORMAT_VERSION = "2.1.0-1"
 
 DEFAULT_BLOCK_SIZE = 128
 DEFAULT_N_BUCKETS = 64

@@ -21,6 +21,7 @@ from photon_spark.query import scoring
 from photon_spark.query.plan import (
     Bool,
     DisMax,
+    Exists,
     FnMul,
     Match,
     PlanNode,
@@ -111,92 +112,122 @@ class OracleIndex:
         return out
 
     # ---------------- plan evaluation ----------------
+    #
+    # ISOMORPHIC to the Spark executor's fused evaluator: phase 1
+    # builds per-leaf maps over the global candidate universe (the
+    # pivot analog — every doc touching ANY leaf posting, including
+    # FnMul filter rows and Exists marker rows); phase 2 walks the
+    # tree per doc computing (score, present) exactly like
+    # Index._compile_tree's column expressions. Shared fold orders ⇒
+    # bit-identical float64 scores.
 
-    def _eval_match(self, node: Match) -> dict[int, float] | None:
-        fp = self.postings.get(node.field, {})
-        per_clause: dict[int, dict[int, float]] = {}  # doc -> clause -> max s
-        any_term = False
-        for ci, cl in enumerate(node.clauses):
-            for term, mult in cl.expansions:
-                plist = fp.get(term)
-                if not plist:
-                    continue
-                any_term = True
-                wmult = scoring.idf(len(plist), self.n_docs) * mult
-                for d, tf in plist.items():
-                    s = wmult * scoring.tf_weight(float(tf))
-                    cm = per_clause.setdefault(d, {})
-                    if ci not in cm or s > cm[ci]:
-                        cm[ci] = s
-        if not any_term:
-            return None
-        req = required_clauses(node)
-        out: dict[int, float] = {}
-        for d, cm in per_clause.items():
-            if len(cm) < req:
-                continue
-            s = 0.0
-            for ci in sorted(cm):
-                s = s + cm[ci]
-            out[d] = node.boost * s
-        return out
+    def _leaf_data(self, root: PlanNode):
+        match_maps: dict[int, dict[int, tuple[float, int]]] = {}
+        hit_sets: dict[int, set[int]] = {}
 
-    def _eval_node(self, node: PlanNode) -> dict[int, float] | None:
+        def walk(n: PlanNode) -> None:
+            if isinstance(n, Match):
+                fp = self.postings.get(n.field, {})
+                per_clause: dict[int, dict[int, float]] = {}
+                for ci, cl in enumerate(n.clauses):
+                    for term, mult in cl.expansions:
+                        plist = fp.get(term)
+                        if not plist:
+                            continue
+                        wmult = scoring.idf(len(plist), self.n_docs) * mult
+                        for d, tf in plist.items():
+                            s = wmult * scoring.tf_weight(float(tf))
+                            cm = per_clause.setdefault(d, {})
+                            if ci not in cm or s > cm[ci]:
+                                cm[ci] = s
+                out: dict[int, tuple[float, int]] = {}
+                for d, cm in per_clause.items():
+                    s = 0.0
+                    for ci in sorted(cm):
+                        s = s + cm[ci]
+                    out[d] = (s, len(cm))
+                match_maps[n.node_id] = out
+            elif isinstance(n, DisMax):
+                for c in n.children:
+                    walk(c)
+            elif isinstance(n, Bool):
+                for c in n.must + n.should:
+                    walk(c)
+            elif isinstance(n, FnMul):
+                walk(n.query)
+                hits: set[int] = set()
+                fp = self.postings.get(n.filter_field, {})
+                for t in sorted(set(n.filter_terms)):
+                    hits |= set(fp.get(t, {}))
+                hit_sets[n.node_id] = hits
+            elif isinstance(n, Exists):
+                fp = self.postings.get(FIELD_KEYWORD, {})
+                hit_sets[n.node_id] = set(fp.get(n.term, {}))
+
+        walk(root)
+        return match_maps, hit_sets
+
+    def _tree(self, node: PlanNode, d: int, match_maps, hit_sets):
+        """(score | None, present) for one doc — the python twin of
+        Index._compile_tree (None mirrors a NULL score column)."""
         if isinstance(node, Match):
-            return self._eval_match(node)
+            nd = match_maps.get(node.node_id, {}).get(d)
+            if nd is None or nd[1] < required_clauses(node):
+                return None, False
+            return node.boost * nd[0], True
+        if isinstance(node, Exists):
+            hit = d in hit_sets.get(node.node_id, ())
+            return 0.0, (not hit) if node.negate else hit
         if isinstance(node, DisMax):
-            maps = [m for m in (self._eval_node(c) for c in node.children) if m is not None]
-            if not maps:
-                return None
-            out: dict[int, float] = {}
-            for m in maps:
-                for d, s in m.items():
-                    if d not in out or s > out[d]:
-                        out[d] = s
-            return {d: node.boost * s for d, s in out.items()}
-        if isinstance(node, FnMul):
-            qm = self._eval_node(node.query)
-            if qm is None:
-                return None
-            fset: set[int] = set()
-            fp = self.postings.get(node.filter_field, {})
-            for t in sorted(set(node.filter_terms)):
-                fset |= set(fp.get(t, {}))
-            return {
-                d: s
-                * (
-                    node.const_weight
-                    + (node.filter_weight if d in fset else 0.0)
-                )
-                for d, s in qm.items()
-            }
+            parts = [self._tree(c, d, match_maps, hit_sets) for c in node.children]
+            present = any(p for _, p in parts)
+            vals = [s for s, p in parts if p and s is not None]
+            if not vals:
+                return None, present
+            return node.boost * max(vals), present
         if isinstance(node, Bool):
-            children = [(i + 1, c, True) for i, c in enumerate(node.must)]
-            n_must = len(children)
-            children += [
-                (n_must + i + 1, c, False) for i, c in enumerate(node.should)
-            ]
-            acc: dict[int, dict[int, float]] = {}
-            for idx, child, is_must in children:
-                m = self._eval_node(child)
-                if m is None:
-                    if is_must:
-                        return None
-                    continue
-                for d, s in m.items():
-                    acc.setdefault(d, {})[idx] = s
-            if not acc:
-                return None
-            out = {}
-            for d, by_idx in acc.items():
-                if n_must and sum(1 for i in by_idx if i <= n_must) < n_must:
-                    continue
-                s = 0.0
-                for i in sorted(by_idx):
-                    s = s + by_idx[i]
-                out[d] = node.boost * s
-            return out
+            musts = [self._tree(c, d, match_maps, hit_sets) for c in node.must]
+            shoulds = [self._tree(c, d, match_maps, hit_sets) for c in node.should]
+            if musts:
+                present = all(p for _, p in musts)
+            else:
+                present = any(p for _, p in shoulds)
+            total = None
+            for s, _ in musts:
+                if s is None:
+                    return None, present
+                total = s if total is None else total + s
+            for s, p in shoulds:
+                term = s if (p and s is not None) else 0.0
+                total = term if total is None else total + term
+            if total is None:
+                return None, present
+            return node.boost * total, present
+        if isinstance(node, FnMul):
+            qs, qp = self._tree(node.query, d, match_maps, hit_sets)
+            if qs is None:
+                return None, qp
+            mult = node.const_weight + (
+                node.filter_weight if d in hit_sets.get(node.node_id, ()) else 0.0
+            )
+            return qs * mult, qp
         raise TypeError(f"unknown node {node!r}")
+
+    def _eval_node(self, root: PlanNode) -> dict[int, float] | None:
+        match_maps, hit_sets = self._leaf_data(root)
+        universe: set[int] = set()
+        for m in match_maps.values():
+            universe |= set(m)
+        for h in hit_sets.values():
+            universe |= h
+        if not universe:
+            return None
+        out: dict[int, float] = {}
+        for d in universe:
+            s, p = self._tree(root, d, match_maps, hit_sets)
+            if p and s is not None:
+                out[d] = s
+        return out or None
 
     # ---------------- SearchBackend ----------------
 

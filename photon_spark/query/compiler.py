@@ -35,13 +35,25 @@ from photon_spark.analysis import (
     FIELD_NAME,
     FIELD_NAME_FULL,
     FIELD_NAME_PREFIX,
+    FIELD_NAME_SEQ,
     FIELD_NGRAM,
     FIELD_PARENT,
+    FIELD_PARENT_SEQ,
     analyze_search,
     analyze_search_prefix,
+    seq_tokens,
 )
 from photon_spark.query.fuzzy import auto_fuzziness, fuzzy_expand
-from photon_spark.query.plan import Bool, Clause, DisMax, FnMul, Match, SearchPlan
+from photon_spark.query.plan import (
+    Bool,
+    Clause,
+    DisMax,
+    Exists,
+    FnMul,
+    Match,
+    PlanNode,
+    SearchPlan,
+)
 
 _ALPHA_SPACE_RE = re.compile(r"^[^\W\d_ ]+$|^[^\W\d_]+(?: +[^\W\d_]+)*$")
 _SINGLE_ALPHA_RE = re.compile(r"^[^\W\d_]+$", re.UNICODE)
@@ -138,6 +150,24 @@ def _fuzzy_clauses(
     if all(not c.expansions for c in clauses):
         return []
     return clauses
+
+
+def phrase_clauses(value: str, possessives: bool = False) -> list[Clause] | None:
+    """match_phrase grounding (Q6): the value's ordered token sequence
+    as an adjacency n-gram chain (AND over bigram / trigram terms of
+    the seq fields — see analyzers.seq_ngrams). None when the value
+    analyzes to < 2 tokens; the caller falls back to whole-token
+    matching (a 1-word phrase IS a term match).
+    Reference: matchPhrase on collector.field.*
+    (opensearch/AddressQueryBuilder.java:240-259)."""
+    toks = seq_tokens(value, possessives)
+    if len(toks) < 2:
+        return None
+    if len(toks) == 2:
+        chain = [f"{toks[0]} {toks[1]}"]
+    else:
+        chain = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+    return [Clause([(g, 1.0)]) for g in chain]
 
 
 def is_alphabetic(q: str) -> bool:
@@ -354,15 +384,37 @@ def compile_structured(
                 Match(ids.next(), FIELD_ALL, cl, boost=_B_REPO, operator="and")
             )
     if sq.directory and not drop_fine:
-        cl = (
-            _fuzzy_clauses(sq.directory.replace("/", " "), FIELD_PARENT, dictionary, 2)
-            if lenient
-            else _exact_clauses(sq.directory.replace("/", " "))
-        )
-        if cl:
-            must.append(
-                Match(ids.next(), FIELD_PARENT, cl, boost=_B_DIR, operator="and")
+        if lenient:
+            cl = _fuzzy_clauses(
+                sq.directory.replace("/", " "), FIELD_PARENT, dictionary, 2
             )
+            if cl:
+                must.append(
+                    Match(ids.next(), FIELD_PARENT, cl, boost=_B_DIR, operator="and")
+                )
+        else:
+            # strict pass = match_phrase per directory segment (Q6;
+            # AddressQueryBuilder.getFuzzyQuery strict branch,
+            # AddressQueryBuilder.java:240-259): multi-word segments
+            # require token ADJACENCY via the parent_seq n-gram chain
+            seg_nodes: list = []
+            for seg in sq.directory.split("/"):
+                pc = phrase_clauses(seg)
+                if pc:
+                    seg_nodes.append(
+                        Match(ids.next(), FIELD_PARENT_SEQ, pc, operator="and")
+                    )
+                else:
+                    cl = _exact_clauses(seg)
+                    if cl:
+                        seg_nodes.append(
+                            Match(ids.next(), FIELD_PARENT, cl, operator="and")
+                        )
+            if len(seg_nodes) == 1:
+                seg_nodes[0].boost = _B_DIR
+                must.append(seg_nodes[0])
+            elif seg_nodes:
+                must.append(Bool(ids.next(), must=seg_nodes, boost=_B_DIR))
     if sq.name:
         branches: list = []
         whole = analyze_search_prefix(sq.name)
@@ -370,21 +422,55 @@ def compile_structured(
             branches.append(
                 Match(ids.next(), FIELD_NAME_FULL, [Clause([(whole, 1.0)])])
             )
-        cl = (
-            _fuzzy_clauses(sq.name, FIELD_NAME, dictionary, prefix_len=2)
-            if lenient
-            else _exact_clauses(sq.name)
-        )
-        if cl:
-            branches.append(Match(ids.next(), FIELD_NAME, cl, operator="and"))
+        if lenient:
+            cl = _fuzzy_clauses(sq.name, FIELD_NAME, dictionary, prefix_len=2)
+            if cl:
+                branches.append(Match(ids.next(), FIELD_NAME, cl, operator="and"))
+        else:
+            # strict = match_phrase on the name when multi-word
+            pc = phrase_clauses(sq.name, possessives=True)
+            if pc:
+                branches.append(
+                    Match(ids.next(), FIELD_NAME_SEQ, pc, operator="and")
+                )
+            else:
+                cl = _exact_clauses(sq.name)
+                if cl:
+                    branches.append(Match(ids.next(), FIELD_NAME, cl, operator="and"))
         if branches:
             must.append(DisMax(ids.next(), branches))
     if sq.ext and not drop_fine:
         ext_tok = _fold(sq.ext.lstrip("."))
         if ext_tok:
+            # housenumber semantics (AddressQueryBuilder.java:225-234):
+            # bool(should(ext match), should(mustNot(exists ext)))×10 —
+            # docs whose extension matches, OR docs carrying no
+            # extension at all (the no-housenumber places photon keeps)
+            ext_match: PlanNode = Match(
+                ids.next(), FIELD_EXT, [Clause([(ext_tok, 1.0)])]
+            )
+            if not sq.directory and not sq.name:
+                # bare housenumber-style query without street/name:
+                # restrict the match branch to docs with no parent
+                # directory (AddressQueryBuilder.java:178-186
+                # mustNot(exists street) — hamlet addressing; graft
+                # deviation: applied only for BARE ext queries, since
+                # ext-without-directory is the common corpus case)
+                ext_match = Bool(
+                    ids.next(),
+                    must=[ext_match, Exists(ids.next(), "has_parent:1", negate=True)],
+                )
             must.append(
-                Match(
-                    ids.next(), FIELD_EXT, [Clause([(ext_tok, 1.0)])], boost=_B_EXT
+                Bool(
+                    ids.next(),
+                    should=[
+                        ext_match,
+                        Bool(
+                            ids.next(),
+                            must=[Exists(ids.next(), "has_ext:1", negate=True)],
+                        ),
+                    ],
+                    boost=_B_EXT,
                 )
             )
 

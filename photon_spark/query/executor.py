@@ -36,6 +36,7 @@ from photon_spark.query import scoring
 from photon_spark.query.plan import (
     Bool,
     DisMax,
+    Exists,
     FnMul,
     Match,
     PlanNode,
@@ -438,6 +439,10 @@ class Index:
                     # presence-only pseudo leaf: weight 0 ⇒ score 0,
                     # m-column not-null ⇒ the filter hit
                     rows.append((n.filter_field, t, n.node_id, -1, 0.0))
+            elif isinstance(n, Exists):
+                # presence marker row (kw field); negate tests the
+                # m-column for NULL instead
+                rows.append((FIELD_KEYWORD, n.term, n.node_id, -1, 0.0))
 
         walk(plan.root)
         return rows
@@ -458,6 +463,8 @@ class Index:
             elif isinstance(n, FnMul):
                 ids.append(n.node_id)
                 walk(n.query)
+            elif isinstance(n, Exists):
+                ids.append(n.node_id)
 
         walk(plan.root)
         return ids
@@ -502,6 +509,10 @@ class Index:
                 term = F.when(p, s).otherwise(F.lit(0.0))
                 total = term if total is None else total + term
             return F.lit(node.boost) * total, present
+        if isinstance(node, Exists):
+            m = m_of(node.node_id)
+            present = m.isNull() if node.negate else m.isNotNull()
+            return F.lit(0.0), present
         if isinstance(node, FnMul):
             qs, qp = self._compile_tree(node.query, s_of, m_of)
             if node.filter_terms:

@@ -71,7 +71,23 @@ class FnMul:
     const_weight: float = 1.0
 
 
-PlanNode = Match | DisMax | Bool | FnMul
+@dataclass
+class Exists:
+    """Field-presence clause (Q8, QueryBuilders.exists — the
+    structured housenumber/street patterns, AddressQueryBuilder.java:
+    178-186,225-230): scores 0, gates presence on a kw marker term
+    (``has_ext:1`` / ``has_parent:1``). ``negate=True`` is the
+    mustNot(exists(...)) shape — true when the doc LACKS the marker.
+    A negated Exists never creates candidates by itself (docs surface
+    through the plan's scoring clauses, exactly like the reference's
+    bool filter context); use it in must lists."""
+
+    node_id: int
+    term: str
+    negate: bool = False
+
+
+PlanNode = Match | DisMax | Bool | FnMul | Exists
 
 
 @dataclass

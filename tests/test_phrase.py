@@ -1,0 +1,121 @@
+"""match_phrase (Q6) + exists filters (Q8): the structured strict
+pass requires token ADJACENCY via the seq n-gram chain, and the
+housenumber-style ext branch keeps extension-less docs (reference:
+opensearch/AddressQueryBuilder.java:225-234 bool(should(match hn),
+should(mustNot(exists hn))); phrase: AddressQueryBuilder.java:240-259
+matchPhrase on collector.field.*). Engine and oracle stay
+rank-identical on every case."""
+
+import pandas as pd
+import pytest
+
+from photon_spark.index.build import build_index
+from photon_spark.oracle.oracle import OracleIndex
+from photon_spark.query.compiler import StructuredQuery, compile_structured
+from photon_spark.query.executor import Index
+
+ROWS = [
+    ("org/a", "src/new_york/NewYorkNotes.py", "c1" * 20, "python", "alpha beta"),
+    ("org/a", "src/york_new/YorkNewNotes.py", "c2" * 20, "python", "alpha beta two"),
+    ("org/a", "src/other/NewNotes.py", "c3" * 20, "python", "gamma"),
+    ("org/a", "notes/NewNotes", "c4" * 20, None, "epsilon"),
+    ("org/a", "src/NewNotes.md", "c5" * 20, "md", "zeta"),
+    ("org/b", "Makefile", "c6" * 20, None, "build rules"),
+    # trigram-chain exactness: has bigrams "alpha beta" and
+    # "beta gamma" but NOT the phrase "alpha beta gamma"
+    ("org/b", "x/alpha_beta_x_beta_gamma.py", "c7" * 20, "python", "eta"),
+]
+
+
+@pytest.fixture(scope="module")
+def corpus_pdf():
+    return pd.DataFrame(
+        ROWS, columns=["repo", "path", "commit", "lang", "content"]
+    )
+
+
+@pytest.fixture(scope="module")
+def engine(spark, corpus_pdf, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("phrase_idx"))
+    build_index(spark, spark.createDataFrame(corpus_pdf), out)
+    return Index(spark, out, cache=False)
+
+
+@pytest.fixture(scope="module")
+def py_oracle(corpus_pdf):
+    return OracleIndex(corpus_pdf)
+
+
+def _paths(hits):
+    return [h["path"] for h in hits]
+
+
+def test_name_phrase_requires_adjacency(engine, py_oracle):
+    sq = StructuredQuery(name="new york notes")
+    got = engine.structured_search(sq, k=10)
+    assert _paths(got) == ["src/new_york/NewYorkNotes.py"]
+    assert _paths(py_oracle.structured_search(sq, k=10)) == _paths(got)
+
+
+def test_trigram_chain_blocks_gapped_match(engine, py_oracle):
+    # doc c7 contains "alpha beta" AND "beta gamma" but not the
+    # 3-token phrase — the trigram chain must reject it
+    sq = StructuredQuery(name="alpha beta gamma")
+    # strict finds nothing; lenient retry may fuzzy-match other docs,
+    # but the gapped doc must never win via a fake phrase hit
+    got = engine.structured_search(sq, k=10)
+    want = py_oracle.structured_search(sq, k=10)
+    assert _paths(got) == _paths(want)
+    strict_plan = compile_structured(sq, engine, lenient=False)
+    strict = engine.candidates(strict_plan, 10)
+    assert strict == []
+
+
+def test_directory_phrase(engine, py_oracle):
+    sq = StructuredQuery(directory="new york")
+    got = engine.structured_search(sq, k=10)
+    assert _paths(got) == ["src/new_york/NewYorkNotes.py"]
+    assert _paths(py_oracle.structured_search(sq, k=10)) == _paths(got)
+
+
+def test_ext_keeps_extensionless_docs(engine, py_oracle):
+    # reference housenumber semantics: match the ext OR have none;
+    # a doc with a DIFFERENT ext is excluded
+    sq = StructuredQuery(name="NewNotes", ext="py")
+    got = engine.structured_search(sq, k=10)
+    paths = set(_paths(got))
+    assert "src/other/NewNotes.py" in paths
+    assert "notes/NewNotes" in paths          # extension-less survives
+    assert "src/NewNotes.md" not in paths     # wrong ext excluded
+    assert _paths(py_oracle.structured_search(sq, k=10)) == _paths(got)
+    # the matching ext outranks the no-ext doc (score 10×match vs 0)
+    assert _paths(got)[0] == "src/other/NewNotes.py"
+
+
+def test_rank_identity_all_cases(engine, py_oracle):
+    cases = [
+        StructuredQuery(name="new york notes"),
+        StructuredQuery(directory="new york", name="NewYorkNotes"),
+        StructuredQuery(name="NewNotes", ext="py"),
+        StructuredQuery(ext="py"),
+        StructuredQuery(name="york new notes"),
+    ]
+    for sq in cases:
+        got = [
+            (h["doc"], round(h["score"], 9), round(h["os_adj"], 9))
+            for h in engine.structured_search(sq, k=10)
+        ]
+        want = [
+            (h["doc"], round(h["score"], 9), round(h["os_adj"], 9))
+            for h in py_oracle.structured_search(sq, k=10)
+        ]
+        assert got == want, sq
+
+
+def test_exists_markers_in_analyzer():
+    from photon_spark.analysis import analyze_doc
+
+    with_ext = analyze_doc("r", "a/b.py", "python", "x")
+    assert "has_ext:1" in with_ext["kw"] and "has_parent:1" in with_ext["kw"]
+    bare = analyze_doc("r", "Makefile", None, "x")
+    assert "has_ext:1" not in bare["kw"] and "has_parent:1" not in bare["kw"]
