@@ -436,6 +436,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["engine_filtered_topk"] = _engine_filtered
 
+    def _engine_phrase(s, d):
+        # ORACLED: match_phrase (Q6) through the real index — the
+        # adjacency bigram "batch data" on the name_seq field; the
+        # DuckDB twin recomputes the doc set (first-two-token match),
+        # df/idf and the importance add-on
+        from photon_spark.query.plan import Bool, Clause, Match, SearchPlan
+
+        idx = _engine(s, d)
+        plan = SearchPlan(
+            root=Bool(
+                2,
+                must=[
+                    Match(
+                        1,
+                        "name_seq",
+                        [Clause([("batch data", 1.0)])],
+                        operator="and",
+                    )
+                ],
+            ),
+            kind="full",
+        )
+        cands = idx.candidates(plan, 20)
+        rows = [(i + 1, c["doc_id"], float(c["os_score"])) for i, c in enumerate(cands)]
+        return s.createDataFrame(
+            rows, "rank int, doc_id string, os double"
+        ).select("rank", "doc_id", F.round("os", 6).alias("score"))
+
+    q["engine_phrase_topk"] = _engine_phrase
+
+    def _engine_suggest(s, d):
+        # rows-only: suggestAddresses mode over a chunked engine build
+        # (chunk sub-docs = photon houses); pytest pins the semantics
+        idx = _engine(s, d)
+        hits = idx.search("table merge", k=10, suggest=True)
+        return s.createDataFrame(
+            [
+                (i + 1, h["doc_id"], h["repo"], h["path"],
+                 -1 if h.get("chunk") is None else int(h["chunk"]))
+                for i, h in enumerate(hits)
+            ],
+            "rank int, doc_id string, repo string, path string, chunk int",
+        )
+
+    q["engine_suggest_search"] = _engine_suggest
+
     return q
 
 
@@ -769,6 +815,35 @@ LIMIT 20"""
 
     o["engine_exact_topk"] = _sql_engine_exact()
     o["engine_filtered_topk"] = _sql_engine_exact("en")
+
+    # match_phrase twin: the name_seq bigram "batch data" exists
+    # exactly for docs whose basename starts with those two tokens
+    # (= the text's first two tokens, the title mapping); tf = 1 ⇒
+    # the BM25 saturation term is exactly 1.0
+    o["engine_phrase_topk"] = engine_docs_cte + """
+, f2 AS (
+  SELECT doc_id, importance,
+         list_slice(regexp_split_to_array(lower(content), '\\s+'), 1, 2) AS t2
+  FROM edocs
+), hits AS (
+  SELECT doc_id, importance FROM f2
+  WHERE len(t2) >= 2 AND t2[1] = 'batch' AND t2[2] = 'data'
+), n AS (
+  SELECT COUNT(*)::DOUBLE AS n_docs FROM edocs
+), dfq AS (
+  SELECT COUNT(*)::DOUBLE AS df FROM hits
+)
+SELECT CAST(ROW_NUMBER() OVER (
+         ORDER BY ln(1.0 + ((SELECT n_docs FROM n) - (SELECT df FROM dfq) + 0.5)
+                   / ((SELECT df FROM dfq) + 0.5)) + importance * 30.0 DESC,
+                  doc_id ASC) AS INTEGER) AS rank,
+       doc_id,
+       ROUND(ln(1.0 + ((SELECT n_docs FROM n) - (SELECT df FROM dfq) + 0.5)
+             / ((SELECT df FROM dfq) + 0.5)) + importance * 30.0, 6) AS score
+FROM hits
+ORDER BY ln(1.0 + ((SELECT n_docs FROM n) - (SELECT df FROM dfq) + 0.5)
+          / ((SELECT df FROM dfq) + 0.5)) + importance * 30.0 DESC, doc_id ASC
+LIMIT 20"""
 
     # rows-only (no SQL oracle): lsh_ann_topk / ivf_ann_topk
     # (approximate by design), multimodal_features (synthetic binary),

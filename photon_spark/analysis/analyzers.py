@@ -188,14 +188,23 @@ def split_basename(path: str) -> tuple[str, list[str]]:
 
 
 def analyze_doc(
-    repo: str, path: str, lang: str, content: str
+    repo: str, path: str, lang: str, content: str, chunk: int | None = None
 ) -> dict[str, dict[str, int]]:
     """Analyze one document into ``{field: {term: tf}}``.
 
     Duplicate terms keep the max priority (NameCollector.java:26-34);
     per-field token sets are deduped (the ``unique`` filter,
     IndexSettingBuilder.java:175,328,337,345).
+
+    ``chunk`` is not None for a chunk sub-doc (O2 fan-out, see
+    index/chunking.py): photon's unnamed house — NO name zones, the
+    file basename joins the parent (street) address, the chunk
+    number indexes in ``ext`` (the housenumber field), and the
+    ``has_name`` marker is absent (suggest-mode mustNot(exists name),
+    SearchQueryBuilder.java:142-147).
     """
+    if chunk is not None:
+        return _analyze_chunk_doc(repo, path, lang, content, chunk)
     basename, path_rest = split_basename(path or "")
 
     # --- collector.all analog: term -> max priority -----------------
@@ -286,6 +295,8 @@ def analyze_doc(
         kw_terms["has_ext:1"] = 1
     if dir_segs:
         kw_terms["has_parent:1"] = 1
+    if name_full_terms:
+        kw_terms["has_name:1"] = 1
 
     return {
         FIELD_ALL: all_terms,
@@ -301,15 +312,100 @@ def analyze_doc(
     }
 
 
+def _analyze_chunk_doc(
+    repo: str, path: str, lang: str, content: str, chunk: int
+) -> dict[str, dict[str, int]]:
+    """Chunk sub-doc analysis (photon house): no name zones; the
+    file basename is an ADDRESS part (prio 2, like a house's street
+    in collector.all) and the parent field's street value; the chunk
+    number is the housenumber (ext field)."""
+    basename, path_rest = split_basename(path or "")
+
+    all_terms: dict[str, int] = {}
+
+    def _add(terms: list[str], prio: int) -> None:
+        for t in terms:
+            if all_terms.get(t, 0) < prio:
+                all_terms[t] = prio
+
+    # PhotonDocSerializer.java:57-59: the housenumber lands in
+    # collector.all at prio 5 for an unnamed object, and the street
+    # of a housenumber-carrying doc at prio 5 too (serializer line
+    # 84: prio = hasHouseNumber && STREET ? 5 : searchPrio)
+    _add(_zone_terms(str(chunk)), PRIO_NAME)
+    _add(_zone_terms(normalize_apostrophes(basename)), PRIO_NAME)
+    _add(_zone_terms(normalize_apostrophes(" ".join(path_rest))), PRIO_PATH)
+    _add(_zone_terms((repo or "").replace("/", " ")), PRIO_REPO)
+    _add(_zone_terms(normalize_apostrophes(content or "")), PRIO_CONTENT)
+    if lang:
+        for cat in category_prefixes(f"code.{fold(lang)}"):
+            _add([cat], PRIO_CATEGORY)
+
+    ngram_terms: dict[str, int] = {}
+    for t, tf in all_terms.items():
+        if t.startswith("#"):
+            if ngram_terms.get(t, 0) < tf:
+                ngram_terms[t] = tf
+            continue
+        for g in edge_ngrams(t, 1, 30):
+            if ngram_terms.get(g, 0) < tf:
+                ngram_terms[g] = tf
+
+    # parent = directory segments + the file basename (the street)
+    segs = [s for s in (path or "").split("/") if s]
+    parent_terms: dict[str, int] = {}
+    parent_seq_terms: dict[str, int] = {}
+    parent_values = (segs[:-1] if segs else []) + ([basename] if basename else [])
+    for seg in parent_values:
+        for t in _chunk_terms(normalize_apostrophes(seg), True):
+            for g in edge_ngrams(t, 5, 30, preserve_original=True):
+                parent_terms[g] = 1
+        for g in seq_ngrams(seq_tokens(seg)):
+            parent_seq_terms[g] = 1
+
+    # housenumber analog: the chunk number in the ext field
+    ext_terms = {str(chunk): 1}
+
+    kw_terms: dict[str, int] = {}
+    if lang:
+        kw_terms[f"lang:{fold(lang)}"] = 1
+    if repo:
+        kw_terms[f"repo:{repo.lower()}"] = 1
+    kw_terms["type:chunk"] = 1
+    kw_terms["has_ext:1"] = 1
+    if parent_values:
+        kw_terms["has_parent:1"] = 1
+
+    return {
+        FIELD_ALL: all_terms,
+        FIELD_NGRAM: ngram_terms,
+        FIELD_NAME: {},
+        FIELD_NAME_PREFIX: {},
+        FIELD_NAME_FULL: {},
+        FIELD_EXT: ext_terms,
+        FIELD_PARENT: parent_terms,
+        FIELD_NAME_SEQ: {},
+        FIELD_PARENT_SEQ: parent_seq_terms,
+        FIELD_KEYWORD: kw_terms,
+    }
+
+
 KNOWN_LANGS = {"python", "java", "js", "go", "md"}
 
 
-def doc_type(lang: str | None) -> str:
-    """Object-type analog (reference AddressType.java:16-25): a doc
-    with a recognized language is a ``file``; anything else is
-    ``other`` (drives the short-query ×0.4-style demotion function,
-    SearchQueryBuilder.java:77-84)."""
+def doc_type(lang: str | None, chunk: int | None = None) -> str:
+    """Object-type analog (reference AddressType.java:16-25): a chunk
+    sub-doc is a ``chunk`` (photon's house); a doc with a recognized
+    language is a ``file``; anything else is ``other`` (drives the
+    short-query ×0.4-style demotion function,
+    SearchQueryBuilder.java:77-84, and the layer filter Q18)."""
+    if chunk is not None:
+        return "chunk"
     return "file" if lang and fold(lang) in KNOWN_LANGS else "other"
+
+
+# the layer-filter vocabulary (Q18; reference query/LayerType.java)
+LAYERS = ("file", "chunk", "other")
 
 
 def analyze_search(q: str) -> list[list[str]]:

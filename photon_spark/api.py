@@ -17,7 +17,21 @@ from photon_spark.query.compiler import StructuredQuery
 MAX_RESULTS = 50  # config/ApiServerConfig.java:42-50
 DEFAULT_LIMIT = 15  # query/RequestBase.java:13
 
-_SEARCH_PARAMS = {"q", "limit", "lang", "repo", "include", "exclude", "k", "osm_tag"}
+_SEARCH_PARAMS = {
+    "q", "limit", "lang", "repo", "include", "exclude", "k", "osm_tag",
+    "layer", "suggest_addresses", "dedupe", "accept_language",
+}
+
+
+def _bool_param(params: dict, name: str, default: bool) -> bool:
+    raw = params.get(name, default)
+    if isinstance(raw, bool):
+        return raw
+    if str(raw) in ("0", "false", "False"):
+        return False
+    if str(raw) in ("1", "true", "True"):
+        return True
+    raise BadRequest(f"invalid boolean for {name!r}: {raw!r}")
 _STRUCTURED_PARAMS = {"repo", "directory", "name", "ext", "lang", "limit"}
 
 
@@ -59,6 +73,17 @@ def validate_search(params: dict) -> dict:
             parse_tag_filters(list(osm_tag))
         except BadTagFilter as e:
             raise BadRequest(str(e))
+    # layer filter (Q18): whitelist against the known object types
+    # (reference RequestFactoryBase.java:21 LAYER_FILTER validation)
+    layers = list(params.get("layer") or [])
+    if layers:
+        from photon_spark.analysis.analyzers import LAYERS
+
+        bad = [x for x in layers if x not in LAYERS]
+        if bad:
+            raise BadRequest(
+                f"invalid layer(s) {bad}; allowed: {sorted(LAYERS)}"
+            )
     return {
         "q": q,
         "k": _limit(params),
@@ -66,6 +91,11 @@ def validate_search(params: dict) -> dict:
         "include": list(include),
         "exclude": list(exclude),
         "osm_tag": list(osm_tag),
+        "layers": layers,
+        "suggest": _bool_param(params, "suggest_addresses", False),
+        # R6: street-dupes filter toggle (RequestFactoryBase.java:45,
+        # default true)
+        "dedupe": _bool_param(params, "dedupe", True),
     }
 
 
@@ -98,6 +128,12 @@ def format_results(hits: list[dict]) -> dict[str, Any]:
                     "repo": h.get("repo"),
                     "path": h.get("path"),
                     "lang": h.get("lang"),
+                    # chunk number — the housenumber property analog
+                    # (GeoJsonFormatter housenumber field)
+                    "chunk": h.get("chunk"),
+                    "type": h.get("type"),
+                    # O9: non-searchable payload (ConfigExtraTags)
+                    "extra": dict(h.get("extra") or {}),
                     "score": round(float(h.get("score", h.get("os_score", 0.0))), 6),
                     "importance": h.get("importance"),
                 },
@@ -106,42 +142,118 @@ def format_results(hits: list[dict]) -> dict[str, Any]:
     return {"type": "FeatureCollection", "features": features}
 
 
-class SearchAPI:
-    """Bind an engine backend to the validated surface."""
+SUPPORTED_LANGUAGES = ("en", "de", "fr", "es", "it")  # supportLanguages analog
 
-    def __init__(self, backend):
+
+def resolve_language(
+    params: dict,
+    supported: tuple[str, ...] = SUPPORTED_LANGUAGES,
+) -> str:
+    """R9 — display-language resolution (RequestFactoryBase.java:
+    76-103): the ``accept_language`` header value is parsed with
+    q-weights and matched against the supported set; else
+    ``default``. Graft note: the reference's ``lang`` param IS the
+    display language; in this graft ``lang`` is the
+    countrycode-analog kw FILTER (S5), so only the header path
+    resolves display language — the corpus is single-name anyway
+    (R8 localized-name fallback is n/a)."""
+    header = params.get("accept_language")
+    if header:
+        weighted = []
+        for i, part in enumerate(str(header).split(",")):
+            bits = part.strip().split(";")
+            tag = bits[0].strip().lower().split("-")[0]
+            q = 1.0
+            for b in bits[1:]:
+                b = b.strip()
+                if b.startswith("q="):
+                    try:
+                        q = float(b[2:])
+                    except ValueError:
+                        q = 0.0
+            weighted.append((-q, i, tag))
+        for _, _, tag in sorted(weighted):
+            if tag in supported:
+                return tag
+    return "default"
+
+
+class SearchAPI:
+    """Bind an engine backend to the validated surface; optional
+    :class:`photon_spark.metrics.ServingMetrics` records per-endpoint
+    counters + latency (the /metrics surface)."""
+
+    def __init__(self, backend, metrics=None):
         self.backend = backend
+        self._metrics = metrics
+
+    def _timed(self, endpoint: str, fn):
+        import time as _time
+
+        t0 = _time.monotonic()
+        try:
+            out = fn()
+        except Exception:
+            if self._metrics is not None:
+                self._metrics.record(endpoint, _time.monotonic() - t0, error=True)
+            raise
+        if self._metrics is not None:
+            self._metrics.record(endpoint, _time.monotonic() - t0)
+        return out
 
     def api(self, params: dict) -> dict:
-        v = validate_search(params)
-        hits = self.backend.search(
-            v["q"], k=v["k"], filters=v["filters"],
-            include=v["include"], exclude=v["exclude"], osm_tag=v["osm_tag"],
-        )
-        return format_results(hits)
+        def _run():
+            v = validate_search(params)
+            hits = self.backend.search(
+                v["q"], k=v["k"], filters=v["filters"],
+                include=v["include"], exclude=v["exclude"], osm_tag=v["osm_tag"],
+                layers=v["layers"], suggest=v["suggest"], dedupe=v["dedupe"],
+            )
+            out = format_results(hits)
+            out["lang"] = resolve_language(params)
+            return out
+
+        return self._timed("api", _run)
 
     def structured(self, params: dict) -> dict:
-        sq, k = validate_structured(params)
-        return format_results(self.backend.structured_search(sq, k=k))
+        def _run():
+            sq, k = validate_structured(params)
+            return format_results(self.backend.structured_search(sq, k=k))
+
+        return self._timed("structured", _run)
+
+    def metrics(self) -> str:
+        """Prometheus text exposition (/metrics)."""
+        if self._metrics is None:
+            return ""
+        return self._metrics.prometheus()
 
     def reverse(self, params: dict) -> dict:
-        unknown = set(params) - {"repo", "path", "limit", "radius"}
-        if unknown:
-            raise BadRequest(f"unknown parameters: {sorted(unknown)}")
-        if not params.get("repo") and not params.get("path"):
-            raise BadRequest("reverse needs repo and/or path")
-        try:
-            radius = int(params.get("radius", 8))
-        except (TypeError, ValueError):
-            raise BadRequest("invalid radius")
-        hits = self.backend.reverse(
-            params.get("repo") or "", params.get("path") or "",
-            k=_limit({"limit": params.get("limit", 1)}), radius=radius,
-        )
-        out = format_results(hits)
-        for f, h in zip(out["features"], hits):
-            f["properties"]["distance"] = h["distance"]
-        return out
+        def _run():
+            unknown = set(params) - {
+                "repo", "path", "limit", "radius", "query_string_filter",
+                "osm_tag",
+            }
+            if unknown:
+                raise BadRequest(f"unknown parameters: {sorted(unknown)}")
+            if not params.get("repo") and not params.get("path"):
+                raise BadRequest("reverse needs repo and/or path")
+            try:
+                radius = int(params.get("radius", 8))
+            except (TypeError, ValueError):
+                raise BadRequest("invalid radius")
+            hits = self.backend.reverse(
+                params.get("repo") or "", params.get("path") or "",
+                k=_limit({"limit": params.get("limit", 1)}), radius=radius,
+                osm_tag=list(params.get("osm_tag") or []) or None,
+                query_string=params.get("query_string_filter"),
+            )
+            out = format_results(hits)
+            for f, h in zip(out["features"], hits):
+                f["properties"]["distance"] = h["distance"]
+            return out
+
+        return self._timed("reverse", _run)
 
     def status(self) -> dict:
         return self.backend.status()

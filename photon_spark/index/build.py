@@ -44,7 +44,8 @@ from photon_spark.index.codec import encode_blocks_bulk
 
 # 2.0: dense-ordinal postings (v1 mirrored Server.java:40)
 # 2.1: adjacency seq fields (match_phrase) + exists kw markers
-INDEX_FORMAT_VERSION = "2.1.0-1"
+# 2.2: chunk sub-docs (O2 fan-out) + chunk column in docs
+INDEX_FORMAT_VERSION = "2.2.0-1"
 
 DEFAULT_BLOCK_SIZE = 128
 DEFAULT_N_BUCKETS = 64
@@ -138,6 +139,44 @@ def assign_ordinals(spark: SparkSession, docs_path: str) -> int:
     return acc
 
 
+# columns with engine meaning — anything else in the source is an
+# "extra tag" candidate (O9, ConfigExtraTags.java:14-72)
+CANONICAL_COLS = {"repo", "path", "commit", "lang", "content", "importance", "chunk"}
+
+
+def extra_tags_col(src_cols: list[str], extra_tags) -> "F.Column":
+    """Non-searchable payload projection (O9 — the graft of photon's
+    extra-tags config, ConfigExtraTags.java:14-72): ``extra_tags``
+    is None (drop all, the reference default), the literal "ALL"
+    (keep every non-canonical source column), or a whitelist. The
+    kept columns land in a ``map<string,string>`` docs column carried
+    through to results — never indexed, never scored."""
+    extras = [c for c in src_cols if c not in CANONICAL_COLS]
+    if extra_tags == "ALL":
+        keep = extras
+    elif extra_tags:
+        keep = [c for c in extra_tags if c in extras]
+    else:
+        keep = []
+    if not keep:
+        return F.map_from_arrays(
+            F.array().cast("array<string>"), F.array().cast("array<string>")
+        )
+    return F.map_from_arrays(
+        F.array(*[F.lit(c) for c in keep]),
+        F.array(*[F.col(c).cast("string") for c in keep]),
+    )
+
+
+def doc_type_col():
+    """Chunk-aware object-type column (twin of analyzers.doc_type)."""
+    return (
+        F.when(F.col("chunk").isNotNull(), F.lit("chunk"))
+        .when(F.lower(F.col("lang")).isin(*KNOWN_LANGS), F.lit("file"))
+        .otherwise(F.lit("other"))
+    )
+
+
 def write_docs_by_repo(
     spark: SparkSession, out_dir: str, partitions: int
 ) -> None:
@@ -161,19 +200,24 @@ def term_bucket(term: str, n_buckets: int = DEFAULT_N_BUCKETS) -> int:
 
 
 def _tokenize_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-    """mapInArrow kernel: (doc, repo, path, lang, content) → token runs."""
+    """mapInArrow kernel: (doc, repo, path, lang, content[, chunk])
+    → token runs."""
     for batch in it:
         docs = batch.column("doc").to_pylist()
         repos = batch.column("repo").to_pylist()
         paths = batch.column("path").to_pylist()
         langs = batch.column("lang").to_pylist()
         contents = batch.column("content").to_pylist()
+        if "chunk" in batch.schema.names:
+            chunks = batch.column("chunk").to_pylist()
+        else:
+            chunks = [None] * len(docs)
         o_field: list[str] = []
         o_term: list[str] = []
         o_doc: list[int] = []
         o_tf: list[int] = []
-        for d, r, p, lg, c in zip(docs, repos, paths, langs, contents):
-            fields = analyze_doc(r or "", p or "", lg or "", c or "")
+        for d, r, p, lg, c, ck in zip(docs, repos, paths, langs, contents, chunks):
+            fields = analyze_doc(r or "", p or "", lg or "", c or "", ck)
             for fname, tmap in fields.items():
                 for term, tf in tmap.items():
                     o_field.append(fname)
@@ -323,6 +367,8 @@ def build_index(
     n_buckets: int = DEFAULT_N_BUCKETS,
     partitions: int | None = None,
     deletions: bool = True,
+    chunk_lines: int | None = None,
+    extra_tags: str | list[str] | None = None,
 ) -> dict:
     """Run the full index build; returns build metrics.
 
@@ -333,6 +379,10 @@ def build_index(
     deletion-neighborhood table — the scale-safe fuzzy grounding
     route. Without it the serving path falls back to a capped
     dictionary prefix scan (recall-lossy past the cap).
+
+    ``chunk_lines`` (set to e.g. 400 to enable) fans files longer
+    than that into chunk sub-docs (O2, index/chunking.py) — photon's
+    street/house object hierarchy.
     """
     t0 = time.time()
     if isinstance(source, str):
@@ -341,16 +391,23 @@ def build_index(
         src = source
     if "importance" not in src.columns:
         src = src.withColumn("importance", F.lit(0.0))
+    if chunk_lines:
+        from photon_spark.index.chunking import fan_out_chunks
+
+        src = fan_out_chunks(src, chunk_lines)
+    elif "chunk" not in src.columns:
+        src = src.withColumn("chunk", F.lit(None).cast("int"))
     partitions = partitions or spark.conf.get("spark.sql.shuffle.partitions")
     partitions = int(partitions)
 
     n_input = src.count()
 
-    # --- docs: content-sha dedupe (uid analog) ----------------------
+    # --- docs: content-sha dedupe (uid analog); chunk asc_nulls_first
+    # keeps the whole-file doc the representative on identical text --
     with_id = src.withColumn("doc_id", F.sha2(F.col("content"), 256)).withColumn(
         "doc", doc_int_expr()
     )
-    w = Window.partitionBy("doc_id").orderBy("repo", "path", "commit")
+    w = Window.partitionBy("doc_id").orderBy("repo", "path", "commit", "chunk")
     docs = (
         with_id.withColumn("rn", F.row_number().over(w))
         .withColumn("n_dupes", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
@@ -362,9 +419,8 @@ def build_index(
 
     docs.select(
         "doc_id", "doc", "repo", "path", "commit", "lang", "importance", "n_dupes",
-        F.when(F.lower(F.col("lang")).isin(*KNOWN_LANGS), F.lit("file"))
-        .otherwise(F.lit("other"))
-        .alias("type"),
+        "chunk", doc_type_col().alias("type"),
+        extra_tags_col(src.columns, extra_tags).alias("extra"),
     ).repartitionByRange(max(1, partitions // 4), "doc").sortWithinPartitions(
         "doc"
     ).write.mode("overwrite").parquet(os.path.join(out_dir, "docs"))
@@ -374,9 +430,9 @@ def build_index(
     # --- tokenize (SPIMI runs), keyed by dense ordinal ---------------
     ords = spark.read.parquet(os.path.join(out_dir, "docs")).select("doc_id", "ord")
     tokens = (
-        docs.select("doc_id", "repo", "path", "lang", "content")
+        docs.select("doc_id", "repo", "path", "lang", "content", "chunk")
         .join(ords, "doc_id")
-        .select(F.col("ord").alias("doc"), "repo", "path", "lang", "content")
+        .select(F.col("ord").alias("doc"), "repo", "path", "lang", "content", "chunk")
         .mapInArrow(_tokenize_batches, _TOKENS_DDL)
     )
 
@@ -416,6 +472,8 @@ def build_index(
         "n_docs": n_docs,
         "block_size": block_size,
         "n_buckets": n_buckets,
+        "chunk_lines": chunk_lines,
+        "extra_tags": extra_tags,
         "build_seconds": elapsed,
         "files_per_sec": n_input / elapsed if elapsed > 0 else None,
         "next_ord": n_docs,

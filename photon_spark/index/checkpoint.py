@@ -42,7 +42,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from photon_spark.analysis.analyzers import KNOWN_LANGS
 from photon_spark.index.build import (
     DEFAULT_BLOCK_SIZE,
     assign_ordinals,
@@ -101,11 +100,14 @@ def build_index_resumable(
     partitions: int | None = None,
     fail_at_group: int | None = None,
     deletions: bool = True,
+    chunk_lines: int | None = None,
+    extra_tags: str | list[str] | None = None,
 ) -> dict:
     """Checkpointed build; safe to re-invoke after any crash.
 
     ``fail_at_group`` injects a crash before group G commits (test
-    hook for the resume contract).
+    hook for the resume contract). ``chunk_lines`` enables the O2
+    chunk fan-out (index/chunking.py).
     """
     t_start = time.time()
     if isinstance(source, str):
@@ -114,6 +116,12 @@ def build_index_resumable(
         src = source
     if "importance" not in src.columns:
         src = src.withColumn("importance", F.lit(0.0))
+    if chunk_lines:
+        from photon_spark.index.chunking import fan_out_chunks
+
+        src = fan_out_chunks(src, chunk_lines)
+    elif "chunk" not in src.columns:
+        src = src.withColumn("chunk", F.lit(None).cast("int"))
     partitions = int(partitions or spark.conf.get("spark.sql.shuffle.partitions"))
     st = _State(out_dir)
 
@@ -128,7 +136,7 @@ def build_index_resumable(
         with_id = src.withColumn("doc_id", F.sha2(F.col("content"), 256)).withColumn(
             "doc", doc_int_expr()
         )
-        w = Window.partitionBy("doc_id").orderBy("repo", "path", "commit")
+        w = Window.partitionBy("doc_id").orderBy("repo", "path", "commit", "chunk")
         docs = (
             with_id.withColumn("rn", F.row_number().over(w))
             .withColumn(
@@ -137,12 +145,12 @@ def build_index_resumable(
             .filter(F.col("rn") == 1)
             .drop("rn")
         )
+        from photon_spark.index.build import doc_type_col, extra_tags_col
+
         docs.select(
             "doc_id", "doc", "repo", "path", "commit", "lang", "importance",
-            "n_dupes",
-            F.when(F.lower(F.col("lang")).isin(*KNOWN_LANGS), F.lit("file"))
-            .otherwise(F.lit("other"))
-            .alias("type"),
+            "n_dupes", "chunk", doc_type_col().alias("type"),
+            extra_tags_col(src.columns, extra_tags).alias("extra"),
         ).repartitionByRange(max(1, partitions // 4), "doc").sortWithinPartitions(
             "doc"
         ).write.mode("overwrite").parquet(docs_path)
@@ -166,13 +174,13 @@ def build_index_resumable(
             F.sha2(F.col("content"), 256).alias("doc_id"), "content"
         ).dropDuplicates(["doc_id"])
         tok_src = docs_df.select(
-            "doc_id", F.col("ord").alias("doc"), "repo", "path", "lang"
+            "doc_id", F.col("ord").alias("doc"), "repo", "path", "lang", "chunk"
         ).join(content, "doc_id")
         # explicit partition count: tokenize EXPANDS ~100× (ngram
         # fields), so AQE's size-based coalescing of the small input
         # shuffle would serialize the heaviest python stage
         tokens = (
-            tok_src.select("doc", "repo", "path", "lang", "content")
+            tok_src.select("doc", "repo", "path", "lang", "content", "chunk")
             .repartition(partitions, "doc")
             .mapInArrow(_tokenize_batches, _TOKENS_DDL)
         )
@@ -292,6 +300,8 @@ def build_index_resumable(
         "block_size": block_size,
         "n_buckets": n_buckets,
         "n_groups": n_groups,
+        "chunk_lines": chunk_lines,
+        "extra_tags": extra_tags,
         "build_seconds": elapsed,
         "files_per_sec": n_input / elapsed if elapsed > 0 else None,
         "next_ord": n_docs,

@@ -1,0 +1,80 @@
+"""Multi-doc-per-row fan-out (O2) — the graft of photon's address-set
+expansion (reference: PhotonDocAddressSet.java:10-108 /
+PhotonDocInterpolationSet.java:16-34: one nominatim row becomes N
+docs, uid = ``placeId.objectId``).
+
+Corpus analog: a file longer than ``chunk_lines`` lines additionally
+fans out into per-chunk sub-docs. The object model mirrors photon's
+street/house hierarchy exactly:
+
+=================  =========================================
+photon             graft
+=================  =========================================
+street (named)     the whole-file doc (basename = name)
+house (unnamed)    a chunk doc (no name of its own)
+housenumber        the chunk number (indexed in the ``ext``
+                   field — the housenumber field analog)
+house's street     the chunk's ``parent`` = directory + file
+                   basename
+object_type house  doc type ``chunk``
+=================  =========================================
+
+A chunk doc carries NO name zones (photon houses are unnamed —
+their display name synthesizes from street + number), so the
+``has_name`` kw marker is absent: suggest-mode queries
+(SearchQueryBuilder.java:142-147 must(exists housenumber) +
+mustNot(exists name)) surface exactly the chunk docs.
+
+Updates: chunks share the file's ``(repo, path)`` identity, so the
+update plane's identity removal deletes stale chunk suffixes
+automatically when a file shrinks (opensearch/Updater.java:24-75
+stale-uid delete semantics).
+
+Everything is built-in column work: split → size → posexplode over a
+chunk-index sequence → slice/array_join. No UDFs, no shuffle (narrow
+fan-out before the build's own repartition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# files longer than this fan out into chunk sub-docs
+DEFAULT_CHUNK_LINES = 400
+
+
+def fan_out_chunks(src: DataFrame, chunk_lines: int = DEFAULT_CHUNK_LINES) -> DataFrame:
+    """(repo, path, commit, lang, content[, importance]) rows →
+    the same rows with ``chunk = NULL`` plus, for files with more
+    than ``chunk_lines`` lines, one row per chunk (``chunk = k``,
+    content = that slice of lines). Deterministic; preserves all
+    other columns."""
+    whole = src.withColumn("chunk", F.lit(None).cast("int"))
+    lines = F.split(F.col("content"), "\n")
+    n_chunks = F.ceil(F.size(lines) / F.lit(chunk_lines)).cast("int")
+    chunked = (
+        src.filter(F.size(F.split(F.col("content"), "\n")) > chunk_lines)
+        .withColumn("_lines", lines)
+        .withColumn("_k", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+        .withColumn(
+            "content",
+            F.array_join(
+                F.slice(F.col("_lines"), F.col("_k") * chunk_lines + 1, chunk_lines),
+                "\n",
+            ),
+        )
+        .withColumn("chunk", F.col("_k").cast("int"))
+        .drop("_lines", "_k")
+    )
+    return whole.unionByName(chunked.select(*whole.columns))
+
+
+def chunk_py(content: str, chunk_lines: int = DEFAULT_CHUNK_LINES) -> list[str]:
+    """Python twin of the chunk slicing (oracle side)."""
+    ls = (content or "").split("\n")
+    if len(ls) <= chunk_lines:
+        return []
+    return [
+        "\n".join(ls[i : i + chunk_lines]) for i in range(0, len(ls), chunk_lines)
+    ]

@@ -40,7 +40,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from photon_spark.analysis.analyzers import KNOWN_LANGS
 from photon_spark.index.build import (
     _make_block_encoder,
     _tokenize_batches,
@@ -99,6 +98,18 @@ def apply_updates(
     upserts = latest.filter(F.col("op") == "upsert")
     if "importance" not in upserts.columns:
         upserts = upserts.withColumn("importance", F.lit(0.0))
+    # same chunk fan-out as the build (O2): a shrunk file re-expands
+    # to FEWER chunk docs; its old (repo, path) identity removal
+    # below deletes every stale chunk suffix (Updater.java:44-66)
+    chunk_lines = meta.get("chunk_lines")
+    if chunk_lines:
+        from photon_spark.index.chunking import fan_out_chunks
+
+        upserts = fan_out_chunks(upserts, chunk_lines)
+    elif "chunk" not in upserts.columns:
+        upserts = upserts.withColumn("chunk", F.lit(None).cast("int"))
+    from photon_spark.index.build import doc_type_col, extra_tags_col
+
     new_docs = (
         upserts.withColumn("doc_id", F.sha2(F.col("content"), 256))
         .withColumn("doc", doc_int_expr())
@@ -109,16 +120,16 @@ def apply_updates(
         .withColumn(
             "rn",
             F.row_number().over(
-                Window.partitionBy("doc_id").orderBy("repo", "path", "commit")
+                Window.partitionBy("doc_id").orderBy(
+                    "repo", "path", "commit", "chunk"
+                )
             ),
         )
         .filter(F.col("rn") == 1)
         .select(
             "doc_id", "doc", "repo", "path", "commit", "lang", "importance",
-            "n_dupes",
-            F.when(F.lower(F.col("lang")).isin(*KNOWN_LANGS), F.lit("file"))
-            .otherwise(F.lit("other"))
-            .alias("type"),
+            "n_dupes", "chunk", doc_type_col().alias("type"),
+            extra_tags_col(upserts.columns, meta.get("extra_tags")).alias("extra"),
             "content",
         )
     )
@@ -173,7 +184,7 @@ def apply_updates(
     seg = _next_seg(index_dir)
     if n_added > 0:
         tokens = truly_new.select(
-            F.col("ord").alias("doc"), "repo", "path", "lang", "content"
+            F.col("ord").alias("doc"), "repo", "path", "lang", "content", "chunk"
         ).mapInArrow(_tokenize_batches, _TOKENS_DDL)
         parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
         dict_delta = tokens.groupBy("field", "term").agg(

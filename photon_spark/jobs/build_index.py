@@ -37,9 +37,22 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--partitions", type=int, default=None)
     p.add_argument("--master", default=None, help="override master (tests); spark-submit sets it otherwise")
     p.add_argument(
-        "--deletions",
+        "--no-deletions",
         action="store_true",
-        help="also build the SymSpell deletion-neighborhood fuzzy dictionary",
+        help="skip the SymSpell deletion-neighborhood fuzzy dictionary "
+             "(built by default; skipping degrades fuzzy grounding to the "
+             "capped prefix scan)",
+    )
+    p.add_argument(
+        "--chunk-lines",
+        type=int,
+        default=None,
+        help="fan files longer than N lines into chunk sub-docs (O2)",
+    )
+    p.add_argument(
+        "--extra-tags",
+        default=None,
+        help="non-searchable payload columns: 'ALL' or comma list (O9)",
     )
     args = p.parse_args(argv)
 
@@ -47,6 +60,9 @@ def main(argv: list[str] | None = None) -> int:
     from photon_spark.session import get_spark
 
     spark = get_spark(master=args.master, app_name="photon_spark_build")
+    extra = args.extra_tags
+    if extra and extra != "ALL":
+        extra = [c.strip() for c in extra.split(",") if c.strip()]
     meta = build_index_resumable(
         spark,
         args.input,
@@ -55,11 +71,10 @@ def main(argv: list[str] | None = None) -> int:
         n_buckets=args.n_buckets,
         n_groups=args.n_groups,
         partitions=args.partitions,
+        deletions=not args.no_deletions,
+        chunk_lines=args.chunk_lines,
+        extra_tags=extra,
     )
-    if args.deletions:
-        from photon_spark.index.deletions import build_deletion_index
-
-        meta["n_deletion_variants"] = build_deletion_index(spark, args.output)
     print(json.dumps(meta))
     return 0
 

@@ -30,6 +30,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--k", type=int, default=15)
     p.add_argument("--mode", choices=["search", "topk"], default="search")
     p.add_argument("--filter", action="append", default=[], help="kw filter key=value")
+    p.add_argument("--layer", action="append", default=[], help="layer filter (file|chunk|other)")
+    p.add_argument("--suggest", action="store_true", help="suggestAddresses mode")
+    p.add_argument("--no-dedupe", action="store_true", help="disable the street-dupes filter (dedupe=0)")
     p.add_argument("--repeat", type=int, default=1)
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
@@ -48,7 +51,11 @@ def main(argv: list[str] | None = None) -> int:
     for _ in range(args.repeat):
         t0 = time.time()
         if args.mode == "search":
-            hits = idx.search(args.q, k=args.k, filters=filters)
+            hits = idx.search(
+                args.q, k=args.k, filters=filters,
+                layers=args.layer or None, suggest=args.suggest,
+                dedupe=not args.no_dedupe,
+            )
             results = [
                 {k: h[k] for k in ("doc_id", "repo", "path", "score")} for h in hits
             ]

@@ -1,0 +1,97 @@
+"""Query-side serving metrics — the graft of photon's Prometheus
+surface (reference: metrics/OpenSearchMetrics.java:47-62 index
+gauges; metrics/MetricsConfig.java wiring; api/ApiMetricsTest.java
+behavior): per-endpoint request/error counters + cumulative search
+time, and index gauges (document count, index size bytes, segment
+count) sampled from the Index handle with the same 30 s cache TTL
+the reference uses.
+
+No micrometer here — the registry is a plain dict and
+:meth:`prometheus` renders the text exposition format, which is what
+a scraper consumes. Counters are process-local (one serving driver),
+exactly like the reference's in-process MeterRegistry.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import time
+
+CACHE_TTL_S = 30.0  # OpenSearchMetrics.CACHE_TTL_MS
+
+
+def _dir_size(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            try:
+                total += os.path.getsize(os.path.join(root, fn))
+            except OSError:
+                pass
+    return total
+
+
+class ServingMetrics:
+    """Counters + index gauges with a Prometheus text view."""
+
+    def __init__(self, index=None):
+        self._index = index
+        self._lock = threading.Lock()
+        self._counts: dict[str, int] = {}
+        self._errors: dict[str, int] = {}
+        self._time_s: dict[str, float] = {}
+        self._gauge_cache: tuple[float, dict] | None = None
+
+    # ---- counters (search totals, OpenSearchMetrics "search"/"time")
+    def record(self, endpoint: str, seconds: float, error: bool = False) -> None:
+        with self._lock:
+            self._counts[endpoint] = self._counts.get(endpoint, 0) + 1
+            self._time_s[endpoint] = self._time_s.get(endpoint, 0.0) + seconds
+            if error:
+                self._errors[endpoint] = self._errors.get(endpoint, 0) + 1
+
+    # ---- index gauges (30 s TTL cache like the reference) ----------
+    def _gauges(self) -> dict:
+        now = time.monotonic()
+        if self._gauge_cache is not None and now - self._gauge_cache[0] < CACHE_TTL_S:
+            return self._gauge_cache[1]
+        g: dict[str, float] = {}
+        idx = self._index
+        if idx is not None:
+            g["photon_documents_count"] = float(idx.n_docs)
+            g["photon_index_size_bytes"] = float(_dir_size(idx.dir))
+            g["photon_index_segments"] = float(
+                1 + len(idx.meta.get("segments", []))
+            )
+        self._gauge_cache = (now, g)
+        return g
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            out = {
+                "requests": dict(self._counts),
+                "errors": dict(self._errors),
+                "time_seconds": {k: round(v, 6) for k, v in self._time_s.items()},
+            }
+        out["gauges"] = dict(self._gauges())
+        return out
+
+    def prometheus(self) -> str:
+        """Prometheus text exposition (the /metrics payload)."""
+        snap = self.snapshot()
+        lines = [
+            "# TYPE photon_requests_total counter",
+        ]
+        for ep, n in sorted(snap["requests"].items()):
+            lines.append(f'photon_requests_total{{endpoint="{ep}"}} {n}')
+        lines.append("# TYPE photon_request_errors_total counter")
+        for ep, n in sorted(snap["errors"].items()):
+            lines.append(f'photon_request_errors_total{{endpoint="{ep}"}} {n}')
+        lines.append("# TYPE photon_request_time_seconds counter")
+        for ep, v in sorted(snap["time_seconds"].items()):
+            lines.append(f'photon_request_time_seconds{{endpoint="{ep}"}} {v}')
+        for name, v in sorted(snap["gauges"].items()):
+            lines.append(f"# TYPE {name} gauge")
+            lines.append(f"{name} {v}")
+        return "\n".join(lines) + "\n"

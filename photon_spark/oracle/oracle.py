@@ -41,23 +41,58 @@ class OracleIndex:
     (repo, path, commit, lang, content[, importance]); implements the
     SearchBackend protocol."""
 
-    def __init__(self, corpus: pd.DataFrame, synonyms=None):
+    def __init__(
+        self, corpus: pd.DataFrame, synonyms=None, chunk_lines=None,
+        extra_tags=None,
+    ):
         self.synonyms = synonyms  # query-time Synonyms config (A12/A13)
         self.docs: dict[int, dict] = {}
         self.postings: dict[str, dict[str, dict[int, int]]] = {}
 
-        # content-sha dedupe, keep first by (repo, path, commit)
+        # O2 fan-out twin (index/chunking.py) + content-sha dedupe,
+        # keep first by (repo, path, commit, chunk) — chunk None
+        # sorts first like Spark's asc-nulls-first
+        canonical = {
+            "repo", "path", "commit", "lang", "content", "importance", "chunk"
+        }
+        extra_cols = [c for c in corpus.columns if c not in canonical]
+        if extra_tags == "ALL":
+            keep_extra = extra_cols
+        elif extra_tags:
+            keep_extra = [c for c in extra_tags if c in extra_cols]
+        else:
+            keep_extra = []
+
+        expanded: list[tuple] = []
+        for row in corpus.itertuples(index=False):
+            imp = getattr(row, "importance", 0.0)
+            extra = {c: str(getattr(row, c)) for c in keep_extra}
+            expanded.append(
+                (row.repo, row.path, row.commit, row.lang, row.content, imp, None,
+                 extra)
+            )
+            if chunk_lines:
+                from photon_spark.index.chunking import chunk_py
+
+                for k, ck in enumerate(chunk_py(row.content, chunk_lines)):
+                    expanded.append(
+                        (row.repo, row.path, row.commit, row.lang, ck, imp, k,
+                         extra)
+                    )
+
         best: dict[str, tuple] = {}
         dupes: dict[str, int] = {}
-        for row in corpus.itertuples(index=False):
-            h = sha256_hex(row.content)
+        for repo, path, commit, lang, content, imp, chunk, extra in expanded:
+            h = sha256_hex(content)
             dupes[h] = dupes.get(h, 0) + 1
-            key = (row.repo, row.path, row.commit)
-            if h not in best or key < best[h][:3]:
-                best[h] = (row.repo, row.path, row.commit, row.lang, row.content,
-                           getattr(row, "importance", 0.0), h)
+            key = (repo, path, commit, -1 if chunk is None else chunk)
+            prev = best.get(h)
+            if prev is None or key < (
+                prev[0], prev[1], prev[2], -1 if prev[6] is None else prev[6]
+            ):
+                best[h] = (repo, path, commit, lang, content, imp, chunk, extra, h)
 
-        for repo, path, commit, lang, content, importance, h in best.values():
+        for repo, path, commit, lang, content, importance, chunk, extra, h in best.values():
             d = doc_int_py(h)
             self.docs[d] = {
                 "doc_id": h,
@@ -68,9 +103,11 @@ class OracleIndex:
                 "lang": lang,
                 "importance": importance,
                 "n_dupes": dupes[h],
-                "type": doc_type(lang),
+                "chunk": chunk,
+                "type": doc_type(lang, chunk),
+                "extra": extra,
             }
-            for field, tmap in analyze_doc(repo, path, lang, content).items():
+            for field, tmap in analyze_doc(repo, path, lang, content, chunk).items():
                 fpost = self.postings.setdefault(field, {})
                 for term, tf in tmap.items():
                     fpost.setdefault(term, {})[d] = tf
@@ -104,10 +141,13 @@ class OracleIndex:
     def filter_set(self, filters: dict[str, str] | None) -> set[int] | None:
         if not filters:
             return None
+        from photon_spark.analysis.folding import fold
+
         out: set[int] | None = None
         fp = self.postings.get(FIELD_KEYWORD, {})
         for kk, v in sorted(filters.items()):
-            plist = set(fp.get(f"{kk}:{v.lower()}", {}))
+            norm = fold(v) if kk == "lang" else v.lower()
+            plist = set(fp.get(f"{kk}:{norm}", {}))
             out = plist if out is None else out & plist
         return out
 
@@ -264,6 +304,8 @@ class OracleIndex:
                 plan.tag_filters, meta["lang"], ext_of_path(meta["path"])
             ):
                 continue
+            if plan.layers and meta["type"] not in plan.layers:
+                continue
             os_score = s
             if plan.type_weight:
                 os_score = os_score + (
@@ -279,6 +321,9 @@ class OracleIndex:
                     "path": meta["path"],
                     "lang": meta["lang"],
                     "importance": meta["importance"],
+                    "chunk": meta["chunk"],
+                    "type": meta["type"],
+                    "extra": meta["extra"],
                     "os_score": os_score,
                 }
             )
@@ -295,23 +340,29 @@ class OracleIndex:
         include: list[str] | None = None,
         exclude: list[str] | None = None,
         osm_tag: list[str] | None = None,
+        layers: list[str] | None = None,
+        suggest: bool = False,
+        dedupe: bool = True,
     ) -> list[dict]:
         return run_search(
             self, q, k=k, filters=filters, include=include,
-            exclude=exclude, osm_tag=osm_tag,
+            exclude=exclude, osm_tag=osm_tag, layers=layers, suggest=suggest,
+            dedupe=dedupe,
         )
 
-    def structured_search(self, sq, k: int = 15) -> list[dict]:
+    def structured_search(self, sq, k: int = 15, dedupe: bool = True) -> list[dict]:
         """Field-wise structured search (P5); see run_structured."""
         from photon_spark.query.search_flow import run_structured
 
-        return run_structured(self, sq, k=k)
+        return run_structured(self, sq, k=k, dedupe=dedupe)
 
     def reverse(
         self, repo: str, path: str, k: int = 1, radius: int = 8,
         osm_tag: list[str] | None = None,
+        query_string: str | None = None,
     ) -> list[dict]:
         """Reverse lookup twin (pure python tree distance)."""
+        from photon_spark.query.compiler import compile_query
         from photon_spark.query.reverse import coord_segments, tree_distance
         from photon_spark.query.tagfilter import (
             ext_of_path,
@@ -320,13 +371,30 @@ class OracleIndex:
         )
 
         tfs = parse_tag_filters(osm_tag)
+        allowed: set[int] | None = None
+        if query_string:
+            m = self._eval_node(
+                compile_query(query_string, self, lenient=False).root
+            )
+            allowed = set(m or {})
         q = coord_segments(repo, path)
         rows = []
         for d in self.docs.values():
+            if allowed is not None and d["doc"] not in allowed:
+                continue
             if tfs and not tag_predicate_py(tfs, d["lang"], ext_of_path(d["path"])):
                 continue
             dist = tree_distance(coord_segments(d["repo"], d["path"]), q)
             if dist <= radius:
-                rows.append({**{k2: d[k2] for k2 in ("doc", "doc_id", "repo", "path", "lang", "importance")}, "distance": dist})
+                rows.append({
+                    **{
+                        k2: d[k2]
+                        for k2 in (
+                            "doc", "doc_id", "repo", "path", "lang",
+                            "importance", "chunk", "type", "extra",
+                        )
+                    },
+                    "distance": dist,
+                })
         rows.sort(key=lambda r: (r["distance"], -r["importance"], r["doc"]))
         return rows[:k]

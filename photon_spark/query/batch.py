@@ -220,7 +220,7 @@ def _batch_candidates(
             .drop("e_hit")
         )
 
-    # tag filters: plain column predicates, qid-guarded
+    # tag/layer filters: plain column predicates, qid-guarded
     tag_pred = None
     for qid, plan in plans.items():
         if plan.tag_filters:
@@ -231,6 +231,9 @@ def _batch_candidates(
             )
             cl = (F.col("qid") != qid) | p
             tag_pred = cl if tag_pred is None else (tag_pred & cl)
+        if plan.layers:
+            cl = (F.col("qid") != qid) | F.col("type").isin(plan.layers)
+            tag_pred = cl if tag_pred is None else (tag_pred & cl)
     if tag_pred is not None:
         joined = joined.filter(tag_pred)
 
@@ -238,7 +241,10 @@ def _batch_candidates(
     out_rows = (
         joined.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= ext_limit)
-        .select("qid", "doc", "doc_id", "repo", "path", "lang", "importance", "os_score")
+        .select(
+            "qid", "doc", "doc_id", "repo", "path", "lang", "importance",
+            "chunk", "type", "extra", "os_score",
+        )
         .collect()
     )
     out: dict[int, list[dict]] = {qid: [] for qid in plans}

@@ -188,7 +188,15 @@ def compile_query(
     include: list[str] | None = None,
     exclude: list[str] | None = None,
     osm_tag: list[str] | None = None,
+    layers: list[str] | None = None,
+    suggest: bool = False,
 ) -> SearchPlan:
+    """``suggest`` is the suggestAddresses mode
+    (SearchQueryBuilder.java:23-34,142-147): always the full-query
+    plan (no short dispatch), and the housenumber branch flips to
+    must(exists housenumber) + mustNot(exists name) + should(match) —
+    surfacing the unnamed chunk sub-docs addressed by their parent
+    file. ``layers`` is the Q18 object-type filter."""
     ids = _NodeIds()
     synonyms = getattr(dictionary, "synonyms", None)
     stripped = (q or "").strip()
@@ -196,12 +204,13 @@ def compile_query(
     if not stripped:
         # match-all (category-only search, SearchQueryBuilder.java:24-27)
         plan = SearchPlan(root=Bool(ids.next()), filters=filters, kind="match_all")
-    elif len(stripped) < 4 or _SINGLE_ALPHA_RE.match(stripped):
+    elif not suggest and (len(stripped) < 4 or _SINGLE_ALPHA_RE.match(stripped)):
         plan = _short_plan(stripped, dictionary, lenient, filters, ids)
     else:
-        plan = _full_plan(stripped, dictionary, lenient, filters, ids)
+        plan = _full_plan(stripped, dictionary, lenient, filters, ids, suggest)
     plan.include = _cat_terms(include)
     plan.exclude = _cat_terms(exclude)
+    plan.layers = list(layers or [])
     if osm_tag:
         from photon_spark.query.tagfilter import parse_tag_filters
 
@@ -260,6 +269,7 @@ def _full_plan(
     lenient: bool,
     filters: dict[str, str] | None,
     ids: _NodeIds,
+    suggest: bool = False,
 ) -> SearchPlan:
     alpha = is_alphabetic(q)
 
@@ -304,7 +314,24 @@ def _full_plan(
         else _exact_clauses(q)
     )
     parent_match = Match(ids.next(), FIELD_PARENT, parent_clauses)
-    ext_branch = Bool(ids.next(), must=[ext_fn, parent_match])
+    if suggest:
+        # suggestAddresses (SearchQueryBuilder.java:142-147):
+        # should(hnrQuery), must(exists housenumber),
+        # mustNot(exists name), must(parent) — only unnamed
+        # addressable objects (chunk sub-docs) qualify, found via
+        # their parent (the file/directory), with the number match
+        # optional
+        ext_branch = Bool(
+            ids.next(),
+            must=[
+                Exists(ids.next(), "has_ext:1"),
+                Exists(ids.next(), "has_name:1", negate=True),
+                parent_match,
+            ],
+            should=[ext_fn],
+        )
+    else:
+        ext_branch = Bool(ids.next(), must=[ext_fn, parent_match])
     dismax = DisMax(ids.next(), [name_match, ext_branch], boost=0.2)
 
     root = Bool(ids.next(), must=[ngram, dismax])
@@ -478,4 +505,18 @@ def compile_structured(
         return SearchPlan(
             root=Bool(ids.next()), filters=filters, kind="match_all"
         )
-    return SearchPlan(root=Bool(ids.next(), must=must), filters=filters, kind="structured")
+    plan = SearchPlan(
+        root=Bool(ids.next(), must=must), filters=filters, kind="structured"
+    )
+    # object-type exclusions (SearchQueryBuilder structured ctor,
+    # SearchQueryBuilder.java:192-211): queries with sub-repo fields
+    # always exclude type 'other'; without a housenumber analog (ext)
+    # they also exclude the house-level objects (chunk sub-docs) —
+    # "no houses for city-level queries". (The reference additionally
+    # excludes docs merely CARRYING a housenumber; n/a here — every
+    # file carries an extension.)
+    if sq.directory or sq.name or sq.ext:
+        plan.layers = (
+            ["file", "chunk"] if (sq.ext and not drop_fine) else ["file"]
+        )
+    return plan

@@ -606,6 +606,9 @@ class Index:
                 plan.tag_filters, F.col("lang"), ext_col(F.col("path"))
             )
             joined = joined.filter(pred)
+        if plan.layers:
+            # Q18: terms filter on the object-type column
+            joined = joined.filter(F.col("type").isin(plan.layers))
         fdf = self.filter_docs(plan.filters)
         if fdf is not None:
             joined = joined.join(fdf.withColumnRenamed("doc", "ord"), "ord", "left_semi")
@@ -626,7 +629,8 @@ class Index:
             joined = joined.join(exc, "ord", "left_anti")
         rows = (
             joined.select(
-                "doc", "doc_id", "repo", "path", "lang", "importance", "os_score"
+                "doc", "doc_id", "repo", "path", "lang", "importance",
+                "chunk", "type", "extra", "os_score",
             )
             .orderBy(F.desc("os_score"), F.asc("doc"))
             .limit(ext_limit)
@@ -670,24 +674,31 @@ class Index:
         include: list[str] | None = None,
         exclude: list[str] | None = None,
         osm_tag: list[str] | None = None,
+        layers: list[str] | None = None,
+        suggest: bool = False,
+        dedupe: bool = True,
     ) -> list[dict]:
         """Free-text search: strict pass, lenient retry, rescore
-        pipeline, limit — the full reference flow."""
+        pipeline, street-dupes filter (unless ``dedupe=False``),
+        limit — the full reference flow. ``layers`` = Q18 object-type
+        filter; ``suggest`` = suggestAddresses mode."""
         return run_search(
             self, q, k=k, filters=filters, include=include,
-            exclude=exclude, osm_tag=osm_tag,
+            exclude=exclude, osm_tag=osm_tag, layers=layers, suggest=suggest,
+            dedupe=dedupe,
         )
 
-    def structured_search(self, sq, k: int = 15) -> list[dict]:
+    def structured_search(self, sq, k: int = 15, dedupe: bool = True) -> list[dict]:
         """Field-wise structured search (P5): three-pass retry +
         structured rescore; see search_flow.run_structured."""
         from photon_spark.query.search_flow import run_structured
 
-        return run_structured(self, sq, k=k)
+        return run_structured(self, sq, k=k, dedupe=dedupe)
 
     def reverse(
         self, repo: str, path: str, k: int = 1, radius: int = 8,
         osm_tag: list[str] | None = None,
+        query_string: str | None = None,
     ) -> list[dict]:
         """Reverse lookup (Q15/Q16 graft): nearest docs in the repo
         tree; optional tag filters apply like the reference's
@@ -717,6 +728,20 @@ class Index:
                 tag_predicate_col(
                     parse_tag_filters(osm_tag), F.col("lang"), ext_col(F.col("path"))
                 )
+            )
+        if query_string:
+            # Q17: text filter on reverse results
+            # (opensearch/ReverseQueryBuilder.addQueryFilter) — the
+            # strict plan's matching docs semi-join the candidates
+            from photon_spark.query.compiler import compile_query
+
+            scored = self._eval_plan(compile_query(query_string, self, lenient=False))
+            if scored is None:
+                return []
+            docs = docs.join(
+                scored.select(F.col("doc").alias("ord")).distinct(),
+                "ord",
+                "left_semi",
             )
         return [r.asDict() for r in reverse_candidates(docs, repo, path, k, radius).collect()]
 

@@ -110,6 +110,10 @@ class SearchPlan:
     # '#'-terms; exclude = doc must match NONE of them
     include: list[str] = field(default_factory=list)
     exclude: list[str] = field(default_factory=list)
+    # layer filter (Q18, BaseQueryBuilder.addLayerFilter — a terms
+    # filter on the object-type field): when non-empty, the doc's
+    # ``type`` must be one of these (file | chunk | other)
+    layers: list[str] = field(default_factory=list)
     kind: str = "full"  # short | full | match_all
 
     def match_nodes(self) -> list[Match]:

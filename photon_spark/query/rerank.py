@@ -117,6 +117,43 @@ def rescore_candidates(
     return candidates
 
 
+def dedupe_street_hits(hits: list[dict]) -> list[dict]:
+    """R6 — StreetDupesRemover graft (searcher/StreetDupesRemover.java:
+    20-45, applied in GenericSearchHandler.java:33-35 AFTER rescore,
+    BEFORE limit, unless ``dedupe=0``): among 'file' docs (the street
+    analog — photon only dedupes ``osm_key=highway``), later hits with
+    the same (ext, basename, repo) key drop — ext plays osm_value
+    ("avoid deduplication of bus_stops and streets with same name"),
+    repo plays countrycode; the postcode twist has no corpus analog.
+    First (highest-ranked) occurrence wins; non-file docs pass.
+
+    A later hit with the SAME path as the kept one is not a street
+    dupe — it is another content version of the same file (photon
+    never has two docs per place_id; the remover targets DIFFERENT
+    objects colliding on a name, like split street ways) — so only
+    distinct-path collisions drop (keeps QueryRelevanceTest's
+    same-name importance ordering intact)."""
+    from photon_spark.query.tagfilter import ext_of_path
+
+    seen: dict[tuple[str, str, str], str] = {}
+    out = []
+    for h in hits:
+        if h.get("type") == "file":
+            base, _ = split_basename(h.get("path") or "")
+            if base:
+                key = (
+                    ext_of_path(h.get("path")) or "",
+                    base,
+                    h.get("repo") or "",
+                )
+                first_path = seen.get(key)
+                if first_path is not None and first_path != (h.get("path") or ""):
+                    continue
+                seen.setdefault(key, h.get("path") or "")
+        out.append(h)
+    return out
+
+
 def rescore_structured(candidates: list[dict]) -> list[dict]:
     """Structured-search rescore: normalization + sort only — no
     importance re-add, no lexical reranker

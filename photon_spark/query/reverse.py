@@ -139,5 +139,8 @@ def reverse_candidates(
         with_d.filter(F.col("distance") <= radius)
         .orderBy(F.asc("distance"), F.desc("importance"), F.asc("doc"))
         .limit(k)
-        .select("doc", "doc_id", "repo", "path", "lang", "importance", "distance")
+        .select(
+            "doc", "doc_id", "repo", "path", "lang", "importance",
+            "chunk", "type", "extra", "distance",
+        )
     )

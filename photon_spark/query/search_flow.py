@@ -38,11 +38,14 @@ def run_search(
     include: list[str] | None = None,
     exclude: list[str] | None = None,
     osm_tag: list[str] | None = None,
+    layers: list[str] | None = None,
+    suggest: bool = False,
+    dedupe: bool = True,
 ) -> list[dict]:
     ext = ext_limit_for(k)
     plan = compile_query(
         q, backend, lenient=False, filters=filters, include=include,
-        exclude=exclude, osm_tag=osm_tag,
+        exclude=exclude, osm_tag=osm_tag, layers=layers, suggest=suggest,
     )
     # lazy two-pass (P6): the strict pass usually hits, and compiling
     # the lenient plan costs real fuzzy-dictionary lookups — measured
@@ -52,18 +55,25 @@ def run_search(
         plan = compile_query(
             q, backend, lenient=True, filters=filters,
             include=include, exclude=exclude, osm_tag=osm_tag,
+            layers=layers, suggest=suggest,
         )
         cands = backend.candidates(plan, ext)
-    return rescore_candidates(q, cands)[:k]
+    hits = rescore_candidates(q, cands)
+    if dedupe:
+        from photon_spark.query.rerank import dedupe_street_hits
+
+        hits = dedupe_street_hits(hits)
+    return hits[:k]
 
 
-def run_structured(backend, sq, k: int = 15) -> list[dict]:
+def run_structured(backend, sq, k: int = 15, dedupe: bool = True) -> list[dict]:
     """Structured search: three-pass retry (strict → lenient fuzzy →
     drop ext+directory, OpenSearchStructuredSearchHandler.java:38-54),
     then the structured rescore (normalize + sort, NO reranker —
-    SURVEY §3.2 step 4)."""
+    SURVEY §3.2 step 4), then the street-dupes filter (the generic
+    handler applies it to every request kind)."""
     from photon_spark.query.compiler import compile_structured
-    from photon_spark.query.rerank import rescore_structured
+    from photon_spark.query.rerank import dedupe_street_hits, rescore_structured
 
     if not sq.any_field() and not sq.lang:
         raise ValueError("structured query needs at least one field")
@@ -77,4 +87,7 @@ def run_structured(backend, sq, k: int = 15) -> list[dict]:
         cands = backend.candidates(plan, ext)
         if cands:
             break
-    return rescore_structured(cands)[:k]
+    hits = rescore_structured(cands)
+    if dedupe:
+        hits = dedupe_street_hits(hits)
+    return hits[:k]

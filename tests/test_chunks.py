@@ -1,0 +1,193 @@
+"""O2 chunk fan-out (photon's street/house hierarchy), suggest mode
+(SuggestAddressesTest.java translated), layer filter (Q18,
+QueryFilterLayerTest analog) and the reverse query-string filter
+(Q17). Engine and oracle stay rank-identical throughout."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from photon_spark.index.build import build_index
+from photon_spark.index.chunking import chunk_py, fan_out_chunks
+from photon_spark.index.updater import UPDATES_DDL, apply_updates
+from photon_spark.oracle.oracle import OracleIndex
+from photon_spark.query.executor import Index
+
+CHUNK_LINES = 5
+
+
+def _content(tag: str, n_lines: int) -> str:
+    return "\n".join(f"{tag} line{i:02d} common" for i in range(n_lines))
+
+
+ROWS = [
+    # 12 lines → whole doc + 3 chunk docs (the "street with houses")
+    ("org/a", "src/BigAlpha.py", "a1" * 20, "python", _content("bigalpha", 12)),
+    # small file → 1 whole doc only
+    ("org/a", "src/SmallBeta.py", "b1" * 20, "python", _content("smallbeta", 3)),
+    # second street scenario (Auelestr): same-named file in two repos
+    ("org/t", "pkg/Auele.py", "t1" * 20, "python", _content("auele triesen", 11)),
+    ("org/v", "pkg/Auele.py", "v1" * 20, "python", _content("auele vaduz", 11)),
+]
+
+COLS = ["repo", "path", "commit", "lang", "content"]
+
+
+@pytest.fixture(scope="module")
+def corpus_pdf():
+    return pd.DataFrame(ROWS, columns=COLS)
+
+
+@pytest.fixture(scope="module")
+def engine(spark, corpus_pdf, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("chunk_idx"))
+    build_index(spark, spark.createDataFrame(corpus_pdf), out, chunk_lines=CHUNK_LINES)
+    return Index(spark, out, cache=False)
+
+
+@pytest.fixture(scope="module")
+def py_oracle(corpus_pdf):
+    return OracleIndex(corpus_pdf, chunk_lines=CHUNK_LINES)
+
+
+def test_fan_out_counts(spark, corpus_pdf):
+    out = fan_out_chunks(spark.createDataFrame(corpus_pdf), CHUNK_LINES)
+    n_chunks = out.filter(F.col("chunk").isNotNull()).count()
+    assert n_chunks == 3 + 0 + 3 + 3
+    assert out.filter(F.col("chunk").isNull()).count() == len(ROWS)
+    assert chunk_py(_content("x", 12), CHUNK_LINES) == [
+        "\n".join(_content("x", 12).split("\n")[i : i + 5]) for i in (0, 5, 10)
+    ]
+
+
+def test_docs_table_has_chunk_type(engine):
+    types = {
+        r["type"]: r["count"]
+        for r in engine.docs().groupBy("type").count().collect()
+    }
+    assert types.get("chunk") == 9
+    assert types.get("file") == 4
+
+
+def test_search_without_suggest_returns_only_named(engine, py_oracle):
+    # SuggestAddressesTest.searchWithoutSuggestAddressesReturnsOnlyStreet
+    hits = engine.search("BigAlpha", k=10)
+    assert [h["path"] for h in hits] == ["src/BigAlpha.py"]
+    assert hits[0]["chunk"] is None if "chunk" in hits[0] else True
+    assert [h["path"] for h in py_oracle.search("BigAlpha", k=10)] == [
+        h["path"] for h in hits
+    ]
+
+
+def test_suggest_returns_addresses(engine, py_oracle):
+    # SuggestAddressesTest.searchWithSuggestAddressesReturnsAddresses:
+    # the named file AND its chunk sub-docs compete; chunks surface
+    got = engine.search("BigAlpha", k=10, suggest=True)
+    paths = [h["path"] for h in got]
+    assert "src/BigAlpha.py" in paths
+    assert len(got) == 4  # whole + 3 chunks
+    want = py_oracle.search("BigAlpha", k=10, suggest=True)
+    assert [(h["doc"], round(h["score"], 9)) for h in got] == [
+        (h["doc"], round(h["score"], 9)) for h in want
+    ]
+
+
+def test_suggest_respects_other_query_terms(engine, py_oracle):
+    # suggestAddressesRespectsOtherQueryTerms (Auelestr Triesen):
+    # content terms disambiguate — only the triesen chunks/doc return
+    got = engine.search("Auele triesen", k=10, suggest=True)
+    assert got and all(h["repo"] == "org/t" for h in got)
+    want = py_oracle.search("Auele triesen", k=10, suggest=True)
+    assert [(h["doc"], round(h["score"], 9)) for h in got] == [
+        (h["doc"], round(h["score"], 9)) for h in want
+    ]
+
+
+def test_suggest_number_targets_chunk(engine, py_oracle):
+    # "street 42" analog: the chunk whose number appears verbatim in
+    # the query gets the exact-housenumber ×2 bonus and leads the
+    # chunk results
+    got = engine.search("BigAlpha 2", k=10, suggest=True)
+    chunk_hits = [h for h in got if h["path"] == "src/BigAlpha.py"]
+    assert chunk_hits
+    want = py_oracle.search("BigAlpha 2", k=10, suggest=True)
+    assert [(h["doc"], round(h["score"], 9)) for h in got] == [
+        (h["doc"], round(h["score"], 9)) for h in want
+    ]
+
+
+def test_layer_filter(engine, py_oracle):
+    all_hits = engine.search("BigAlpha", k=10, suggest=True)
+    files = engine.search("BigAlpha", k=10, suggest=True, layers=["file"])
+    chunks = engine.search("BigAlpha", k=10, suggest=True, layers=["chunk"])
+    assert len(files) == 1 and len(chunks) == 3
+    assert len(all_hits) == len(files) + len(chunks)
+    ofiles = py_oracle.search("BigAlpha", k=10, suggest=True, layers=["file"])
+    assert [h["doc"] for h in files] == [h["doc"] for h in ofiles]
+
+
+def test_stale_suffix_delete(spark, corpus_pdf, tmp_path_factory):
+    # shrink a chunked file: stale chunk suffixes must become
+    # unreachable (Updater.java:44-66 stale-uid delete semantics)
+    out = str(tmp_path_factory.mktemp("chunk_upd"))
+    build_index(spark, spark.createDataFrame(corpus_pdf), out, chunk_lines=CHUNK_LINES)
+    shrunk = _content("bigalpha", 6)  # 12 → 6 lines: 3 chunks → 2
+    batch = spark.createDataFrame(
+        [("upsert", "org/a", "src/BigAlpha.py", "a2" * 20, "python", shrunk, 99)],
+        UPDATES_DDL,
+    )
+    apply_updates(spark, out, batch)
+    idx = Index(spark, out, cache=False)
+    rows = idx.docs().filter(
+        (F.col("repo") == "org/a") & (F.col("path") == "src/BigAlpha.py")
+    ).collect()
+    chunks = sorted(r["chunk"] for r in rows if r["chunk"] is not None)
+    assert chunks == [0, 1]
+    # the tail chunk's unique line token is gone from search
+    assert idx.search("line11", k=5, suggest=True) == []
+
+
+def test_reverse_query_string_filter(engine, py_oracle):
+    got = engine.reverse("org/a", "src/BigAlpha.py", k=10, radius=8,
+                         query_string="SmallBeta")
+    assert [h["path"] for h in got] == ["src/SmallBeta.py"]
+    want = py_oracle.reverse("org/a", "src/BigAlpha.py", k=10, radius=8,
+                             query_string="SmallBeta")
+    assert [(h["doc"], h["distance"]) for h in got] == [
+        (h["doc"], h["distance"]) for h in want
+    ]
+
+
+def test_structured_excludes_chunks(engine, py_oracle):
+    # "no houses for city-level queries": a name-level structured
+    # query never returns chunk sub-docs
+    from photon_spark.query.compiler import StructuredQuery
+
+    hits = engine.structured_search(StructuredQuery(name="BigAlpha"), k=10)
+    assert [h["path"] for h in hits] == ["src/BigAlpha.py"]
+    want = py_oracle.structured_search(StructuredQuery(name="BigAlpha"), k=10)
+    assert [h["doc"] for h in hits] == [h["doc"] for h in want]
+
+
+def test_dedupe_toggle(spark, tmp_path_factory):
+    # R6: same (ext, basename, repo) files collapse post-rescore
+    # unless dedupe=0 (StreetDupesRemover graft)
+    rows = [
+        ("org/d", "src/Utils.py", "d1" * 20, "python", "alpha beta"),
+        ("org/d", "test/Utils.py", "d2" * 20, "python", "alpha gamma"),
+        ("org/d", "src/Utils.md", "d3" * 20, "md", "alpha delta"),
+    ]
+    out = str(tmp_path_factory.mktemp("dedupe_idx"))
+    build_index(spark, spark.createDataFrame(pd.DataFrame(rows, columns=COLS)), out)
+    idx = Index(spark, out, cache=False)
+    deduped = idx.search("Utils", k=10)
+    # one .py survives (first-ranked), the .md keeps its own key
+    exts = sorted(h["path"].rsplit(".", 1)[1] for h in deduped)
+    assert exts == ["md", "py"]
+    full = idx.search("Utils", k=10, dedupe=False)
+    assert len(full) == 3
+    # oracle twin agrees
+    o = OracleIndex(pd.DataFrame(rows, columns=COLS))
+    assert [h["doc"] for h in o.search("Utils", k=10)] == [
+        h["doc"] for h in deduped
+    ]

@@ -18,7 +18,10 @@ ROWS = [
     ("org/a", "src/new_york/NewYorkNotes.py", "c1" * 20, "python", "alpha beta"),
     ("org/a", "src/york_new/YorkNewNotes.py", "c2" * 20, "python", "alpha beta two"),
     ("org/a", "src/other/NewNotes.py", "c3" * 20, "python", "gamma"),
-    ("org/a", "notes/NewNotes", "c4" * 20, None, "epsilon"),
+    # extension-less but a recognized lang (type 'file' — structured
+    # queries exclude type 'other' per the reference's object-type
+    # exclusions, SearchQueryBuilder.java:192-211)
+    ("org/a", "notes/NewNotes", "c4" * 20, "python", "epsilon"),
     ("org/a", "src/NewNotes.md", "c5" * 20, "md", "zeta"),
     ("org/b", "Makefile", "c6" * 20, None, "build rules"),
     # trigram-chain exactness: has bigrams "alpha beta" and

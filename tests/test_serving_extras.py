@@ -1,0 +1,72 @@
+"""O9 extra-tags projection, query-side metrics (OpenSearchMetrics
+analog) and Accept-Language resolution (R9)."""
+
+import pandas as pd
+import pytest
+
+from photon_spark.api import BadRequest, SearchAPI, resolve_language
+from photon_spark.index.build import build_index
+from photon_spark.metrics import ServingMetrics
+from photon_spark.oracle.oracle import OracleIndex
+from photon_spark.query.executor import Index
+
+ROWS = [
+    ("org/x", "src/Alpha.py", "e1" * 20, "python", "alpha beta", 0.5, 42, "keepme"),
+    ("org/x", "src/Beta.py", "e2" * 20, "python", "beta gamma", 0.4, 7, "other"),
+]
+COLS = ["repo", "path", "commit", "lang", "content", "importance", "stars", "license"]
+
+
+@pytest.fixture(scope="module")
+def pdf():
+    return pd.DataFrame(ROWS, columns=COLS)
+
+
+def test_extra_tags_whitelist(spark, pdf, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("extra_idx"))
+    build_index(spark, spark.createDataFrame(pdf), out, extra_tags=["stars"])
+    idx = Index(spark, out, cache=False)
+    hits = idx.search("Alpha", k=5)
+    assert hits and dict(hits[0]["extra"]) == {"stars": "42"}
+    o = OracleIndex(pdf, extra_tags=["stars"])
+    ohits = o.search("Alpha", k=5)
+    assert ohits[0]["extra"] == {"stars": "42"}
+
+
+def test_extra_tags_all_and_none(spark, pdf, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("extra_all"))
+    build_index(spark, spark.createDataFrame(pdf), out, extra_tags="ALL")
+    idx = Index(spark, out, cache=False)
+    h = idx.search("Alpha", k=5)[0]
+    assert dict(h["extra"]) == {"stars": "42", "license": "keepme"}
+    out2 = str(tmp_path_factory.mktemp("extra_none"))
+    build_index(spark, spark.createDataFrame(pdf), out2)
+    idx2 = Index(spark, out2, cache=False)
+    assert dict(idx2.search("Alpha", k=5)[0]["extra"]) == {}
+
+
+def test_metrics_counters_and_gauges(spark, pdf, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("metrics_idx"))
+    build_index(spark, spark.createDataFrame(pdf), out)
+    idx = Index(spark, out, cache=False)
+    m = ServingMetrics(idx)
+    api = SearchAPI(idx, metrics=m)
+    api.api({"q": "Alpha"})
+    api.reverse({"repo": "org/x", "path": "src/Alpha.py", "limit": 2})
+    with pytest.raises(BadRequest):
+        api.api({"q": "Alpha", "layer": ["nosuch"]})
+    snap = m.snapshot()
+    assert snap["requests"] == {"api": 2, "reverse": 1}
+    assert snap["errors"] == {"api": 1}
+    assert snap["gauges"]["photon_documents_count"] == 2.0
+    assert snap["gauges"]["photon_index_size_bytes"] > 0
+    text = api.metrics()
+    assert 'photon_requests_total{endpoint="api"} 2' in text
+    assert "photon_documents_count 2.0" in text
+
+
+def test_accept_language():
+    assert resolve_language({}) == "default"
+    assert resolve_language({"accept_language": "de-DE,de;q=0.9,en;q=0.8"}) == "de"
+    assert resolve_language({"accept_language": "xx,fr;q=0.5,en;q=0.9"}) == "en"
+    assert resolve_language({"accept_language": "zz,yy"}) == "default"
