@@ -72,6 +72,15 @@ def main() -> None:
             idx.search(q, k=15, filters=filt or None)
             timings[name] = round(time.time() - t0, 3)
 
+        # round-2 surfaces: suggest mode + pruned reverse lookup
+        t0 = time.time()
+        idx.search("table merge", k=10, suggest=True)
+        timings["engine_search_suggest"] = round(time.time() - t0, 3)
+        probe = idx.docs().orderBy("ord").head()
+        t0 = time.time()
+        idx.reverse(probe["repo"], probe["path"], k=10, radius=3)
+        timings["engine_reverse"] = round(time.time() - t0, 3)
+
         from photon_spark.query.batch import batch_search
 
         fixture_queries = [
@@ -112,6 +121,10 @@ def main() -> None:
                     "n_input_files": meta["n_input_files"],
                     "n_docs": meta["n_docs"],
                     "build_files_per_sec": round(meta["n_input_files"] / timings["index_build"], 1),
+                    # the build now also materializes the SymSpell
+                    # deletions table + the repo-sorted reverse
+                    # projection (round-2 scale fixes) — stage split:
+                    "build_stage_seconds": meta.get("stage_seconds", {}),
                     "cpus": cpus,
                 }
             )

@@ -168,6 +168,88 @@ def extra_tags_col(src_cols: list[str], extra_tags) -> "F.Column":
     )
 
 
+def dedupe_docs(with_id: DataFrame) -> DataFrame:
+    """Content-sha dedupe via ONE hash aggregation: per doc_id keep
+    the representative with the smallest (repo, path, commit, chunk)
+    — ``min_by`` over a struct key compares lexicographically with
+    nulls-first chunk, identical to the old window's
+    asc-nulls-first ordering, but runs as a partial+final agg
+    (map-side combine, no sort shuffle — the skew-safe shape at
+    10^12 rows where a window's full sort is not)."""
+    cols = [c for c in with_id.columns if c != "doc_id"]
+    key = F.struct("repo", "path", "commit", "chunk")
+    return (
+        with_id.groupBy("doc_id")
+        .agg(
+            F.min_by(F.struct(*cols), key).alias("_rep"),
+            F.count(F.lit(1)).alias("n_dupes"),
+        )
+        .select("doc_id", "_rep.*", "n_dupes")
+    )
+
+
+def write_docs_with_ordinals(
+    spark: SparkSession, docs_sel: DataFrame, docs_path: str, partitions: int
+) -> tuple[int, int]:
+    """Write the docs table ONCE with dense ordinals already assigned
+    (replaces the old write→rewrite assign_ordinals pass) and return
+    ``(n_docs, n_input)``.
+
+    Two-pass over ONE materialization, no global shuffle beyond the
+    range partition and NO python workers: range-partition + sort by
+    ``doc`` and persist; a tiny per-partition count job gives
+    cumulative offsets (range partitions are ordered by partition
+    id); the single write stamps ``ord = offset[pid] + local_row``
+    by decoding ``monotonically_increasing_id`` (pid in the upper
+    bits, the in-partition row index in the lower 33 — deterministic
+    over the persisted sorted partitions) against a broadcast-literal
+    offset map — whole-stage-codegen column arithmetic only.
+    ``n_input`` comes from the same count job (Σ n_dupes)."""
+    spread = (
+        docs_sel.repartitionByRange(max(1, partitions // 4), "doc")
+        .sortWithinPartitions("doc")
+        .persist()
+    )
+    rows = (
+        spread.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_dupes").alias("ni"))
+        .collect()
+    )
+    rows.sort(key=lambda r: r["pid"])
+    offsets: list = []
+    acc = 0
+    n_input = 0
+    for r in rows:
+        offsets += [F.lit(int(r["pid"])), F.lit(acc)]
+        acc += r["n"]
+        n_input += int(r["ni"])
+    n_docs = acc
+    mid = F.monotonically_increasing_id()
+    pid = F.shiftrightunsigned(mid, 33)
+    local = mid.bitwiseAND(F.lit((1 << 33) - 1))
+    off = F.element_at(F.create_map(*offsets), pid.cast("int")) if offsets else F.lit(0)
+    (
+        spread.withColumn("ord", (off + local).cast("long"))
+        .write.mode("overwrite")
+        .parquet(docs_path)
+    )
+    spread.unpersist()
+    # guard the "not guaranteed consecutive" caveat of
+    # monotonically_increasing_id: dense coverage ⇔ min=0 ∧ max=N-1
+    # ∧ count=N (any gap pushes max past N-1) — one narrow agg scan
+    chk = (
+        spark.read.parquet(docs_path)
+        .agg(F.min("ord"), F.max("ord"), F.count(F.lit(1)))
+        .head()
+    )
+    if n_docs and not (chk[0] == 0 and chk[1] == n_docs - 1 and chk[2] == n_docs):
+        raise RuntimeError(
+            f"ordinal assignment not dense: min={chk[0]} max={chk[1]} "
+            f"n={chk[2]} expected 0..{n_docs - 1}"
+        )
+    return n_docs, n_input
+
+
 def doc_type_col():
     """Chunk-aware object-type column (twin of analyzers.doc_type)."""
     return (
@@ -399,42 +481,46 @@ def build_index(
         src = src.withColumn("chunk", F.lit(None).cast("int"))
     partitions = partitions or spark.conf.get("spark.sql.shuffle.partitions")
     partitions = int(partitions)
-
-    n_input = src.count()
+    stage_s: dict[str, float] = {}
+    t_stage = time.time()
 
     # --- docs: content-sha dedupe (uid analog); chunk asc_nulls_first
     # keeps the whole-file doc the representative on identical text --
     with_id = src.withColumn("doc_id", F.sha2(F.col("content"), 256)).withColumn(
         "doc", doc_int_expr()
     )
-    w = Window.partitionBy("doc_id").orderBy("repo", "path", "commit", "chunk")
-    docs = (
-        with_id.withColumn("rn", F.row_number().over(w))
-        .withColumn("n_dupes", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
-    )
+    docs = dedupe_docs(with_id)
     docs.persist()
-    n_docs = docs.count()
-
-    docs.select(
-        "doc_id", "doc", "repo", "path", "commit", "lang", "importance", "n_dupes",
-        "chunk", doc_type_col().alias("type"),
-        extra_tags_col(src.columns, extra_tags).alias("extra"),
-    ).repartitionByRange(max(1, partitions // 4), "doc").sortWithinPartitions(
-        "doc"
-    ).write.mode("overwrite").parquet(os.path.join(out_dir, "docs"))
-    assign_ordinals(spark, os.path.join(out_dir, "docs"))
+    # ONE materialized pass writes docs with dense ordinals stamped
+    # and yields (n_docs, n_input = Σ n_dupes) from its per-partition
+    # count job — no separate source count, no docs rewrite
+    n_docs, n_input = write_docs_with_ordinals(
+        spark,
+        docs.select(
+            "doc_id", "doc", "repo", "path", "commit", "lang", "importance",
+            "n_dupes", "chunk", doc_type_col().alias("type"),
+            extra_tags_col(src.columns, extra_tags).alias("extra"),
+        ),
+        os.path.join(out_dir, "docs"),
+        partitions,
+    )
     write_docs_by_repo(spark, out_dir, partitions)
+    stage_s["docs"] = round(time.time() - t_stage, 3)
+    t_stage = time.time()
 
     # --- tokenize (SPIMI runs), keyed by dense ordinal ---------------
+    # persisted: the dictionary aggregation AND the postings encode
+    # both consume it — without persist the (heaviest) python tokenize
+    # stage runs twice
+    from pyspark import StorageLevel
+
     ords = spark.read.parquet(os.path.join(out_dir, "docs")).select("doc_id", "ord")
     tokens = (
         docs.select("doc_id", "repo", "path", "lang", "content", "chunk")
         .join(ords, "doc_id")
         .select(F.col("ord").alias("doc"), "repo", "path", "lang", "content", "chunk")
         .mapInArrow(_tokenize_batches, _TOKENS_DDL)
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     # --- dictionary: partial+final agg, skew-free -------------------
     dictionary = tokens.groupBy("field", "term").agg(
@@ -448,21 +534,41 @@ def build_index(
         .partitionBy("field")
         .parquet(os.path.join(out_dir, "dictionary"))
     )
+    stage_s["dictionary"] = round(time.time() - t_stage, 3)
+    t_stage = time.time()
 
-    # --- postings: range-partitioned sorted runs → encoded blocks ---
-    postings = (
-        tokens.repartitionByRange(partitions, "field", "term", "doc")
-        .sortWithinPartitions("field", "term", "doc")
-        .mapInArrow(_make_block_encoder(block_size, n_buckets), _POSTINGS_DDL)
-    )
-    postings.write.mode("overwrite").partitionBy("field").parquet(
-        os.path.join(out_dir, "postings")
-    )
+    # --- postings + deletions CONCURRENTLY (thread pool submitting
+    # two independent Spark jobs: postings reads the cached tokens,
+    # deletions reads the just-written dictionary — the scheduler
+    # interleaves their tasks instead of serializing the stages) ----
+    def _write_postings() -> None:
+        postings = (
+            tokens.repartitionByRange(partitions, "field", "term", "doc")
+            .sortWithinPartitions("field", "term", "doc")
+            .mapInArrow(_make_block_encoder(block_size, n_buckets), _POSTINGS_DDL)
+        )
+        postings.write.mode("overwrite").partitionBy("field").parquet(
+            os.path.join(out_dir, "postings")
+        )
 
     if deletions:
+        from concurrent.futures import ThreadPoolExecutor
+
         from photon_spark.index.deletions import build_deletion_index
 
-        build_deletion_index(spark, out_dir)
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            futs = [
+                ex.submit(_write_postings),
+                ex.submit(build_deletion_index, spark, out_dir),
+            ]
+            for f in futs:
+                f.result()
+        stage_s["postings+deletions"] = round(time.time() - t_stage, 3)
+    else:
+        _write_postings()
+        stage_s["postings"] = round(time.time() - t_stage, 3)
+
+    tokens.unpersist()
 
     docs.unpersist()
     elapsed = time.time() - t0
@@ -474,6 +580,7 @@ def build_index(
         "n_buckets": n_buckets,
         "chunk_lines": chunk_lines,
         "extra_tags": extra_tags,
+        "stage_seconds": stage_s,
         "build_seconds": elapsed,
         "files_per_sec": n_input / elapsed if elapsed > 0 else None,
         "next_ord": n_docs,

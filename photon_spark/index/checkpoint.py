@@ -40,7 +40,6 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from photon_spark.index.build import (
     DEFAULT_BLOCK_SIZE,
@@ -132,31 +131,29 @@ def build_index_resumable(
     mark = st.done("docs")
     if mark is None:
         t0 = time.time()
-        n_input = src.count()
+        from photon_spark.index.build import dedupe_docs
+
         with_id = src.withColumn("doc_id", F.sha2(F.col("content"), 256)).withColumn(
             "doc", doc_int_expr()
         )
-        w = Window.partitionBy("doc_id").orderBy("repo", "path", "commit", "chunk")
-        docs = (
-            with_id.withColumn("rn", F.row_number().over(w))
-            .withColumn(
-                "n_dupes", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
-            )
-            .filter(F.col("rn") == 1)
-            .drop("rn")
+        docs = dedupe_docs(with_id)
+        from photon_spark.index.build import (
+            doc_type_col,
+            extra_tags_col,
+            write_docs_by_repo,
+            write_docs_with_ordinals,
         )
-        from photon_spark.index.build import doc_type_col, extra_tags_col
 
-        docs.select(
-            "doc_id", "doc", "repo", "path", "commit", "lang", "importance",
-            "n_dupes", "chunk", doc_type_col().alias("type"),
-            extra_tags_col(src.columns, extra_tags).alias("extra"),
-        ).repartitionByRange(max(1, partitions // 4), "doc").sortWithinPartitions(
-            "doc"
-        ).write.mode("overwrite").parquet(docs_path)
-        n_docs = assign_ordinals(spark, docs_path)
-        from photon_spark.index.build import write_docs_by_repo
-
+        n_docs, n_input = write_docs_with_ordinals(
+            spark,
+            docs.select(
+                "doc_id", "doc", "repo", "path", "commit", "lang", "importance",
+                "n_dupes", "chunk", doc_type_col().alias("type"),
+                extra_tags_col(src.columns, extra_tags).alias("extra"),
+            ),
+            docs_path,
+            partitions,
+        )
         write_docs_by_repo(spark, out_dir, partitions)
         mark = st.mark(
             "docs",

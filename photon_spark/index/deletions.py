@@ -103,11 +103,15 @@ def build_deletion_index(
     prefix-scan route instead of silently losing recall."""
     import json
 
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     terms = (
         spark.read.parquet(os.path.join(index_dir, "dictionary"))
         .filter(F.col("field").isin(list(fields)))
         .select("field", "term")
         .distinct()
+        # the dictionary is a few small files — without an explicit
+        # spread the ~50× variant fan-out runs on 1-4 tasks
+        .repartition(parts)
     )
     out = terms.mapInArrow(
         _variant_batches(max_deletes), "field string, variant string, term string"
