@@ -27,6 +27,13 @@ Scale notes: a batch touches O(batch) docs — tokenize + segment
 write are proportional to the batch, never to the corpus. The docs
 swap is a metadata-table rewrite (Iceberg MERGE INTO in production;
 parquet rewrite + atomic rename here).
+
+Handle lifecycle: ``apply_updates``/``compact`` REPLACE the docs /
+docs_by_repo directories on disk; an ``Index`` opened before the
+swap holds cached DataFrames over the old files and may fail
+mid-read or serve stale rows — re-instantiate the Index after any
+update (the reference's updater swaps the OpenSearch alias the same
+way; readers reconnect).
 """
 
 from __future__ import annotations

@@ -49,3 +49,42 @@ def test_search_identical_with_deletions(del_index, oracle):
         want = [(h["doc"], round(h["score"], 9)) for h in oracle.search(q, k=10)]
         assert got == want, q
     assert del_index.search("mukklen", k=5) == []
+
+
+def test_default_build_serves_fuzzy_without_prefix_collect(
+    spark, index_dir, monkeypatch
+):
+    """VERDICT r1 #2: the default build ships the deletions table and
+    the serving path grounds fuzzy queries through it — a fuzzy
+    search must complete with ZERO driver-side dictionary prefix
+    collects (the scale-unsafe route is only a guarded fallback)."""
+    idx = Index(spark, index_dir, cache=False)
+    import os
+
+    assert os.path.isdir(os.path.join(index_dir, "deletions"))
+    assert os.path.exists(os.path.join(index_dir, "deletions", "_meta.json"))
+
+    def _boom(self, field, cond):
+        raise AssertionError(
+            "prefix-scan fallback used despite a covering deletions table"
+        )
+
+    monkeypatch.setattr(Index, "_capped_term_collect", _boom)
+    # the QueryBasicSearchTest fuzzy pin: "mugglen" reaches the
+    # Müggeln-named doc via whole-name fuzzy (short plan grounds
+    # through the deletions table; _boom proves no prefix collect)
+    hits = idx.search("mugglen", k=10)
+    assert hits  # fuzzy matches found purely via the deletions route
+    # a full-plan lenient retry also stays on the deletions route
+    idx.search("mrege windw", k=10)
+
+
+def test_oversized_request_falls_back_capped(spark, index_dir):
+    """A request the deletions table provably does not cover (token
+    near the build-side length cap) routes to the capped prefix scan
+    instead of silently losing recall."""
+    idx = Index(spark, index_dir, cache=False)
+    long_tok = "x" * 30  # len + edits > max_term_len(30)
+    assert not idx._deletion_route_ok("name", long_tok, 2)
+    out = idx.fuzzy_candidates("name", long_tok, 2, 1)
+    assert isinstance(out, list)  # capped scan path executes cleanly
