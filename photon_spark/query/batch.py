@@ -254,15 +254,38 @@ def _batch_candidates(
     return out
 
 
-def batch_search(index, queries: list[str], k: int = 15) -> dict[str, list[dict]]:
+def batch_search(
+    index, queries: list, k: int = 15
+) -> dict[str, list[dict]]:
     """Run the full search flow (strict pass → lenient retry for
-    empties → rescore pipeline → limit) for a whole query list in two
-    Spark jobs. Result per query identical to ``index.search(q, k)``."""
+    empties → rescore pipeline → dedupe → limit) for a whole query
+    list in two Spark jobs. Result per query identical to
+    ``index.search(q, k, **params)``.
+
+    ``queries`` items are either plain query strings or dicts
+    ``{"q": ..., "filters": ..., "include": ..., "exclude": ...,
+    "osm_tag": ..., "layers": ..., "suggest": ..., "dedupe": ...}`` —
+    per-query filter context is honored inside the batch
+    (qid-guarded; see _batch_candidates)."""
+    from photon_spark.query.rerank import dedupe_street_hits
+
+    norm: list[dict] = [
+        ({"q": q} if isinstance(q, str) else dict(q)) for q in queries
+    ]
     ext = ext_limit_for(k)
+
+    def _compile(spec: dict, lenient: bool) -> SearchPlan:
+        return compile_query(
+            spec["q"], index, lenient=lenient,
+            filters=spec.get("filters"), include=spec.get("include"),
+            exclude=spec.get("exclude"), osm_tag=spec.get("osm_tag"),
+            layers=spec.get("layers"), suggest=spec.get("suggest", False),
+        )
+
     plans: dict[int, SearchPlan] = {}
     seq: dict[int, list[dict]] = {}
-    for qi, q in enumerate(queries):
-        plan = compile_query(q, index, lenient=False)
+    for qi, spec in enumerate(norm):
+        plan = _compile(spec, lenient=False)
         if plan.kind == "match_all":
             seq[qi] = index.candidates(plan, ext)
             continue
@@ -274,19 +297,22 @@ def batch_search(index, queries: list[str], k: int = 15) -> dict[str, list[dict]
     # lenient second pass for strict-empty queries (P6); match_all
     # queries don't retry (a lenient match_all is the same plan)
     retry = {
-        qi: q for qi, q in enumerate(queries)
+        qi: spec for qi, spec in enumerate(norm)
         if not cands.get(qi) and qi not in seq
     }
     if retry:
         lplans: dict[int, SearchPlan] = {}
-        for qi, q in retry.items():
-            plan = compile_query(q, index, lenient=True)
+        for qi, spec in retry.items():
+            plan = _compile(spec, lenient=True)
             _offset_ids(plan.root, (qi + 1) * _ID_STRIDE)
             lplans[qi] = plan
         lcands = _batch_candidates(index, lplans, ext)
         cands.update(lcands)
 
-    return {
-        q: rescore_candidates(q, cands.get(qi) or [])[:k]
-        for qi, q in enumerate(queries)
-    }
+    out: dict[str, list[dict]] = {}
+    for qi, spec in enumerate(norm):
+        hits = rescore_candidates(spec["q"], cands.get(qi) or [])
+        if spec.get("dedupe", True):
+            hits = dedupe_street_hits(hits)
+        out[spec["q"]] = hits[:k]
+    return out

@@ -61,3 +61,24 @@ def test_candidates_multi_honors_filter_context(spark, index):
     for kw, w, g in zip(variants, want, got):
         key = lambda h: (h["doc"], round(h["os_score"], 9))
         assert [key(h) for h in g] == [key(h) for h in w], kw
+
+
+def test_batch_per_query_params(index):
+    """Dict-form queries with per-query filter context must equal the
+    sequential search with the same params."""
+    specs = [
+        {"q": "merge stream table", "filters": {"lang": "python"}},
+        {"q": "importer utils", "osm_tag": ["!java"]},
+        {"q": "MainStreet", "suggest": False, "dedupe": False},
+        "tab",
+    ]
+    batch = batch_search(index, specs, k=8)
+    for spec in specs:
+        s = spec if isinstance(spec, dict) else {"q": spec}
+        single = index.search(
+            s["q"], k=8, filters=s.get("filters"), osm_tag=s.get("osm_tag"),
+            suggest=s.get("suggest", False), dedupe=s.get("dedupe", True),
+        )
+        got = [(h["doc"], round(h["score"], 9)) for h in batch[s["q"]]]
+        want = [(h["doc"], round(h["score"], 9)) for h in single]
+        assert got == want, s["q"]
