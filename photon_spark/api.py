@@ -232,7 +232,7 @@ class SearchAPI:
         def _run():
             unknown = set(params) - {
                 "repo", "path", "limit", "radius", "query_string_filter",
-                "osm_tag",
+                "osm_tag", "layer",
             }
             if unknown:
                 raise BadRequest(f"unknown parameters: {sorted(unknown)}")
@@ -242,11 +242,21 @@ class SearchAPI:
                 radius = int(params.get("radius", 8))
             except (TypeError, ValueError):
                 raise BadRequest("invalid radius")
+            layers = list(params.get("layer") or [])
+            if layers:
+                from photon_spark.analysis.analyzers import LAYERS
+
+                bad = [x for x in layers if x not in LAYERS]
+                if bad:
+                    raise BadRequest(
+                        f"invalid layer(s) {bad}; allowed: {sorted(LAYERS)}"
+                    )
             hits = self.backend.reverse(
                 params.get("repo") or "", params.get("path") or "",
                 k=_limit({"limit": params.get("limit", 1)}), radius=radius,
                 osm_tag=list(params.get("osm_tag") or []) or None,
                 query_string=params.get("query_string_filter"),
+                layers=layers or None,
             )
             out = format_results(hits)
             for f, h in zip(out["features"], hits):

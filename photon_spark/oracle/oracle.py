@@ -360,6 +360,7 @@ class OracleIndex:
         self, repo: str, path: str, k: int = 1, radius: int = 8,
         osm_tag: list[str] | None = None,
         query_string: str | None = None,
+        layers: list[str] | None = None,
     ) -> list[dict]:
         """Reverse lookup twin (pure python tree distance)."""
         from photon_spark.query.compiler import compile_query
@@ -380,6 +381,8 @@ class OracleIndex:
         q = coord_segments(repo, path)
         rows = []
         for d in self.docs.values():
+            if layers and d["type"] not in layers:
+                continue
             if allowed is not None and d["doc"] not in allowed:
                 continue
             if tfs and not tag_predicate_py(tfs, d["lang"], ext_of_path(d["path"])):

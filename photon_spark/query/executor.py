@@ -699,6 +699,7 @@ class Index:
         self, repo: str, path: str, k: int = 1, radius: int = 8,
         osm_tag: list[str] | None = None,
         query_string: str | None = None,
+        layers: list[str] | None = None,
     ) -> list[dict]:
         """Reverse lookup (Q15/Q16 graft): nearest docs in the repo
         tree; optional tag filters apply like the reference's
@@ -729,6 +730,9 @@ class Index:
                     parse_tag_filters(osm_tag), F.col("lang"), ext_col(F.col("path"))
                 )
             )
+        if layers:
+            # Q18 on reverse (QueryFilterLayerTest.testReverse*)
+            docs = docs.filter(F.col("type").isin(list(layers)))
         if query_string:
             # Q17: text filter on reverse results
             # (opensearch/ReverseQueryBuilder.addQueryFilter) — the

@@ -1,0 +1,104 @@
+"""QueryFilterLayerTest.java translated 1:1 over the corpus object
+types (state/city/locality → other/file/chunk): search and reverse
+each filter by single and multiple layers (dedupe off: the
+reference docs are places, which StreetDupesRemover never touches). Plus the
+StructuredQueryTest hamlet case — a housenumber (chunk number)
+reachable without a street (directory) through the parent-name
+address."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from photon_spark.index.build import build_index
+from photon_spark.oracle.oracle import OracleIndex
+from photon_spark.query.executor import Index
+
+CHUNK_LINES = 4
+
+
+def _content(tag: str, n_lines: int) -> str:
+    return "\n".join(f"{tag} berlin line{i:02d}" for i in range(n_lines))
+
+
+# four docs named "berlin" like the reference's four ranked docs:
+# one 'other' (unrecognized lang ≈ state), two 'file' (≈ city), and a
+# chunked file whose sub-docs are 'chunk' (≈ locality)
+ROWS = [
+    ("org/l", "a/Berlin.weird", "l1" * 20, "unknownlang", _content("alpha", 2)),
+    ("org/l", "b/Berlin.py", "l2" * 20, "python", _content("beta", 2)),
+    ("org/l", "c/Berlin.md", "l3" * 20, "md", _content("gamma", 2)),
+    ("org/l", "d/Berlin.py", "l4" * 20, "python", _content("delta", 9)),
+]
+COLS = ["repo", "path", "commit", "lang", "content"]
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("layer_idx"))
+    build_index(
+        spark,
+        spark.createDataFrame(pd.DataFrame(ROWS, columns=COLS)),
+        out,
+        chunk_lines=CHUNK_LINES,
+    )
+    return Index(spark, out, cache=False)
+
+
+@pytest.fixture(scope="module")
+def py_oracle():
+    return OracleIndex(pd.DataFrame(ROWS, columns=COLS), chunk_lines=CHUNK_LINES)
+
+
+def _types(hits):
+    return [h["type"] for h in hits]
+
+
+def test_search_single_layer(engine, py_oracle):
+    hits = engine.search("berlin", k=15, suggest=True, layers=["file"], dedupe=False)
+    assert len(hits) == 3 and set(_types(hits)) == {"file"}
+    want = py_oracle.search("berlin", k=15, suggest=True, layers=["file"], dedupe=False)
+    assert [h["doc"] for h in hits] == [h["doc"] for h in want]
+
+
+def test_search_multiple_layers(engine, py_oracle):
+    hits = engine.search("berlin", k=15, suggest=True, layers=["file", "chunk"], dedupe=False)
+    assert hits and "other" not in _types(hits)
+    want = py_oracle.search("berlin", k=15, suggest=True, layers=["file", "chunk"], dedupe=False)
+    assert [h["doc"] for h in hits] == [h["doc"] for h in want]
+
+
+def test_reverse_single_layer(engine, py_oracle):
+    got = engine.reverse("org/l", "b/Berlin.py", k=15, radius=8, layers=["file"])
+    assert len(got) == 3 and set(_types(got)) == {"file"}
+    want = py_oracle.reverse("org/l", "b/Berlin.py", k=15, radius=8, layers=["file"])
+    assert [(h["doc"], h["distance"]) for h in got] == [
+        (h["doc"], h["distance"]) for h in want
+    ]
+
+
+def test_reverse_multiple_layers(engine, py_oracle):
+    got = engine.reverse(
+        "org/l", "b/Berlin.py", k=15, radius=8, layers=["file", "chunk"]
+    )
+    assert got and "other" not in _types(got)
+    want = py_oracle.reverse(
+        "org/l", "b/Berlin.py", k=15, radius=8, layers=["file", "chunk"]
+    )
+    assert [(h["doc"], h["distance"]) for h in got] == [
+        (h["doc"], h["distance"]) for h in want
+    ]
+
+
+def test_housenumber_without_street(engine, py_oracle):
+    # StructuredQueryTest.findsHouseNumberInHamletWithoutStreetName:
+    # district (directory) + housenumber (chunk number), no street —
+    # the numbered sub-object is reachable through its parent address
+    from photon_spark.query.compiler import StructuredQuery
+
+    sq = StructuredQuery(directory="d", ext="1")
+    hits = engine.structured_search(sq, k=5)
+    assert hits
+    assert hits[0]["type"] == "chunk" and hits[0]["chunk"] == 1
+    want = py_oracle.structured_search(sq, k=5)
+    assert [h["doc"] for h in hits] == [h["doc"] for h in want]
