@@ -19,7 +19,7 @@ DEFAULT_LIMIT = 15  # query/RequestBase.java:13
 
 _SEARCH_PARAMS = {
     "q", "limit", "lang", "repo", "include", "exclude", "k", "osm_tag",
-    "layer", "suggest_addresses", "dedupe", "accept_language",
+    "layer", "suggest_addresses", "dedupe", "accept_language", "debug",
 }
 
 
@@ -211,6 +211,20 @@ class SearchAPI:
             )
             out = format_results(hits)
             out["lang"] = resolve_language(params)
+            if _bool_param(params, "debug", False):
+                # dumpQuery analog (GenericSearchHandler.java:40-43):
+                # the strict grounded plan, serialized
+                from photon_spark.query.compiler import compile_query
+                from photon_spark.query.plan import plan_to_dict
+
+                out["debug"] = plan_to_dict(
+                    compile_query(
+                        v["q"], self.backend, lenient=False,
+                        filters=v["filters"], include=v["include"],
+                        exclude=v["exclude"], osm_tag=v["osm_tag"],
+                        layers=v["layers"], suggest=v["suggest"],
+                    )
+                )
             return out
 
         return self._timed("api", _run)
@@ -267,3 +281,56 @@ class SearchAPI:
 
     def status(self) -> dict:
         return self.backend.status()
+
+
+class UpdateAPI:
+    """/nominatim-update surface (App.java:448-455): ``trigger``
+    starts one update cycle on a background thread (consume the
+    updates source → apply_updates), ``update_status`` reports
+    BUSY/OK — photon's updater lock semantics (U4)."""
+
+    def __init__(self, spark, index_dir: str, updates_reader):
+        """``updates_reader() -> DataFrame | None`` supplies the next
+        update batch (UPDATES_DDL shape) or None when idle — the
+        NominatimUpdater.fetchChanges analog."""
+        self.spark = spark
+        self.index_dir = index_dir
+        self._read = updates_reader
+        import threading
+
+        self._lock = threading.Lock()
+        self._thread = None
+        self.last_result: dict | None = None
+
+    def update_status(self) -> str:
+        if self._lock.locked():
+            return "BUSY"
+        return "OK"
+
+    def trigger(self) -> str:
+        """Start an update cycle if idle (returns the reference's
+        started message); no-op message when busy."""
+        import threading
+
+        if not self._lock.acquire(blocking=False):
+            return "nominatim update already running"
+
+        def _run():
+            try:
+                from photon_spark.index.updater import apply_updates
+
+                batch = self._read()
+                if batch is not None:
+                    self.last_result = apply_updates(
+                        self.spark, self.index_dir, batch
+                    )
+            finally:
+                self._lock.release()
+
+        self._thread = threading.Thread(target=_run, daemon=True)
+        self._thread.start()
+        return "nominatim update started (more information in console output) ..."
+
+    def wait(self, timeout: float | None = None) -> None:
+        if self._thread is not None:
+            self._thread.join(timeout)

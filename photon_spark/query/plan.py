@@ -135,6 +135,60 @@ class SearchPlan:
         return out
 
 
+def plan_to_dict(plan: "SearchPlan") -> dict:
+    """JSON-serializable dump of a grounded plan — the ``debug=1``
+    payload (reference: SearchHandler.dumpQuery, surfaced by
+    GenericSearchHandler when request.getDebug())."""
+
+    def node(n: PlanNode) -> dict:
+        if isinstance(n, Match):
+            return {
+                "match": n.field,
+                "boost": n.boost,
+                "operator": n.operator or "or",
+                "clauses": [
+                    [{"term": t, "mult": m} for t, m in cl.expansions]
+                    for cl in n.clauses
+                ],
+            }
+        if isinstance(n, DisMax):
+            return {"dis_max": [node(c) for c in n.children], "boost": n.boost}
+        if isinstance(n, Bool):
+            return {
+                "bool": {
+                    "must": [node(c) for c in n.must],
+                    "should": [node(c) for c in n.should],
+                },
+                "boost": n.boost,
+            }
+        if isinstance(n, FnMul):
+            return {
+                "function_score": node(n.query),
+                "filter_field": n.filter_field,
+                "filter_terms": list(n.filter_terms),
+                "filter_weight": n.filter_weight,
+                "const_weight": n.const_weight,
+            }
+        if isinstance(n, Exists):
+            return {"exists": n.term, "negate": n.negate}
+        raise TypeError(f"unknown node {n!r}")
+
+    return {
+        "kind": plan.kind,
+        "root": node(plan.root),
+        "type_weight": plan.type_weight,
+        "importance_factor": plan.importance_factor,
+        "filters": plan.filters,
+        "include": plan.include,
+        "exclude": plan.exclude,
+        "layers": plan.layers,
+        "tag_filters": [
+            {"kind": t.kind.value, "key": t.key, "value": t.value}
+            for t in plan.tag_filters
+        ],
+    }
+
+
 def msm_required(n_clauses: int) -> int:
     """photon's minimum_should_match "2<-1 6<-2": allow 1 missing
     clause when >2 clauses, 2 missing when >6."""

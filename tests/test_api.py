@@ -46,3 +46,49 @@ def test_structured_end_to_end(api):
 
 def test_format_empty():
     assert format_results([]) == {"type": "FeatureCollection", "features": []}
+
+
+def test_debug_dump(spark, index_dir):
+    from photon_spark.api import SearchAPI
+    from photon_spark.query.executor import Index
+
+    api = SearchAPI(Index(spark, index_dir, cache=False))
+    out = api.api({"q": "merge stream table", "debug": "1"})
+    dbg = out["debug"]
+    assert dbg["kind"] == "full"
+    assert "bool" in dbg["root"] and dbg["root"]["bool"]["must"]
+    # no debug key without the param
+    assert "debug" not in api.api({"q": "merge stream table"})
+
+
+def test_update_api_trigger(spark, index_dir, tmp_path_factory, corpus):
+    import shutil
+
+    from photon_spark.api import UpdateAPI
+    from photon_spark.index.updater import UPDATES_DDL
+    from photon_spark.query.executor import Index
+
+    # work on a copy — index_dir is session-shared
+    out = str(tmp_path_factory.mktemp("upd_api")) + "/idx"
+    shutil.copytree(index_dir, out)
+
+    row = corpus.iloc[0]
+    batch = spark.createDataFrame(
+        [("upsert", row.repo, row.path, "f" * 40, row.lang,
+          "updated via api zzapiupdatezz", 77)],
+        UPDATES_DDL,
+    )
+    api = UpdateAPI(spark, out, lambda: batch)
+    assert api.update_status() == "OK"
+    msg = api.trigger()
+    assert "started" in msg
+    api.wait(timeout=300)
+    assert api.update_status() == "OK"
+    assert api.last_result is not None and api.last_result["n_added"] == 1
+    idx = Index(spark, out, cache=False)
+    from pyspark.sql import functions as F
+
+    got = idx.docs().filter(
+        (F.col("repo") == row.repo) & (F.col("path") == row.path)
+    ).collect()
+    assert len(got) == 1 and got[0]["commit"] == "f" * 40
