@@ -256,9 +256,135 @@ def apply_updates(
     return {"n_removed": n_removed, "n_added": n_added, "segment": seg}
 
 
+def merge_segments(spark: SparkSession, index_dir: str) -> dict:
+    """Lucene force-merge analog (NO re-tokenization): decode base +
+    delta postings to rows, DROP tombstoned ordinals, re-encode into
+    a single sorted segment and recompute the dictionary EXACTLY
+    (per-term live-doc counts) — the stale-df debt of incremental
+    updates is repaid without touching the source corpus. Docs and
+    ordinals are untouched (ords are never reused), so a merged index
+    is rank-identical to a fresh build of the current corpus.
+
+    Cost: one decode scan + one range shuffle + one encode — postings
+    I/O only; at 10^12 scale this is the periodic segment-merge job
+    (OpenSearch forcemerge), far cheaper than :func:`compact`'s full
+    rebuild."""
+    from photon_spark.index.build import _make_block_encoder, _TOKENS_DDL
+
+    meta_path = os.path.join(index_dir, "meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    pcols = ["field", "term", "n", "doc_bytes", "tf_bytes"]
+    blocks = spark.read.parquet(os.path.join(index_dir, "postings")).select(*pcols)
+    pd_dir = os.path.join(index_dir, "postings_delta")
+    if os.path.isdir(pd_dir):
+        blocks = blocks.unionByName(
+            spark.read.parquet(pd_dir).select(*pcols)
+        )
+
+    # decode block rows → (field, term, doc, tf) posting rows
+    import pyarrow as pa
+
+    from photon_spark.index.codec import decode_doc_block, decode_tfs
+
+    def _decode_with_field(it):
+        import numpy as np
+
+        for batch in it:
+            fields = batch.column("field").to_pylist()
+            terms = batch.column("term").to_pylist()
+            ns = batch.column("n").to_pylist()
+            doc_b = batch.column("doc_bytes").to_pylist()
+            tf_b = batch.column("tf_bytes").to_pylist()
+            if not terms:
+                continue
+            docs = [decode_doc_block(b, n) for b, n in zip(doc_b, ns)]
+            tfs = [decode_tfs(b, n) for b, n in zip(tf_b, ns)]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(np.asarray(fields, dtype=object), ns)),
+                    pa.array(np.repeat(np.asarray(terms, dtype=object), ns)),
+                    pa.array(np.concatenate(docs), pa.int64()),
+                    pa.array(
+                        np.concatenate(tfs).astype(np.int32), pa.int32()
+                    ),
+                ],
+                names=["field", "term", "doc", "tf"],
+            )
+
+    rows = blocks.mapInArrow(_decode_with_field, _TOKENS_DDL)
+
+    # drop tombstoned ordinals (liveDocs) — restores EXACT df
+    tomb_dir = os.path.join(index_dir, "tombstones")
+    if os.path.isdir(tomb_dir):
+        dead = spark.read.parquet(tomb_dir).select(
+            F.col("ord").alias("doc")
+        ).distinct()
+        rows = rows.join(F.broadcast(dead), "doc", "left_anti")
+
+    n_buckets = int(meta["n_buckets"])
+    tmp_post = os.path.join(index_dir, "postings.merged")
+    tmp_dict = os.path.join(index_dir, "dictionary.merged")
+    (
+        rows.repartitionByRange(partitions, "field", "term", "doc")
+        .sortWithinPartitions("field", "term", "doc")
+        .mapInArrow(
+            _make_block_encoder(int(meta["block_size"]), n_buckets),
+            _POSTINGS_DDL,
+        )
+        .write.mode("overwrite")
+        .partitionBy("field")
+        .parquet(tmp_post)
+    )
+    (
+        rows.groupBy("field", "term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.max("tf").alias("max_tf"),
+        )
+        .withColumn(
+            "bucket",
+            (F.crc32(F.encode(F.col("term"), "utf-8")) % n_buckets).cast("int"),
+        )
+        .repartitionByRange(partitions, "field", "term")
+        .sortWithinPartitions("field", "term")
+        .write.mode("overwrite")
+        .partitionBy("field")
+        .parquet(tmp_dict)
+    )
+
+    # atomic swap + clear the merged-away deltas/tombstones
+    for name, tmp in (("postings", tmp_post), ("dictionary", tmp_dict)):
+        live = os.path.join(index_dir, name)
+        old = live + ".old"
+        os.rename(live, old)
+        os.rename(tmp, live)
+        shutil.rmtree(old)
+    for sub in ("postings_delta", "dictionary_delta", "tombstones"):
+        p = os.path.join(index_dir, sub)
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+
+    n_segs = len(meta.get("segments", []))
+    meta["segments"] = []
+    with open(meta_path, "w") as f:
+        json.dump(meta, f, indent=2)
+
+    # the deletions table may reference merged-away terms; rebuild it
+    # from the exact dictionary when present
+    if os.path.isdir(os.path.join(index_dir, "deletions")):
+        from photon_spark.index.deletions import build_deletion_index
+
+        build_deletion_index(spark, index_dir)
+    return {"merged_segments": n_segs, "n_docs": meta["n_docs"]}
+
+
 def compact(spark: SparkSession, index_dir: str, source: DataFrame) -> dict:
     """Full rebuild from the source of truth; clears delta segments
-    and restores exact df counts (the segment-merge analog)."""
+    and restores exact df counts. For a postings-only consolidation
+    that skips re-tokenization, use :func:`merge_segments`."""
     from photon_spark.index.checkpoint import build_index_resumable
 
     for sub in ("postings_delta", "dictionary_delta", "tombstones", "_state",

@@ -175,3 +175,65 @@ def test_wand_tombstones_filter_deleted_docs(spark, dirs):
     got = [id_of.get(r["doc"]) for r in rows]
     assert dead_id not in got
     assert None not in got  # every WAND hit resolves to a live doc
+
+
+def test_merge_segments_rank_identical_and_exact_df(
+    spark, corpus, tmp_path_factory
+):
+    """merge_segments (force-merge analog): after upserts + a delete,
+    merging the deltas yields an index rank-identical to a FRESH
+    build of the same logical corpus — exact df restored, tombstoned
+    postings physically gone, no re-tokenization of the corpus."""
+    import os
+
+    from photon_spark.index.updater import merge_segments
+
+    base_dir = str(tmp_path_factory.mktemp("merge_base"))
+    fresh_dir = str(tmp_path_factory.mktemp("merge_fresh"))
+    base_pdf, add_pdf = corpus.head(120), corpus.iloc[120:150]
+    build_index_resumable(spark, spark.createDataFrame(base_pdf), base_dir, n_groups=4)
+
+    victim = base_pdf.iloc[3]
+    batch = spark.createDataFrame(
+        [("delete", victim.repo, victim.path, victim.commit, victim.lang, None, 5)]
+        + [
+            ("upsert", r.repo, r.path, r.commit, r.lang, r.content, 6)
+            for r in add_pdf.itertuples()
+        ],
+        UPDATES_DDL,
+    )
+    apply_updates(spark, base_dir, batch)
+    assert os.path.isdir(os.path.join(base_dir, "postings_delta"))
+
+    res = merge_segments(spark, base_dir)
+    assert res["merged_segments"] == 1
+    assert not os.path.isdir(os.path.join(base_dir, "postings_delta"))
+    assert not os.path.isdir(os.path.join(base_dir, "tombstones"))
+
+    # fresh build of the same logical corpus (base minus victim + adds)
+    import pandas as pd
+
+    logical = pd.concat(
+        [base_pdf.drop(base_pdf.index[3]), add_pdf], ignore_index=True
+    )
+    build_index_resumable(spark, spark.createDataFrame(logical), fresh_dir, n_groups=4)
+
+    merged = Index(spark, base_dir, cache=False)
+    fresh = Index(spark, fresh_dir, cache=False)
+    for terms in (["merge", "stream"], ["the"], ["token", "index", "block"]):
+        assert _topk(merged, terms) == _topk(fresh, terms)
+    # the deleted doc's postings are physically gone (no tombstone
+    # filter needed): WAND over a victim content term never sees it
+    import hashlib
+
+    dead_id = hashlib.sha256(victim.content.encode()).hexdigest()
+    tok = next(t for t in victim.content.split() if t.isalpha() and len(t) >= 3)
+    id_of = {
+        r["ord"]: r["doc_id"]
+        for r in merged.docs().select("ord", "doc_id").collect()
+    }
+    got = [
+        id_of.get(r["doc"])
+        for r in merged.bm25_topk(FIELD_ALL, [tok], k=10_000).collect()
+    ]
+    assert dead_id not in got and None not in got
