@@ -246,7 +246,7 @@ class SearchAPI:
         def _run():
             unknown = set(params) - {
                 "repo", "path", "limit", "radius", "query_string_filter",
-                "osm_tag", "layer",
+                "osm_tag", "layer", "include", "exclude", "distance_sort",
             }
             if unknown:
                 raise BadRequest(f"unknown parameters: {sorted(unknown)}")
@@ -271,6 +271,9 @@ class SearchAPI:
                 osm_tag=list(params.get("osm_tag") or []) or None,
                 query_string=params.get("query_string_filter"),
                 layers=layers or None,
+                include=list(params.get("include") or []) or None,
+                exclude=list(params.get("exclude") or []) or None,
+                distance_sort=_bool_param(params, "distance_sort", True),
             )
             out = format_results(hits)
             for f, h in zip(out["features"], hits):

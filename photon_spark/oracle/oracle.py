@@ -361,6 +361,9 @@ class OracleIndex:
         osm_tag: list[str] | None = None,
         query_string: str | None = None,
         layers: list[str] | None = None,
+        include: list[str] | None = None,
+        exclude: list[str] | None = None,
+        distance_sort: bool = True,
     ) -> list[dict]:
         """Reverse lookup twin (pure python tree distance)."""
         from photon_spark.query.compiler import compile_query
@@ -371,6 +374,17 @@ class OracleIndex:
             tag_predicate_py,
         )
 
+        from photon_spark.query.compiler import _cat_terms
+
+        all_fp = self.postings.get("all", {})
+        inc_set: set[int] | None = None
+        if include:
+            inc_set = set()
+            for t in sorted(set(_cat_terms(include))):
+                inc_set |= set(all_fp.get(t, {}))
+        exc_set: set[int] = set()
+        for t in sorted(set(_cat_terms(exclude or []))):
+            exc_set |= set(all_fp.get(t, {}))
         tfs = parse_tag_filters(osm_tag)
         allowed: set[int] | None = None
         if query_string:
@@ -382,6 +396,10 @@ class OracleIndex:
         rows = []
         for d in self.docs.values():
             if layers and d["type"] not in layers:
+                continue
+            if inc_set is not None and d["doc"] not in inc_set:
+                continue
+            if d["doc"] in exc_set:
                 continue
             if allowed is not None and d["doc"] not in allowed:
                 continue
@@ -399,5 +417,8 @@ class OracleIndex:
                     },
                     "distance": dist,
                 })
-        rows.sort(key=lambda r: (r["distance"], -r["importance"], r["doc"]))
+        if distance_sort:
+            rows.sort(key=lambda r: (r["distance"], -r["importance"], r["doc"]))
+        else:
+            rows.sort(key=lambda r: (-r["importance"], r["doc"]))
         return rows[:k]

@@ -700,6 +700,9 @@ class Index:
         osm_tag: list[str] | None = None,
         query_string: str | None = None,
         layers: list[str] | None = None,
+        include: list[str] | None = None,
+        exclude: list[str] | None = None,
+        distance_sort: bool = True,
     ) -> list[dict]:
         """Reverse lookup (Q15/Q16 graft): nearest docs in the repo
         tree; optional tag filters apply like the reference's
@@ -733,6 +736,25 @@ class Index:
         if layers:
             # Q18 on reverse (QueryFilterLayerTest.testReverse*)
             docs = docs.filter(F.col("type").isin(list(layers)))
+        # category algebra on reverse (BaseQueryBuilder
+        # includeCategories/excludeCategories — reverse inherits it)
+        from photon_spark.query.compiler import _cat_terms
+
+        inc_terms, exc_terms = _cat_terms(include), _cat_terms(exclude)
+        if inc_terms:
+            inc = (
+                self.postings(FIELD_ALL, sorted(set(inc_terms)))
+                .select(F.col("doc").alias("ord"))
+                .distinct()
+            )
+            docs = docs.join(inc, "ord", "left_semi")
+        if exc_terms:
+            exc = (
+                self.postings(FIELD_ALL, sorted(set(exc_terms)))
+                .select(F.col("doc").alias("ord"))
+                .distinct()
+            )
+            docs = docs.join(exc, "ord", "left_anti")
         if query_string:
             # Q17: text filter on reverse results
             # (opensearch/ReverseQueryBuilder.addQueryFilter) — the
@@ -747,7 +769,12 @@ class Index:
                 "ord",
                 "left_semi",
             )
-        return [r.asDict() for r in reverse_candidates(docs, repo, path, k, radius).collect()]
+        return [
+            r.asDict()
+            for r in reverse_candidates(
+                docs, repo, path, k, radius, distance_sort=distance_sort
+            ).collect()
+        ]
 
     def status(self) -> dict:
         """/status analog (reference App.java:448-455 + DatabaseProperties):

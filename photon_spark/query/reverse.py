@@ -117,9 +117,14 @@ def reverse_candidates(
     path: str,
     k: int = DEFAULT_LIMIT,
     radius: int = DEFAULT_RADIUS,
+    distance_sort: bool = True,
 ) -> DataFrame:
     """Nearest docs to the (repo, path) coordinate within ``radius``
-    tree hops, sorted (distance asc, importance desc, doc asc).
+    tree hops, sorted (distance asc, importance desc, doc asc) — or,
+    with ``distance_sort=False``, by (importance desc, doc asc) like
+    the reference's unsorted radius query
+    (ReverseRequestFactory.java:30, OpenSearchReverseHandler.java:
+    58-64: no geo sort clause when distance sort is off).
 
     The scan is pruned FIRST by :func:`prune_predicate` (repo/path
     prefix implied by the radius — pushdown-able), then the exact
@@ -135,9 +140,14 @@ def reverse_candidates(
         lambda s: s != F.lit(""),
     )
     with_d = docs.withColumn("distance", tree_distance_col(segs, q))
+    order = (
+        [F.asc("distance"), F.desc("importance"), F.asc("doc")]
+        if distance_sort
+        else [F.desc("importance"), F.asc("doc")]
+    )
     return (
         with_d.filter(F.col("distance") <= radius)
-        .orderBy(F.asc("distance"), F.desc("importance"), F.asc("doc"))
+        .orderBy(*order)
         .limit(k)
         .select(
             "doc", "doc_id", "repo", "path", "lang", "importance",

@@ -55,3 +55,30 @@ def test_api_reverse_and_status(spark, index_dir):
     assert out["features"][0]["properties"]["distance"] == 0
     with pytest.raises(BadRequest):
         api.reverse({"limit": 1})
+
+
+def test_reverse_categories_and_distance_sort(spark, index_dir, oracle):
+    """Reverse inherits the BaseQueryBuilder filters: category
+    include/exclude + the distance_sort=false ordering
+    (ReverseRequestFactory.java:30 — no geo sort clause)."""
+    from photon_spark.query.executor import Index
+
+    idx = Index(spark, index_dir, cache=False)
+    probe = idx.docs().orderBy("ord").head()
+    kw = dict(k=10, radius=8)
+
+    inc = idx.reverse(probe["repo"], probe["path"], include=["code.python"], **kw)
+    assert inc and all(h["lang"].lower() == "python" for h in inc)
+    oinc = oracle.reverse(probe["repo"], probe["path"], include=["code.python"], **kw)
+    assert [(h["doc"], h["distance"]) for h in inc] == [
+        (h["doc"], h["distance"]) for h in oinc
+    ]
+
+    exc = idx.reverse(probe["repo"], probe["path"], exclude=["code.python"], **kw)
+    assert all(h["lang"].lower() != "python" for h in exc)
+
+    nosort = idx.reverse(probe["repo"], probe["path"], distance_sort=False, **kw)
+    imps = [h["importance"] for h in nosort]
+    assert imps == sorted(imps, reverse=True)
+    onosort = oracle.reverse(probe["repo"], probe["path"], distance_sort=False, **kw)
+    assert [h["doc"] for h in nosort] == [h["doc"] for h in onosort]
