@@ -82,3 +82,34 @@ def test_reverse_categories_and_distance_sort(spark, index_dir, oracle):
     assert imps == sorted(imps, reverse=True)
     onosort = oracle.reverse(probe["repo"], probe["path"], distance_sort=False, **kw)
     assert [h["doc"] for h in nosort] == [h["doc"] for h in onosort]
+
+
+def test_reverse_prune_pushdown_plan(spark, index_dir):
+    """The radius-implied prefix predicate must reach the parquet
+    scan of the repo-sorted projection (PushedFilters on repo/path),
+    and rank output must equal the unpruned scan."""
+    from pyspark.sql import functions as F
+
+    from photon_spark.query.executor import Index
+    from photon_spark.query.reverse import prune_predicate, reverse_candidates
+
+    idx = Index(spark, index_dir, cache=False)
+    probe = idx.docs().orderBy("ord").head()
+    radius = 2  # < len(coords): the prune is active
+    assert prune_predicate(probe["repo"], probe["path"], radius) is not None
+
+    import os
+
+    by_repo = spark.read.parquet(os.path.join(index_dir, "docs_by_repo"))
+    pruned_df = reverse_candidates(by_repo, probe["repo"], probe["path"], 10, radius)
+    plan = pruned_df._jdf.queryExecution().executedPlan().toString()
+    pushed = plan.split("PushedFilters: [", 1)
+    assert len(pushed) == 2 and "repo" in pushed[1][:400]
+
+    # rank identity: pruned (docs_by_repo) vs unpruned full scan
+    got = [(r["doc"], r["distance"]) for r in pruned_df.collect()]
+    want = [
+        (h["doc"], h["distance"])
+        for h in idx.reverse(probe["repo"], probe["path"], k=10, radius=radius)
+    ]
+    assert got == want
