@@ -188,7 +188,12 @@ def split_basename(path: str) -> tuple[str, list[str]]:
 
 
 def analyze_doc(
-    repo: str, path: str, lang: str, content: str, chunk: int | None = None
+    repo: str,
+    path: str,
+    lang: str,
+    content: str,
+    chunk: int | None = None,
+    categories: list[str] | None = None,
 ) -> dict[str, dict[str, int]]:
     """Analyze one document into ``{field: {term: tf}}``.
 
@@ -204,7 +209,7 @@ def analyze_doc(
     SearchQueryBuilder.java:142-147).
     """
     if chunk is not None:
-        return _analyze_chunk_doc(repo, path, lang, content, chunk)
+        return _analyze_chunk_doc(repo, path, lang, content, chunk, categories)
     basename, path_rest = split_basename(path or "")
 
     # --- collector.all analog: term -> max priority -----------------
@@ -221,6 +226,12 @@ def analyze_doc(
     _add(_zone_terms(normalize_apostrophes(content or "")), PRIO_CONTENT)
     if lang:
         for cat in category_prefixes(f"code.{fold(lang)}"):
+            _add([cat], PRIO_CATEGORY)
+    # user-supplied categories (O8, PhotonDocSerializer.java:104-108:
+    # '#'-prefixed, CASE-SENSITIVE, label-prefix-expanded like the
+    # reference's category analyzer)
+    for uc in categories or []:
+        for cat in category_prefixes(uc):
             _add([cat], PRIO_CATEGORY)
 
     # --- all_ngram: edge 1..30 prefixes; category (#) tokens pass
@@ -313,7 +324,12 @@ def analyze_doc(
 
 
 def _analyze_chunk_doc(
-    repo: str, path: str, lang: str, content: str, chunk: int
+    repo: str,
+    path: str,
+    lang: str,
+    content: str,
+    chunk: int,
+    categories: list[str] | None = None,
 ) -> dict[str, dict[str, int]]:
     """Chunk sub-doc analysis (photon house): no name zones; the
     file basename is an ADDRESS part (prio 2, like a house's street
@@ -339,6 +355,9 @@ def _analyze_chunk_doc(
     _add(_zone_terms(normalize_apostrophes(content or "")), PRIO_CONTENT)
     if lang:
         for cat in category_prefixes(f"code.{fold(lang)}"):
+            _add([cat], PRIO_CATEGORY)
+    for uc in categories or []:
+        for cat in category_prefixes(uc):
             _add([cat], PRIO_CATEGORY)
 
     ngram_terms: dict[str, int] = {}

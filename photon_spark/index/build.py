@@ -141,7 +141,10 @@ def assign_ordinals(spark: SparkSession, docs_path: str) -> int:
 
 # columns with engine meaning — anything else in the source is an
 # "extra tag" candidate (O9, ConfigExtraTags.java:14-72)
-CANONICAL_COLS = {"repo", "path", "commit", "lang", "content", "importance", "chunk"}
+CANONICAL_COLS = {
+    "repo", "path", "commit", "lang", "content", "importance", "chunk",
+    "categories",
+}
 
 
 def extra_tags_col(src_cols: list[str], extra_tags) -> "F.Column":
@@ -294,12 +297,18 @@ def _tokenize_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
             chunks = batch.column("chunk").to_pylist()
         else:
             chunks = [None] * len(docs)
+        if "categories" in batch.schema.names:
+            cats = batch.column("categories").to_pylist()
+        else:
+            cats = [None] * len(docs)
         o_field: list[str] = []
         o_term: list[str] = []
         o_doc: list[int] = []
         o_tf: list[int] = []
-        for d, r, p, lg, c, ck in zip(docs, repos, paths, langs, contents, chunks):
-            fields = analyze_doc(r or "", p or "", lg or "", c or "", ck)
+        for d, r, p, lg, c, ck, cat in zip(
+            docs, repos, paths, langs, contents, chunks, cats
+        ):
+            fields = analyze_doc(r or "", p or "", lg or "", c or "", ck, cat)
             for fname, tmap in fields.items():
                 for term, tf in tmap.items():
                     o_field.append(fname)
@@ -479,6 +488,8 @@ def build_index(
         src = fan_out_chunks(src, chunk_lines)
     elif "chunk" not in src.columns:
         src = src.withColumn("chunk", F.lit(None).cast("int"))
+    if "categories" not in src.columns:
+        src = src.withColumn("categories", F.lit(None).cast("array<string>"))
     partitions = partitions or spark.conf.get("spark.sql.shuffle.partitions")
     partitions = int(partitions)
     stage_s: dict[str, float] = {}
@@ -498,7 +509,7 @@ def build_index(
         spark,
         docs.select(
             "doc_id", "doc", "repo", "path", "commit", "lang", "importance",
-            "n_dupes", "chunk", doc_type_col().alias("type"),
+            "n_dupes", "chunk", "categories", doc_type_col().alias("type"),
             extra_tags_col(src.columns, extra_tags).alias("extra"),
         ),
         os.path.join(out_dir, "docs"),
@@ -516,9 +527,12 @@ def build_index(
 
     ords = spark.read.parquet(os.path.join(out_dir, "docs")).select("doc_id", "ord")
     tokens = (
-        docs.select("doc_id", "repo", "path", "lang", "content", "chunk")
+        docs.select("doc_id", "repo", "path", "lang", "content", "chunk", "categories")
         .join(ords, "doc_id")
-        .select(F.col("ord").alias("doc"), "repo", "path", "lang", "content", "chunk")
+        .select(
+            F.col("ord").alias("doc"), "repo", "path", "lang", "content",
+            "chunk", "categories",
+        )
         .mapInArrow(_tokenize_batches, _TOKENS_DDL)
     ).persist(StorageLevel.MEMORY_AND_DISK)
 

@@ -121,6 +121,8 @@ def build_index_resumable(
         src = fan_out_chunks(src, chunk_lines)
     elif "chunk" not in src.columns:
         src = src.withColumn("chunk", F.lit(None).cast("int"))
+    if "categories" not in src.columns:
+        src = src.withColumn("categories", F.lit(None).cast("array<string>"))
     partitions = int(partitions or spark.conf.get("spark.sql.shuffle.partitions"))
     st = _State(out_dir)
 
@@ -148,7 +150,7 @@ def build_index_resumable(
             spark,
             docs.select(
                 "doc_id", "doc", "repo", "path", "commit", "lang", "importance",
-                "n_dupes", "chunk", doc_type_col().alias("type"),
+                "n_dupes", "chunk", "categories", doc_type_col().alias("type"),
                 extra_tags_col(src.columns, extra_tags).alias("extra"),
             ),
             docs_path,
@@ -171,13 +173,16 @@ def build_index_resumable(
             F.sha2(F.col("content"), 256).alias("doc_id"), "content"
         ).dropDuplicates(["doc_id"])
         tok_src = docs_df.select(
-            "doc_id", F.col("ord").alias("doc"), "repo", "path", "lang", "chunk"
+            "doc_id", F.col("ord").alias("doc"), "repo", "path", "lang",
+            "chunk", "categories",
         ).join(content, "doc_id")
         # explicit partition count: tokenize EXPANDS ~100× (ngram
         # fields), so AQE's size-based coalescing of the small input
         # shuffle would serialize the heaviest python stage
         tokens = (
-            tok_src.select("doc", "repo", "path", "lang", "content", "chunk")
+            tok_src.select(
+                "doc", "repo", "path", "lang", "content", "chunk", "categories"
+            )
             .repartition(partitions, "doc")
             .mapInArrow(_tokenize_batches, _TOKENS_DDL)
         )

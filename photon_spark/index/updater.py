@@ -115,6 +115,8 @@ def apply_updates(
         upserts = fan_out_chunks(upserts, chunk_lines)
     elif "chunk" not in upserts.columns:
         upserts = upserts.withColumn("chunk", F.lit(None).cast("int"))
+    if "categories" not in upserts.columns:
+        upserts = upserts.withColumn("categories", F.lit(None).cast("array<string>"))
     from photon_spark.index.build import doc_type_col, extra_tags_col
 
     new_docs = (
@@ -135,7 +137,7 @@ def apply_updates(
         .filter(F.col("rn") == 1)
         .select(
             "doc_id", "doc", "repo", "path", "commit", "lang", "importance",
-            "n_dupes", "chunk", doc_type_col().alias("type"),
+            "n_dupes", "chunk", "categories", doc_type_col().alias("type"),
             extra_tags_col(upserts.columns, meta.get("extra_tags")).alias("extra"),
             "content",
         )
@@ -191,7 +193,8 @@ def apply_updates(
     seg = _next_seg(index_dir)
     if n_added > 0:
         tokens = truly_new.select(
-            F.col("ord").alias("doc"), "repo", "path", "lang", "content", "chunk"
+            F.col("ord").alias("doc"), "repo", "path", "lang", "content",
+            "chunk", "categories",
         ).mapInArrow(_tokenize_batches, _TOKENS_DDL)
         parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
         dict_delta = tokens.groupBy("field", "term").agg(

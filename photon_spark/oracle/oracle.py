@@ -53,7 +53,8 @@ class OracleIndex:
         # keep first by (repo, path, commit, chunk) — chunk None
         # sorts first like Spark's asc-nulls-first
         canonical = {
-            "repo", "path", "commit", "lang", "content", "importance", "chunk"
+            "repo", "path", "commit", "lang", "content", "importance", "chunk",
+            "categories",
         }
         extra_cols = [c for c in corpus.columns if c not in canonical]
         if extra_tags == "ALL":
@@ -67,9 +68,11 @@ class OracleIndex:
         for row in corpus.itertuples(index=False):
             imp = getattr(row, "importance", 0.0)
             extra = {c: str(getattr(row, c)) for c in keep_extra}
+            cats = getattr(row, "categories", None)
+            cats = list(cats) if cats is not None and not isinstance(cats, float) else None
             expanded.append(
                 (row.repo, row.path, row.commit, row.lang, row.content, imp, None,
-                 extra)
+                 extra, cats)
             )
             if chunk_lines:
                 from photon_spark.index.chunking import chunk_py
@@ -77,12 +80,12 @@ class OracleIndex:
                 for k, ck in enumerate(chunk_py(row.content, chunk_lines)):
                     expanded.append(
                         (row.repo, row.path, row.commit, row.lang, ck, imp, k,
-                         extra)
+                         extra, cats)
                     )
 
         best: dict[str, tuple] = {}
         dupes: dict[str, int] = {}
-        for repo, path, commit, lang, content, imp, chunk, extra in expanded:
+        for repo, path, commit, lang, content, imp, chunk, extra, cats in expanded:
             h = sha256_hex(content)
             dupes[h] = dupes.get(h, 0) + 1
             key = (repo, path, commit, -1 if chunk is None else chunk)
@@ -90,9 +93,13 @@ class OracleIndex:
             if prev is None or key < (
                 prev[0], prev[1], prev[2], -1 if prev[6] is None else prev[6]
             ):
-                best[h] = (repo, path, commit, lang, content, imp, chunk, extra, h)
+                best[h] = (
+                    repo, path, commit, lang, content, imp, chunk, extra, cats, h
+                )
 
-        for repo, path, commit, lang, content, importance, chunk, extra, h in best.values():
+        for (
+            repo, path, commit, lang, content, importance, chunk, extra, cats, h
+        ) in best.values():
             d = doc_int_py(h)
             self.docs[d] = {
                 "doc_id": h,
@@ -106,8 +113,11 @@ class OracleIndex:
                 "chunk": chunk,
                 "type": doc_type(lang, chunk),
                 "extra": extra,
+                "categories": cats,
             }
-            for field, tmap in analyze_doc(repo, path, lang, content, chunk).items():
+            for field, tmap in analyze_doc(
+                repo, path, lang, content, chunk, cats
+            ).items():
                 fpost = self.postings.setdefault(field, {})
                 for term, tf in tmap.items():
                     fpost.setdefault(term, {})[d] = tf
@@ -150,6 +160,22 @@ class OracleIndex:
             plist = set(fp.get(f"{kk}:{norm}", {}))
             out = plist if out is None else out & plist
         return out
+
+    # ---------------- category CNF groups (Q20) ----------------
+
+    def _cat_pass(
+        self, d: int, include: list[list[str]], exclude: list[list[str]]
+    ) -> bool:
+        """Every include group: doc matches ANY term; every exclude
+        group: doc must NOT match ALL terms (CategoryFilter.java)."""
+        all_fp = self.postings.get("all", {})
+        for grp in include or []:
+            if not any(d in all_fp.get(t, {}) for t in grp):
+                return False
+        for grp in exclude or []:
+            if all(d in all_fp.get(t, {}) for t in grp):
+                return False
+        return True
 
     # ---------------- plan evaluation ----------------
     #
@@ -280,24 +306,13 @@ class OracleIndex:
                 return []
             scored = m
         fset = self.filter_set(plan.filters)
-        all_fp = self.postings.get("all", {})
-        inc_set: set[int] | None = None
-        if plan.include:
-            inc_set = set()
-            for t in sorted(set(plan.include)):
-                inc_set |= set(all_fp.get(t, {}))
-        exc_set: set[int] = set()
-        for t in sorted(set(plan.exclude)):
-            exc_set |= set(all_fp.get(t, {}))
         from photon_spark.query.tagfilter import ext_of_path, tag_predicate_py
 
         rows = []
         for d, s in scored.items():
             if fset is not None and d not in fset:
                 continue
-            if inc_set is not None and d not in inc_set:
-                continue
-            if d in exc_set:
+            if not self._cat_pass(d, plan.include, plan.exclude):
                 continue
             meta = self.docs[d]
             if plan.tag_filters and not tag_predicate_py(
@@ -374,17 +389,10 @@ class OracleIndex:
             tag_predicate_py,
         )
 
-        from photon_spark.query.compiler import _cat_terms
+        from photon_spark.query.compiler import _cat_groups
 
-        all_fp = self.postings.get("all", {})
-        inc_set: set[int] | None = None
-        if include:
-            inc_set = set()
-            for t in sorted(set(_cat_terms(include))):
-                inc_set |= set(all_fp.get(t, {}))
-        exc_set: set[int] = set()
-        for t in sorted(set(_cat_terms(exclude or []))):
-            exc_set |= set(all_fp.get(t, {}))
+        inc_groups = _cat_groups(include)
+        exc_groups = _cat_groups(exclude)
         tfs = parse_tag_filters(osm_tag)
         allowed: set[int] | None = None
         if query_string:
@@ -397,9 +405,7 @@ class OracleIndex:
         for d in self.docs.values():
             if layers and d["type"] not in layers:
                 continue
-            if inc_set is not None and d["doc"] not in inc_set:
-                continue
-            if d["doc"] in exc_set:
+            if not self._cat_pass(d["doc"], inc_groups, exc_groups):
                 continue
             if allowed is not None and d["doc"] not in allowed:
                 continue

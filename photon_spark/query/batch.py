@@ -165,8 +165,6 @@ def _batch_candidates(
     # kw filters / category include/exclude: (qid, ord) side tables
     # from one pruned postings scan each, applied with a left join +
     # qid-guarded predicate (plans without that context pass through)
-    from photon_spark.analysis import FIELD_ALL as _F_ALL
-
     flt_parts, inc_parts, exc_parts = [], [], []
     for qid, plan in plans.items():
         fdf = index.filter_docs(plan.filters)
@@ -175,17 +173,17 @@ def _batch_candidates(
                 fdf.select(F.lit(qid).alias("qid"), F.col("doc").alias("ord"))
             )
         if plan.include:
-            inc_parts.append(
-                index.postings(_F_ALL, sorted(set(plan.include)))
-                .select(F.lit(qid).alias("qid"), F.col("doc").alias("ord"))
-                .distinct()
-            )
+            # CNF: allowed(qid) = ∩ over groups of any-of(group)
+            allowed = index._cat_any(plan.include[0])
+            for grp in plan.include[1:]:
+                allowed = allowed.join(index._cat_any(grp), "ord", "left_semi")
+            inc_parts.append(allowed.select(F.lit(qid).alias("qid"), "ord"))
         if plan.exclude:
-            exc_parts.append(
-                index.postings(_F_ALL, sorted(set(plan.exclude)))
-                .select(F.lit(qid).alias("qid"), F.col("doc").alias("ord"))
-                .distinct()
-            )
+            # deny(qid) = ∪ over groups of all-of(group)
+            for grp in plan.exclude:
+                exc_parts.append(
+                    index._cat_all(grp).select(F.lit(qid).alias("qid"), "ord")
+                )
 
     def _union(parts):
         out = parts[0]
@@ -214,7 +212,9 @@ def _batch_candidates(
     if exc_parts:
         joined = (
             joined.join(
-                _union(exc_parts).withColumn("e_hit", F.lit(1)), ["qid", "ord"], "left"
+                _union(exc_parts).distinct().withColumn("e_hit", F.lit(1)),
+                ["qid", "ord"],
+                "left",
             )
             .filter(F.col("e_hit").isNull())
             .drop("e_hit")

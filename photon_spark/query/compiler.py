@@ -176,8 +176,25 @@ def is_alphabetic(q: str) -> bool:
 
 
 def _cat_terms(cats: list[str] | None) -> list[str]:
-    """Normalize category names to indexed '#'-terms."""
-    return [c if c.startswith("#") else f"#{c}" for c in (cats or [])]
+    """Flatten category filters to indexed '#'-terms (no folding —
+    categories are case-sensitive, QueryCategoryFilterTest grade.A1
+    vs grade.a1)."""
+    return [t for g in _cat_groups(cats) for t in g]
+
+
+def _cat_groups(cats: list[str] | None) -> list[list[str]]:
+    """Category filters → CNF groups (CategoryFilter.java:16-19): one
+    group per filter string, comma-separated terms inside a group."""
+    groups: list[list[str]] = []
+    for c in cats or []:
+        terms = [
+            t if t.startswith("#") else f"#{t}"
+            for t in str(c).split(",")
+            if t
+        ]
+        if terms:
+            groups.append(terms)
+    return groups
 
 
 def compile_query(
@@ -208,8 +225,8 @@ def compile_query(
         plan = _short_plan(stripped, dictionary, lenient, filters, ids)
     else:
         plan = _full_plan(stripped, dictionary, lenient, filters, ids, suggest)
-    plan.include = _cat_terms(include)
-    plan.exclude = _cat_terms(exclude)
+    plan.include = _cat_groups(include)
+    plan.exclude = _cat_groups(exclude)
     plan.layers = list(layers or [])
     if osm_tag:
         from photon_spark.query.tagfilter import parse_tag_filters

@@ -396,6 +396,30 @@ class Index:
             .select("doc")
         )
 
+    # ---------------- category-group posting sets ----------------
+
+    def _cat_any(self, group: list[str]) -> DataFrame:
+        """ords matching ANY term of one category group (the
+        include-filter terms query, CategoryFilter.buildIncludeQuery)."""
+        return (
+            self.postings(FIELD_ALL, sorted(set(group)))
+            .select(F.col("doc").alias("ord"))
+            .distinct()
+        )
+
+    def _cat_all(self, group: list[str]) -> DataFrame:
+        """ords matching ALL terms of one category group (the
+        exclude-filter NOT(a AND b) complement,
+        CategoryFilter.buildExcludeQuery)."""
+        terms = sorted(set(group))
+        return (
+            self.postings(FIELD_ALL, terms)
+            .groupBy("doc")
+            .agg(F.countDistinct("term").alias("nt"))
+            .filter(F.col("nt") == len(terms))
+            .select(F.col("doc").alias("ord"))
+        )
+
     # ---------------- plan evaluation (fused) ----------------
     #
     # The whole scoring tree evaluates in ONE pass: every Match node's
@@ -612,21 +636,13 @@ class Index:
         fdf = self.filter_docs(plan.filters)
         if fdf is not None:
             joined = joined.join(fdf.withColumnRenamed("doc", "ord"), "ord", "left_semi")
-        # category algebra (Q20): include any-of, exclude none-of
-        if plan.include:
-            inc = (
-                self.postings(FIELD_ALL, sorted(set(plan.include)))
-                .select(F.col("doc").alias("ord"))
-                .distinct()
-            )
-            joined = joined.join(inc, "ord", "left_semi")
-        if plan.exclude:
-            exc = (
-                self.postings(FIELD_ALL, sorted(set(plan.exclude)))
-                .select(F.col("doc").alias("ord"))
-                .distinct()
-            )
-            joined = joined.join(exc, "ord", "left_anti")
+        # category algebra (Q20, CNF): each include group = semi join
+        # on docs matching ANY of its terms (groups AND); each exclude
+        # group = anti join on docs matching ALL of its terms
+        for grp in plan.include:
+            joined = joined.join(self._cat_any(grp), "ord", "left_semi")
+        for grp in plan.exclude:
+            joined = joined.join(self._cat_all(grp), "ord", "left_anti")
         rows = (
             joined.select(
                 "doc", "doc_id", "repo", "path", "lang", "importance",
@@ -737,24 +753,14 @@ class Index:
             # Q18 on reverse (QueryFilterLayerTest.testReverse*)
             docs = docs.filter(F.col("type").isin(list(layers)))
         # category algebra on reverse (BaseQueryBuilder
-        # includeCategories/excludeCategories — reverse inherits it)
-        from photon_spark.query.compiler import _cat_terms
+        # includeCategories/excludeCategories — reverse inherits it),
+        # same CNF-group semantics as search
+        from photon_spark.query.compiler import _cat_groups
 
-        inc_terms, exc_terms = _cat_terms(include), _cat_terms(exclude)
-        if inc_terms:
-            inc = (
-                self.postings(FIELD_ALL, sorted(set(inc_terms)))
-                .select(F.col("doc").alias("ord"))
-                .distinct()
-            )
-            docs = docs.join(inc, "ord", "left_semi")
-        if exc_terms:
-            exc = (
-                self.postings(FIELD_ALL, sorted(set(exc_terms)))
-                .select(F.col("doc").alias("ord"))
-                .distinct()
-            )
-            docs = docs.join(exc, "ord", "left_anti")
+        for grp in _cat_groups(include):
+            docs = docs.join(self._cat_any(grp), "ord", "left_semi")
+        for grp in _cat_groups(exclude):
+            docs = docs.join(self._cat_all(grp), "ord", "left_anti")
         if query_string:
             # Q17: text filter on reverse results
             # (opensearch/ReverseQueryBuilder.addQueryFilter) — the

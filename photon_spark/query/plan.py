@@ -106,10 +106,13 @@ class SearchPlan:
     # TagFilter objects over the (lang, ext) pair
     tag_filters: list = field(default_factory=list)
     # category algebra (reference Q20, opensearch/CategoryFilter.java:
-    # 21-40, docs/categories.md): include = doc must match ANY of these
-    # '#'-terms; exclude = doc must match NONE of them
-    include: list[str] = field(default_factory=list)
-    exclude: list[str] = field(default_factory=list)
+    # 12-40 + BaseQueryBuilder.includeCategories/excludeCategories):
+    # CNF groups of '#'-terms. Each include GROUP is a separate filter
+    # (AND across groups); within a group, comma-separated terms OR.
+    # Each exclude group is mustNot(match ALL of the group) —
+    # bool(should(mustNot(a)), should(mustNot(b))) = NOT(a AND b).
+    include: list[list[str]] = field(default_factory=list)
+    exclude: list[list[str]] = field(default_factory=list)
     # layer filter (Q18, BaseQueryBuilder.addLayerFilter — a terms
     # filter on the object-type field): when non-empty, the doc's
     # ``type`` must be one of these (file | chunk | other)

@@ -1,0 +1,81 @@
+"""QueryCategoryFilterTest.java translated 1:1: four docs named
+Foobar with user-supplied categories (O8 source input), the full
+filterProvider truth table — include groups AND (comma = OR inside),
+exclude groups are NOT-ALL, prefix matching by label hierarchy,
+CASE-SENSITIVE terms. Engine and oracle agree on every row."""
+
+import pandas as pd
+import pytest
+
+from photon_spark.index.build import build_index
+from photon_spark.oracle.oracle import OracleIndex
+from photon_spark.query.executor import Index
+
+# makePlace(id, categories...) — the id lives in the basename
+ROWS = [
+    ("r", "a/Foobar_1.py", "q1" * 20, "python", "body one",
+     ["osm.tourism.hotel", "accomodation.guest_house"]),
+    ("r", "a/Foobar_2.py", "q2" * 20, "python", "body two",
+     ["osm.tourism.hotel", "accomodation.hostel"]),
+    ("r", "a/Foobar_3.py", "q3" * 20, "python", "body three",
+     ["osm.tourism.camping", "accomodation.tent", "accomodation.lodge"]),
+    ("r", "a/Foobar_4.py", "q4" * 20, "python", "body four",
+     ["osm.amenity.playground", "grade.A1"]),
+]
+COLS = ["repo", "path", "commit", "lang", "content", "categories"]
+
+# (filters, expected ids) — QueryCategoryFilterTest.filterProvider
+CASES = [
+    ([], [1, 2, 3, 4]),
+    (["+osm.tourism"], [1, 2, 3]),
+    (["+osm.tourism.camping"], [3]),
+    (["+accomodation.hostel,osm.amenity.playground"], [2, 4]),
+    (["+grade.A1"], [4]),
+    (["+grade.a1"], []),
+    (["+osm.tourism", "+accomodation.tent,accomodation.guest_house"], [1, 3]),
+    (["-osm.tourism"], [4]),
+    (["-osm.tourism,accomodation.tent"], [1, 2, 4]),
+    (["-osm.amenity.playground", "-accomodation.guest_house"], [2, 3]),
+    (["+osm.tourism", "-osm.tourism.hotel"], [3]),
+]
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("cat_idx"))
+    build_index(spark, spark.createDataFrame(pd.DataFrame(ROWS, columns=COLS)), out)
+    return Index(spark, out, cache=False)
+
+
+@pytest.fixture(scope="module")
+def py_oracle():
+    return OracleIndex(pd.DataFrame(ROWS, columns=COLS))
+
+
+def _ids(hits):
+    return sorted(
+        int(h["path"].rsplit("_", 1)[1].split(".")[0]) for h in hits
+    )
+
+
+@pytest.mark.parametrize("filters,want", CASES, ids=lambda v: repr(v)[:40])
+def test_category_filters(engine, py_oracle, filters, want):
+    include = [f[1:] for f in filters if f.startswith("+")]
+    exclude = [f[1:] for f in filters if f.startswith("-")]
+    hits = engine.search(
+        "Foobar", k=50, include=include, exclude=exclude, dedupe=False
+    )
+    assert _ids(hits) == want, (filters, _ids(hits))
+    ohits = py_oracle.search(
+        "Foobar", k=50, include=include, exclude=exclude, dedupe=False
+    )
+    assert [h["doc"] for h in hits] == [h["doc"] for h in ohits]
+
+
+def test_category_only_search(engine, py_oracle):
+    # empty q + include → match_all over the category filter
+    # (SearchQueryBuilder.java:24-27 category-only searches)
+    hits = engine.search("", k=50, include=["osm.tourism.camping"])
+    assert _ids(hits) == [3]
+    ohits = py_oracle.search("", k=50, include=["osm.tourism.camping"])
+    assert [h["doc"] for h in hits] == [h["doc"] for h in ohits]

@@ -1,0 +1,90 @@
+"""StreetDupesRemoverTest.java + ApiDedupeTest.java translated over
+the graft key (ext ≈ osm_value, basename ≈ name, repo ≈ countrycode;
+only 'file' docs — the street class — dedupe; the NL/GB postcode
+prefix twists have no corpus analog and are documented out of scope
+in rerank.dedupe_street_hits)."""
+
+import pandas as pd
+import pytest
+
+from photon_spark.query.rerank import dedupe_street_hits
+
+
+def _hit(name: str, ext: str, repo: str, typ: str = "file", path_prefix: str = "a"):
+    return {
+        "type": typ,
+        "path": f"{path_prefix}/{name}.{ext}",
+        "repo": repo,
+        "doc": hash((name, ext, repo, path_prefix)),
+    }
+
+
+def test_deduplicates_streets():
+    # accepts / rejects sequence of StreetDupesRemoverTest:14-18 —
+    # duplicate key from a DIFFERENT path drops; new name passes;
+    # same name in another country (repo) passes
+    hits = [
+        _hit("MainStreet", "py", "de", path_prefix="a"),
+        _hit("MainStreet", "py", "de", path_prefix="b"),   # dupe → rejected
+        _hit("SubStreet", "py", "de", path_prefix="c"),
+        _hit("MainStreet", "py", "ch", path_prefix="d"),
+    ]
+    out = dedupe_street_hits(hits)
+    assert [h["path"] for h in out] == [
+        "a/MainStreet.py", "c/SubStreet.py", "d/MainStreet.py"
+    ]
+
+
+def test_street_and_bus_stop_not_deduplicated():
+    # different osm_value (ext) keeps both (StreetDupesRemoverTest:21-25)
+    hits = [
+        _hit("MainStreet", "md", "de", path_prefix="a"),
+        _hit("MainStreet", "py", "de", path_prefix="b"),
+    ]
+    assert len(dedupe_street_hits(hits)) == 2
+
+
+def test_non_street_objects_pass():
+    # photon only dedupes osm_key=highway; the graft's street class is
+    # type 'file' — chunks and 'other' docs always pass
+    hits = [
+        _hit("MainStreet", "py", "de", "chunk", "a"),
+        _hit("MainStreet", "py", "de", "chunk", "b"),
+        _hit("MainStreet", "py", "de", "other", "c"),
+        _hit("MainStreet", "py", "de", "other", "d"),
+    ]
+    assert len(dedupe_street_hits(hits)) == 4
+
+
+def test_same_path_version_twins_pass():
+    # same (repo, path) = the same logical object (no street dupe)
+    hits = [
+        _hit("MainStreet", "py", "de", path_prefix="a"),
+        _hit("MainStreet", "py", "de", path_prefix="a"),
+    ]
+    assert len(dedupe_street_hits(hits)) == 2
+
+
+def test_api_dedupe_toggle(spark, tmp_path_factory):
+    """ApiDedupeTest.java:68-83: /api?q=... → 1 feature with dedupe on
+    (default and dedupe=1), 2 features with dedupe=0."""
+    from photon_spark.api import SearchAPI
+    from photon_spark.index.build import build_index
+    from photon_spark.query.executor import Index
+
+    rows = [
+        ("de", "a/Pfanove.py", "p1" * 20, "python", "alpha street one"),
+        ("de", "b/Pfanove.py", "p2" * 20, "python", "alpha street two"),
+    ]
+    out = str(tmp_path_factory.mktemp("api_dedupe"))
+    build_index(
+        spark,
+        spark.createDataFrame(
+            pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+        ),
+        out,
+    )
+    api = SearchAPI(Index(spark, out, cache=False))
+    assert len(api.api({"q": "Pfanove"})["features"]) == 1
+    assert len(api.api({"q": "Pfanove", "dedupe": "1"})["features"]) == 1
+    assert len(api.api({"q": "Pfanove", "dedupe": "0"})["features"]) == 2
