@@ -134,6 +134,8 @@ def format_results(hits: list[dict]) -> dict[str, Any]:
                     "type": h.get("type"),
                     # O9: non-searchable payload (ConfigExtraTags)
                     "extra": dict(h.get("extra") or {}),
+                    # PhotonDocSerializer.java:104-108 categories
+                    "categories": list(h.get("categories") or []),
                     "score": round(float(h.get("score", h.get("os_score", 0.0))), 6),
                     "importance": h.get("importance"),
                 },

@@ -45,7 +45,8 @@ from photon_spark.index.codec import encode_blocks_bulk
 # 2.0: dense-ordinal postings (v1 mirrored Server.java:40)
 # 2.1: adjacency seq fields (match_phrase) + exists kw markers
 # 2.2: chunk sub-docs (O2 fan-out) + chunk column in docs
-INDEX_FORMAT_VERSION = "2.2.0-1"
+# 2.3: user categories column (O8) + extra map in docs
+INDEX_FORMAT_VERSION = "2.3.0-1"
 
 DEFAULT_BLOCK_SIZE = 128
 DEFAULT_N_BUCKETS = 64

@@ -339,6 +339,7 @@ class OracleIndex:
                     "chunk": meta["chunk"],
                     "type": meta["type"],
                     "extra": meta["extra"],
+                    "categories": meta["categories"],
                     "os_score": os_score,
                 }
             )
@@ -419,6 +420,7 @@ class OracleIndex:
                         for k2 in (
                             "doc", "doc_id", "repo", "path", "lang",
                             "importance", "chunk", "type", "extra",
+                            "categories",
                         )
                     },
                     "distance": dist,

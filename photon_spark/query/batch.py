@@ -243,7 +243,7 @@ def _batch_candidates(
         .filter(F.col("rk") <= ext_limit)
         .select(
             "qid", "doc", "doc_id", "repo", "path", "lang", "importance",
-            "chunk", "type", "extra", "os_score",
+            "chunk", "type", "extra", "categories", "os_score",
         )
         .collect()
     )

@@ -646,7 +646,7 @@ class Index:
         rows = (
             joined.select(
                 "doc", "doc_id", "repo", "path", "lang", "importance",
-                "chunk", "type", "extra", "os_score",
+                "chunk", "type", "extra", "categories", "os_score",
             )
             .orderBy(F.desc("os_score"), F.asc("doc"))
             .limit(ext_limit)

@@ -151,6 +151,6 @@ def reverse_candidates(
         .limit(k)
         .select(
             "doc", "doc_id", "repo", "path", "lang", "importance",
-            "chunk", "type", "extra", "distance",
+            "chunk", "type", "extra", "categories", "distance",
         )
     )

@@ -79,3 +79,14 @@ def test_category_only_search(engine, py_oracle):
     assert _ids(hits) == [3]
     ohits = py_oracle.search("", k=50, include=["osm.tourism.camping"])
     assert [h["doc"] for h in hits] == [h["doc"] for h in ohits]
+
+
+def test_categories_in_result_payload(engine, py_oracle):
+    hits = engine.search("Foobar", k=5, include=["grade.A1"], dedupe=False)
+    assert list(hits[0]["categories"]) == ["osm.amenity.playground", "grade.A1"]
+    ohits = py_oracle.search("Foobar", k=5, include=["grade.A1"], dedupe=False)
+    assert list(ohits[0]["categories"]) == list(hits[0]["categories"])
+    from photon_spark.api import format_results
+
+    props = format_results(hits)["features"][0]["properties"]
+    assert props["categories"] == ["osm.amenity.playground", "grade.A1"]
