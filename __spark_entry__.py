@@ -353,6 +353,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["multimodal_features"] = lambda s, d: mm.extract_features(
         mm.synth_media(s, n=64), fake=True
     ).orderBy("media_id")  # rows-only: synthetic binary payloads
+    q["multimodal_resize"] = lambda s, d: mm.resize_images(
+        mm.synth_media(s, n=64), max_dim=128, fake=True
+    ).select(
+        "media_id", "width", "height", "out_width", "out_height"
+    ).orderBy("media_id")  # rows-only: stub decode, real plumbing
 
     # ---- engine-native full search (rows-only; pytest rank-identity) ----
     q["engine_search_full"] = lambda s, d: _engine_search_df(s, d, "table merge stream", k=10)

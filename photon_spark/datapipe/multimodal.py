@@ -101,6 +101,44 @@ def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
     return df.mapInPandas(kernel, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "media_id long, width int, height int, out_width int, out_height int, "
+    "payload binary"
+)
+
+
+def resize_images(df: DataFrame, max_dim: int = 256, fake: bool = True) -> DataFrame:
+    """Resize plan for image rows: mapInPandas kernel computing the
+    aspect-preserving target dimensions and emitting the resized
+    payload. The pixel work is STUBBED like decode (no image library
+    here — the fake path re-encodes a deterministic payload sized
+    ∝ out_w·out_h so batch-memory behavior is realistic); the Spark
+    plumbing — image-only filter, Arrow batching, binary-out schema —
+    is the real deployment shape."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "media_id": [], "width": [], "height": [],
+                "out_width": [], "out_height": [], "payload": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h = decode_image(bytes(payload), fake=fake)
+                scale = min(1.0, max_dim / max(w, h))
+                ow, oh = max(1, int(w * scale)), max(1, int(h * scale))
+                seed = hashlib.md5(bytes(payload)).digest()
+                fake_px = (seed * (1 + (ow * oh) // len(seed)))[: ow * oh]
+                rows["media_id"].append(mid)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["out_width"].append(ow)
+                rows["out_height"].append(oh)
+                rows["payload"].append(bytearray(fake_px))
+            yield pd.DataFrame(rows)
+
+    return df.filter(F.col("kind") == "image").mapInPandas(kernel, RESIZED_SCHEMA)
+
+
 def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame-sampling plan for video rows: explode sampled frame
     indices from the (stub-extracted) frame count — pure column ops,

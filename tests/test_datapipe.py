@@ -196,3 +196,16 @@ def test_ann_indexed_variants(spark, tmp_path_factory):
     assert fly2 == idx2
     plan2 = idxdf2._jdf.queryExecution().executedPlan().toString()
     assert "cid" in plan2.split("PartitionFilters")[1][:120]
+
+
+def test_resize_images_plumbing(spark):
+    media = mm.synth_media(spark, n=15)
+    out = mm.resize_images(media, max_dim=64, fake=True).collect()
+    # only image rows, aspect preserved, bounded dims, payload ∝ area
+    assert len(out) == 5
+    for r in out:
+        assert max(r["out_width"], r["out_height"]) <= 64
+        ar_in = r["width"] / r["height"]
+        ar_out = r["out_width"] / r["out_height"]
+        assert abs(ar_in - ar_out) / ar_in < 0.25  # int rounding tolerance
+        assert len(r["payload"]) == r["out_width"] * r["out_height"]
