@@ -108,23 +108,3 @@ def test_non_ascii_lang_filter(spark, tmp_path_factory):
     # folded spelling hits the same doc (both normalize to 'munster')
     hits2 = idx.search("Same", filters={"lang": "münster"})
     assert [h["path"] for h in hits2] == ["a/Same.py"]
-
-
-def test_index_format_version_guard(spark, index_dir, tmp_path_factory):
-    """DatabasePropertiesTest analog: an index written by an
-    incompatible MAJOR format is refused with a clear error."""
-    import json
-    import shutil
-
-    from photon_spark.query.executor import Index
-
-    out = str(tmp_path_factory.mktemp("verguard")) + "/idx"
-    shutil.copytree(index_dir, out)
-    meta_path = f"{out}/meta.json"
-    with open(meta_path) as f:
-        meta = json.load(f)
-    meta["version"] = "1.0.0-1"
-    with open(meta_path, "w") as f:
-        json.dump(meta, f)
-    with pytest.raises(ValueError, match="incompatible"):
-        Index(spark, out, cache=False)
