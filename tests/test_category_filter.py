@@ -90,3 +90,53 @@ def test_categories_in_result_payload(engine, py_oracle):
 
     props = format_results(hits)["features"][0]["properties"]
     assert props["categories"] == ["osm.amenity.playground", "grade.A1"]
+
+
+# ---------------------------------------------------------------------------
+# QueryByClassificationTest.java translated: category tokens typed in
+# the query string + classification synonyms resolving to a
+# user-category doc
+# ---------------------------------------------------------------------------
+
+CLS_ROWS = [
+    ("r", "a/Curliflower.py", "k1" * 20, "python", "tasty body",
+     ["osm.amenity.restaurant"]),
+    ("r", "a/Other.py", "k2" * 20, "python", "other body", None),
+]
+
+
+@pytest.fixture(scope="module")
+def cls_engine(spark, tmp_path_factory):
+    from photon_spark.query.synonyms import Synonyms
+
+    syn = Synonyms({
+        "classification_terms": [
+            {"key": "osm.amenity", "value": "restaurant",
+             "terms": ["pub", "kneipe"]},
+        ]
+    })
+    out = str(tmp_path_factory.mktemp("cls_idx"))
+    build_index(
+        spark, spark.createDataFrame(pd.DataFrame(CLS_ROWS, columns=COLS)), out
+    )
+    return Index(spark, out, cache=False, synonyms=syn), syn
+
+
+def test_query_by_classification_string(cls_engine):
+    engine, _ = cls_engine
+    hits = engine.search("#osm.amenity.restaurant curli", k=5)
+    assert hits and hits[0]["path"] == "a/Curliflower.py"
+
+
+def test_query_by_classification_synonym(cls_engine):
+    engine, syn = cls_engine
+    hits = engine.search("pub curli", k=5)
+    assert hits and hits[0]["path"] == "a/Curliflower.py"
+    hits2 = engine.search("curliflower kneipe", k=5)
+    assert hits2 and hits2[0]["path"] == "a/Curliflower.py"
+    # oracle identity with the same synonyms config
+    o = OracleIndex(pd.DataFrame(CLS_ROWS, columns=COLS), synonyms=syn)
+    for q in ("pub curli", "curliflower kneipe", "#osm.amenity.restaurant curli"):
+        got = [(h["doc"], round(h["score"], 9)) for h in engine.search(q, k=5)]
+        want = [(h["doc"], round(h["score"], 9)) for h in o.search(q, k=5)]
+        assert got == want, q
