@@ -177,7 +177,11 @@ def _engine(spark: SparkSession, sf_dir: str):
             tempfile.gettempdir(),
             f"photon_spark_idx_{INDEX_FORMAT_VERSION}_" + key.replace("/", "_"),
         )
-        build_index(spark, src, out)
+        # the dir is version-keyed and the corpus mapping deterministic,
+        # so a COMPLETED build (meta.json is written last) is safe to
+        # reuse across processes; anything partial rebuilds
+        if not os.path.exists(os.path.join(out, "meta.json")):
+            build_index(spark, src, out)
         _ENGINE_CACHE[key] = Index(spark, out)
     return _ENGINE_CACHE[key]
 
