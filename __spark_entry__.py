@@ -179,9 +179,20 @@ def _engine(spark: SparkSession, sf_dir: str):
         )
         # the dir is version-keyed and the corpus mapping deterministic,
         # so a COMPLETED build (meta.json is written last) is safe to
-        # reuse across processes; anything partial rebuilds
+        # reuse across processes. Cross-process safety: build into a
+        # process-unique dir and atomically rename into place (two
+        # concurrent builders can never interleave writes in the shared
+        # dir; the loser discards its copy).
         if not os.path.exists(os.path.join(out, "meta.json")):
-            build_index(spark, src, out)
+            tmp = f"{out}.build.{os.getpid()}"
+            build_index(spark, src, tmp)
+            try:
+                os.rename(tmp, out)
+            except OSError:
+                # another process won the rename race — use theirs
+                import shutil
+
+                shutil.rmtree(tmp, ignore_errors=True)
         _ENGINE_CACHE[key] = Index(spark, out)
     return _ENGINE_CACHE[key]
 

@@ -124,6 +124,28 @@ def seq_ngrams(tokens: list[str]) -> list[str]:
     return out
 
 
+# O8 dot-path validation (graft of PhotonDoc.CATEGORY_PATTERN,
+# reference PhotonDoc.java:22-24,170-177): one or more comma-separated
+# dot-paths of [a-zA-Z0-9_-] labels, ≥2 labels each. Non-matching
+# values are SILENTLY dropped (the reference's stream filter).
+import re as _re
+
+_CAT_PATH = r"[a-zA-Z0-9_\-]+(?:\.[a-zA-Z0-9_\-]+)+"
+CATEGORY_RE = _re.compile(rf"^{_CAT_PATH}(?:,{_CAT_PATH})*$")
+
+
+def valid_categories(categories: list[str] | None) -> list[str]:
+    """Validated + comma-split category dot-paths (Python twin of
+    index.build.valid_categories_col — the tokenizer kernel and the
+    oracle both route through this, so a malformed category can never
+    become an index term on either side)."""
+    out: list[str] = []
+    for c in categories or []:
+        if c is not None and CATEGORY_RE.match(c):
+            out.extend(c.split(","))
+    return out
+
+
 def category_prefixes(category: str) -> list[str]:
     """Dot-path prefix expansion: ``a.b.c.d`` → ``a.b``, ``a.b.c``,
     ``a.b.c.d`` (2..5 labels), each emitted with the ``#`` marker
@@ -229,8 +251,9 @@ def analyze_doc(
             _add([cat], PRIO_CATEGORY)
     # user-supplied categories (O8, PhotonDocSerializer.java:104-108:
     # '#'-prefixed, CASE-SENSITIVE, label-prefix-expanded like the
-    # reference's category analyzer)
-    for uc in categories or []:
+    # reference's category analyzer; malformed values dropped per
+    # PhotonDoc.CATEGORY_PATTERN)
+    for uc in valid_categories(categories):
         for cat in category_prefixes(uc):
             _add([cat], PRIO_CATEGORY)
 
@@ -356,7 +379,7 @@ def _analyze_chunk_doc(
     if lang:
         for cat in category_prefixes(f"code.{fold(lang)}"):
             _add([cat], PRIO_CATEGORY)
-    for uc in categories or []:
+    for uc in valid_categories(categories):
         for cat in category_prefixes(uc):
             _add([cat], PRIO_CATEGORY)
 

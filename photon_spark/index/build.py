@@ -46,7 +46,9 @@ from photon_spark.index.codec import encode_blocks_bulk
 # 2.1: adjacency seq fields (match_phrase) + exists kw markers
 # 2.2: chunk sub-docs (O2 fan-out) + chunk column in docs
 # 2.3: user categories column (O8) + extra map in docs
-INDEX_FORMAT_VERSION = "2.3.0-1"
+# 2.3.0-2: O8 dot-path validation (malformed categories dropped at
+#          ingestion; comma-joined values split)
+INDEX_FORMAT_VERSION = "2.3.0-2"
 
 DEFAULT_BLOCK_SIZE = 128
 DEFAULT_N_BUCKETS = 64
@@ -189,6 +191,66 @@ def dedupe_docs(with_id: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("n_dupes"),
         )
         .select("doc_id", "_rep.*", "n_dupes")
+    )
+
+
+def stamp_ordinals(
+    df: DataFrame, partitions: int, base: int = 0
+) -> tuple[DataFrame, int]:
+    """Stamp dense ordinals ``base .. base+N-1`` in ``doc`` order onto
+    ``df`` without a single-partition global sort: range-partition +
+    sort by ``doc``, persist, per-partition counts → cumulative
+    offsets, then ``ord = base + offset[pid] + local_row`` decoded
+    from ``monotonically_increasing_id`` (same scheme as
+    :func:`write_docs_with_ordinals`). Returns ``(df_with_ord, N,
+    cache_handle)`` — the handle is the persisted intermediate; the
+    caller unpersists IT (not the derived df) when done.
+
+    Used by the updater for delta batches (a large backfill batch
+    must not serialize through one task the way an unpartitioned
+    ``row_number`` window does)."""
+    spread = (
+        df.repartitionByRange(max(1, partitions // 4), "doc")
+        .sortWithinPartitions("doc")
+        .persist()
+    )
+    rows = (
+        spread.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    rows.sort(key=lambda r: r["pid"])
+    offsets: list = []
+    acc = 0
+    for r in rows:
+        offsets += [F.lit(int(r["pid"])), F.lit(acc)]
+        acc += r["n"]
+    mid = F.monotonically_increasing_id()
+    pid = F.shiftrightunsigned(mid, 33)
+    local = mid.bitwiseAND(F.lit((1 << 33) - 1))
+    off = F.element_at(F.create_map(*offsets), pid.cast("int")) if offsets else F.lit(0)
+    out = spread.withColumn("ord", (off + local + F.lit(base)).cast("long"))
+    return out, acc, spread
+
+
+# category validation (O8 — the graft of PhotonDoc.CATEGORY_PATTERN,
+# reference PhotonDoc.java:22-24,170-177): a category value is one or
+# more comma-separated dot-paths of [a-zA-Z0-9_-] labels with ≥2
+# labels each; anything else is SILENTLY dropped before indexing and
+# before the stored payload (matching the reference's filter()).
+_CAT_PATH = r"[a-zA-Z0-9_\-]+(\.[a-zA-Z0-9_\-]+)+"
+CATEGORY_PATTERN = rf"^{_CAT_PATH}(,{_CAT_PATH})*$"
+
+
+def valid_categories_col(col: "F.Column") -> "F.Column":
+    """Validated categories array: drop non-conforming entries, split
+    comma-joined multi-values into individual dot-paths. NULL stays
+    NULL; an array whose entries all fail becomes empty (the
+    reference keeps an empty categorySet)."""
+    kept = F.filter(col, lambda c: c.rlike(CATEGORY_PATTERN))
+    return F.when(
+        col.isNotNull(),
+        F.flatten(F.transform(kept, lambda c: F.split(c, ","))),
     )
 
 
@@ -491,6 +553,9 @@ def build_index(
         src = src.withColumn("chunk", F.lit(None).cast("int"))
     if "categories" not in src.columns:
         src = src.withColumn("categories", F.lit(None).cast("array<string>"))
+    else:
+        # O8: drop malformed user categories (PhotonDoc.java:170-177)
+        src = src.withColumn("categories", valid_categories_col(F.col("categories")))
     partitions = partitions or spark.conf.get("spark.sql.shuffle.partitions")
     partitions = int(partitions)
     stage_s: dict[str, float] = {}

@@ -123,6 +123,11 @@ def build_index_resumable(
         src = src.withColumn("chunk", F.lit(None).cast("int"))
     if "categories" not in src.columns:
         src = src.withColumn("categories", F.lit(None).cast("array<string>"))
+    else:
+        # O8: drop malformed user categories (PhotonDoc.java:170-177)
+        from photon_spark.index.build import valid_categories_col
+
+        src = src.withColumn("categories", valid_categories_col(F.col("categories")))
     partitions = int(partitions or spark.conf.get("spark.sql.shuffle.partitions"))
     st = _State(out_dir)
 

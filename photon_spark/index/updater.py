@@ -62,21 +62,62 @@ UPDATES_DDL = (
 
 
 def _next_seg(index_dir: str) -> int:
-    root = os.path.join(index_dir, "postings_delta")
-    if not os.path.isdir(root):
-        return 0
-    segs = [
-        int(d.split("=", 1)[1])
-        for d in os.listdir(root)
-        if d.startswith("seg=")
-    ]
+    """Next free segment id — the max over BOTH postings_delta and
+    tombstones dirs + 1. A delete-only batch writes tombstones/seg=N
+    but no postings_delta/seg=N; scanning only postings_delta would
+    hand N out again and the next batch's overwrite would resurrect
+    the deleted ordinals (tombstone file replaced)."""
+    segs: list[int] = []
+    for sub in ("postings_delta", "tombstones"):
+        root = os.path.join(index_dir, sub)
+        if not os.path.isdir(root):
+            continue
+        segs += [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(root)
+            if d.startswith("seg=")
+        ]
     return (max(segs) + 1) if segs else 0
 
 
+# auto-compaction policy (Lucene merge-policy analog,
+# opensearch/Importer.java:91-92 refresh/merge lifecycle): merge when
+# the delta-segment count or the tombstone fraction passes these —
+# otherwise tombstones (driver-resident in the serving path) and delta
+# segments grow unboundedly between manual merge_segments calls.
+MERGE_MAX_SEGMENTS = 8
+MERGE_MAX_TOMBSTONE_FRAC = 0.25
+
+
+def maybe_merge(
+    spark: SparkSession,
+    index_dir: str,
+    *,
+    max_segments: int = MERGE_MAX_SEGMENTS,
+    max_tombstone_frac: float = MERGE_MAX_TOMBSTONE_FRAC,
+) -> dict | None:
+    """Run :func:`merge_segments` iff the merge policy triggers;
+    returns the merge stats or None. Thresholds checked from meta.json
+    only (no Spark job)."""
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    segs = meta.get("segments", [])
+    n_tomb = sum(int(s.get("n_tombstones", 0)) for s in segs)
+    n_docs = max(1, int(meta.get("n_docs", 1)))
+    if len(segs) > max_segments or n_tomb / n_docs > max_tombstone_frac:
+        return merge_segments(spark, index_dir)
+    return None
+
+
 def apply_updates(
-    spark: SparkSession, index_dir: str, updates: DataFrame
+    spark: SparkSession, index_dir: str, updates: DataFrame,
+    auto_merge: bool = True,
 ) -> dict:
-    """Apply one CDC batch; returns {n_removed, n_added, segment}."""
+    """Apply one CDC batch; returns {n_removed, n_added, segment}.
+
+    ``auto_merge=True`` (default) applies the merge policy afterwards
+    (:func:`maybe_merge`) — the continuous-merge behavior of the
+    reference's Lucene backend."""
     meta_path = os.path.join(index_dir, "meta.json")
     with open(meta_path) as f:
         meta = json.load(f)
@@ -117,6 +158,13 @@ def apply_updates(
         upserts = upserts.withColumn("chunk", F.lit(None).cast("int"))
     if "categories" not in upserts.columns:
         upserts = upserts.withColumn("categories", F.lit(None).cast("array<string>"))
+    else:
+        # O8: drop malformed user categories (PhotonDoc.java:170-177)
+        from photon_spark.index.build import valid_categories_col
+
+        upserts = upserts.withColumn(
+            "categories", valid_categories_col(F.col("categories"))
+        )
     from photon_spark.index.build import doc_type_col, extra_tags_col
 
     new_docs = (
@@ -150,11 +198,18 @@ def apply_updates(
     existing_ids = old_docs.select("doc_id").distinct()
     # dense ordinals: new doc_ids get fresh ords after next_ord (never
     # reused — the Lucene segment model); re-attached duplicates keep
-    # the existing doc's ord
+    # the existing doc's ord. Partition-offset stamping (no
+    # unpartitioned row_number window — a large backfill batch must
+    # not serialize through one task); n_added falls out of the same
+    # per-partition count job.
+    from photon_spark.index.build import stamp_ordinals
+
     next_ord = int(meta.get("next_ord", meta["n_docs"]))
-    truly_new = new_docs.join(existing_ids, "doc_id", "left_anti").withColumn(
-        "ord",
-        F.row_number().over(Window.orderBy("doc")) - 1 + F.lit(next_ord),
+    parts_conf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    truly_new, n_added, _tn_cache = stamp_ordinals(
+        new_docs.join(existing_ids, "doc_id", "left_anti"),
+        parts_conf,
+        base=next_ord,
     )
     reattached = (
         new_docs.drop("content")
@@ -162,8 +217,22 @@ def apply_updates(
         .withColumn("ord", F.col("old_ord"))
         .drop("old_ord")
     )
-
-    n_added = truly_new.count()
+    if n_added:
+        # density guard (monotonically_increasing_id caveat — see
+        # write_docs_with_ordinals): one narrow agg over the cached df
+        chk = truly_new.agg(
+            F.min("ord"), F.max("ord"), F.count(F.lit(1))
+        ).head()
+        if not (
+            chk[0] == next_ord
+            and chk[1] == next_ord + n_added - 1
+            and chk[2] == n_added
+        ):
+            raise RuntimeError(
+                f"delta ordinal assignment not dense: min={chk[0]} "
+                f"max={chk[1]} n={chk[2]} expected "
+                f"{next_ord}..{next_ord + n_added - 1}"
+            )
     # one docs row per doc_id: a surviving representative wins over a
     # re-attached copy (covers both "duplicate content elsewhere" and
     # "no-op re-upsert of the representative itself"); truly-new
@@ -174,7 +243,13 @@ def apply_updates(
         .withColumn(
             "rn",
             F.row_number().over(
-                Window.partitionBy("doc_id").orderBy("prio", "repo", "path", "commit")
+                # same key as build-side dedupe_docs: chunk asc nulls
+                # first — two identical-content chunk docs of one file
+                # pick the same representative as a fresh build would
+                Window.partitionBy("doc_id").orderBy(
+                    "prio", "repo", "path", "commit",
+                    F.asc_nulls_first("chunk"),
+                )
             ),
         )
         .filter(F.col("rn") == 1)
@@ -226,10 +301,12 @@ def apply_updates(
     affected_ords = old_docs.join(keys, ["repo", "path"], "left_semi").select("ord")
     dead = affected_ords.join(
         spark.read.parquet(tmp).select("ord"), "ord", "left_anti"
-    )
+    ).persist()
+    n_tombstones = dead.count()  # O(batch) rows; drives the merge policy
     dead.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(index_dir, "tombstones", f"seg={seg}")
     )
+    dead.unpersist()
 
     # atomic docs swap (Iceberg MERGE INTO in production)
     old = docs_path + ".old"
@@ -250,13 +327,21 @@ def apply_updates(
     meta["n_docs"] = n_docs
     meta["next_ord"] = next_ord + n_added
     meta.setdefault("segments", []).append(
-        {"seg": seg, "n_added": n_added, "n_removed": n_removed, "ts": time.time()}
+        {
+            "seg": seg, "n_added": n_added, "n_removed": n_removed,
+            "n_tombstones": n_tombstones, "ts": time.time(),
+        }
     )
     with open(meta_path, "w") as f:
         json.dump(meta, f, indent=2)
     latest.unpersist()
     new_docs.unpersist()
-    return {"n_removed": n_removed, "n_added": n_added, "segment": seg}
+    _tn_cache.unpersist()
+    out = {"n_removed": n_removed, "n_added": n_added, "segment": seg}
+    if auto_merge:
+        merged = maybe_merge(spark, index_dir)
+        out["merged"] = merged is not None
+    return out
 
 
 def merge_segments(spark: SparkSession, index_dir: str) -> dict:
@@ -327,6 +412,13 @@ def merge_segments(spark: SparkSession, index_dir: str) -> dict:
         ).distinct()
         rows = rows.join(F.broadcast(dead), "doc", "left_anti")
 
+    # persisted: the postings re-encode AND the dictionary recompute
+    # both consume the decoded rows — without this the base+delta
+    # decode scan (the dominant merge cost) runs twice
+    from pyspark import StorageLevel
+
+    rows = rows.persist(StorageLevel.MEMORY_AND_DISK)
+
     n_buckets = int(meta["n_buckets"])
     tmp_post = os.path.join(index_dir, "postings.merged")
     tmp_dict = os.path.join(index_dir, "dictionary.merged")
@@ -357,6 +449,7 @@ def merge_segments(spark: SparkSession, index_dir: str) -> dict:
         .partitionBy("field")
         .parquet(tmp_dict)
     )
+    rows.unpersist()
 
     # atomic swap + clear the merged-away deltas/tombstones
     for name, tmp in (("postings", tmp_post), ("dictionary", tmp_dict)):

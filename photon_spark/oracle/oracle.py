@@ -70,6 +70,12 @@ class OracleIndex:
             extra = {c: str(getattr(row, c)) for c in keep_extra}
             cats = getattr(row, "categories", None)
             cats = list(cats) if cats is not None and not isinstance(cats, float) else None
+            if cats is not None:
+                # O8 validation twin (PhotonDoc.java:170-177) — the
+                # stored payload drops malformed values like the engine
+                from photon_spark.analysis.analyzers import valid_categories
+
+                cats = valid_categories(cats)
             expanded.append(
                 (row.repo, row.path, row.commit, row.lang, row.content, imp, None,
                  extra, cats)

@@ -87,8 +87,12 @@ def _make_kernel(
                 keep = _rng_of(d, n_ranges, n_total) == rng  # clip to this range
                 if dead is not None and len(dead):
                     # tombstone filter BEFORE θ-bootstrap/aggregation:
-                    # a dead doc must neither surface nor inflate θ
-                    keep &= ~np.isin(d, dead)
+                    # a dead doc must neither surface nor inflate θ.
+                    # ``dead`` is sorted (np.unique at load), so
+                    # membership is searchsorted O(n·log|dead|) — not
+                    # np.isin, which re-sorts the dead array per BLOCK
+                    pos = np.minimum(np.searchsorted(dead, d), len(dead) - 1)
+                    keep &= dead[pos] != d
                 if not keep.any():
                     continue
                 t = decode_tfs(pdf["tf_bytes"].iat[i], n).astype(np.float64)

@@ -93,6 +93,55 @@ def test_categories_in_result_payload(engine, py_oracle):
 
 
 # ---------------------------------------------------------------------------
+# O8 dot-path validation (PhotonDoc.java:22-24,170-177): malformed
+# categories are SILENTLY dropped at ingestion — never indexed, never
+# in the payload; comma-joined values split into separate dot-paths
+# ---------------------------------------------------------------------------
+
+BAD_ROWS = [
+    ("r", "a/Valid_1.py", "v1" * 20, "python", "body one",
+     ["ok.path", "foo bar.baz", "single", "#hash.path", "a.b,c.d", ""]),
+]
+
+
+def test_category_validation_drops_malformed(spark, tmp_path_factory):
+    from photon_spark.analysis.analyzers import valid_categories
+
+    # python twin: only dot-paths of [a-zA-Z0-9_-] labels survive;
+    # comma-joined values split
+    assert valid_categories(
+        ["ok.path", "foo bar.baz", "single", "#hash.path", "a.b,c.d", "", None]
+    ) == ["ok.path", "a.b", "c.d"]
+
+    out = str(tmp_path_factory.mktemp("catval_idx"))
+    build_index(
+        spark, spark.createDataFrame(pd.DataFrame(BAD_ROWS, columns=COLS)), out
+    )
+    idx = Index(spark, out, cache=False)
+    # stored payload validated (the reference's categorySet filter)
+    row = idx.docs().select("categories").head()
+    assert list(row["categories"]) == ["ok.path", "a.b", "c.d"]
+    # valid categories searchable; malformed ones never became terms
+    assert _ids(idx.search("Valid", k=5, include=["ok.path"])) == [1]
+    assert _ids(idx.search("Valid", k=5, include=["a.b"])) == [1]
+    assert idx.search("Valid", k=5, include=["foo bar.baz"]) == []
+    terms = {
+        r["term"]
+        for r in idx._dict_df.filter("field = 'all'")
+        .filter("term LIKE '#%'")
+        .collect()
+    }
+    assert "#ok.path" in terms and "#a.b" in terms and "#c.d" in terms
+    assert not any("bar" in t or "single" in t or "hash" in t for t in terms)
+    # oracle twin agrees end-to-end
+    o = OracleIndex(pd.DataFrame(BAD_ROWS, columns=COLS))
+    hits = idx.search("Valid", k=5, include=["ok.path"])
+    ohits = o.search("Valid", k=5, include=["ok.path"])
+    assert [h["doc"] for h in hits] == [h["doc"] for h in ohits]
+    assert list(ohits[0]["categories"]) == ["ok.path", "a.b", "c.d"]
+
+
+# ---------------------------------------------------------------------------
 # QueryByClassificationTest.java translated: category tokens typed in
 # the query string + classification synonyms resolving to a
 # user-category doc
