@@ -118,6 +118,187 @@ def _sql_bm25(terms: list[str], extra: str = "") -> str:
 {extra}"""
 
 
+# DuckDB twin of the _engine corpus mapping + sha-dedupe (the engine's
+# docs table, photon_spark/index/build.py dedupe_docs)
+_ENGINE_DOCS_CTE = r"""
+WITH mapped AS (
+  SELECT doc_id AS odid, source, lang, text,
+         array_to_string(list_slice(regexp_split_to_array(lower(text), '\s+'), 1, 2), '_') AS title
+  FROM documents
+), srcmap AS (
+  SELECT source AS repo,
+         'docs/' || title || '_' || CAST(odid AS VARCHAR) || '.txt' AS path,
+         sha256(source || ':' || CAST(odid AS VARCHAR)) AS commit,
+         lang, text AS content,
+         1.0 / (1.0 + CAST(odid AS DOUBLE) / 100.0) AS importance
+  FROM mapped
+), ids AS (
+  SELECT *, sha256(content) AS doc_id FROM srcmap
+), edocs AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY repo, path, commit) AS rn
+    FROM ids) t WHERE rn = 1
+)
+"""
+
+# per-doc engine-field features shared by the flagship search twins:
+# tl = distinct analyzed content tokens (analyzer ≡ whitespace split on
+# this corpus), t1/t2 = the title (basename) tokens, uname = basename
+# with underscores (the reranker's name string), aname = alnum
+# concatenation (the name_prefix / name_full token)
+_ENGINE_FEAT_CTE = r"""
+, feat AS (
+  SELECT doc_id, repo, path, lang, importance,
+         list_distinct(list_filter(regexp_split_to_array(lower(content), '\s+'), x -> x <> '')) AS tl,
+         regexp_split_to_array(lower(content), '\s+')[1] AS t1,
+         regexp_split_to_array(lower(content), '\s+')[2] AS t2,
+         regexp_replace(path, '^docs/|\.txt$', '', 'g') AS uname,
+         replace(regexp_replace(path, '^docs/|\.txt$', '', 'g'), '_', '') AS aname
+  FROM edocs
+), n AS (SELECT COUNT(*)::DOUBLE AS n_docs FROM edocs)
+"""
+
+
+def _sql_engine_search(terms: list[str], q: str, out_col: str) -> str:
+    """DuckDB twin of the engine's STRICT full-query plan + rescore
+    for an all-alphabetic multi-word query whose tokens are all
+    in-dictionary (so the lenient/fuzzy retry never fires).
+
+    Field reductions valid on this corpus (31 pure-alpha vocab tokens,
+    none a strict prefix of a query term — verified): all_ngram(t) ≡
+    t ∈ tl with tf 5 when t is a title token else 1; name(t) ≡ title-
+    token equality at tf 2; name_prefix(whole) ≡ aname prefix at tf 1
+    (sat(1) = 1). Plan shape (SearchQueryBuilder.java:86-172):
+    0.1·AND(all_ngram) + 0.2·dis_max(1.5·name | dead ext-branch) +
+    should(all) + 0.1·should(name_prefix) + importance×30; the ext
+    branch is provably dead (no query term is an indexed extension).
+    Rescore (QueryReranker.java:38-105 + ResultScorer.java:27-46):
+    grade reduces to the prefix-rematch branch — 0.8·0.7·len(w)/len(q)
+    for the single query word the basename starts with, else
+    0.5·importance; running-max normalization closed-form over the
+    top-15 candidate cut."""
+    n_t = len(terms)
+    whole = "".join(terms)
+    qlen = float(len(q))
+    term_vals = ", ".join(f"('{t}')" for t in terms)
+    grade_cases = " ".join(
+        f"WHEN starts_with(uname, '{t}') THEN 0.8 * (0.7 * {len(t)}) / {qlen}"
+        for t in terms
+    )
+    sat5 = f"(5.0 * {K1 + 1.0} / (5.0 + {K1}))"
+    sat2 = f"(2.0 * {K1 + 1.0} / (2.0 + {K1}))"
+    idf = "ln(1.0 + ((SELECT n_docs FROM n) - {df} + 0.5) / ({df} + 0.5))"
+    return (
+        _ENGINE_DOCS_CTE
+        + _ENGINE_FEAT_CTE
+        + f"""
+, qt AS (SELECT * FROM (VALUES {term_vals}) t(term))
+, stats AS (
+  SELECT qt.term,
+         (SELECT COUNT(*) FROM feat WHERE list_contains(feat.tl, qt.term))::DOUBLE AS df_all,
+         (SELECT COUNT(*) FROM feat WHERE feat.t1 = qt.term OR feat.t2 = qt.term)::DOUBLE AS df_name
+  FROM qt
+), npstat AS (
+  SELECT (SELECT COUNT(*) FROM feat WHERE starts_with(feat.aname, '{whole}'))::DOUBLE AS df_np
+), m AS (
+  SELECT f.doc_id,
+         {idf.format(df="s.df_all")}
+           * (CASE WHEN f.t1 = s.term OR f.t2 = s.term THEN {sat5} ELSE 1.0 END) AS s_all_term,
+         CASE WHEN f.t1 = s.term OR f.t2 = s.term
+              THEN {idf.format(df="s.df_name")} * {sat2} END AS s_name_term
+  FROM feat f JOIN stats s ON list_contains(f.tl, s.term)
+), agg AS (
+  SELECT doc_id, COUNT(*) AS nm,
+         SUM(s_all_term) AS s_all,
+         SUM(COALESCE(s_name_term, 0.0)) AS s_name,
+         BOOL_OR(s_name_term IS NOT NULL) AS name_present
+  FROM m GROUP BY doc_id
+), scored AS (
+  SELECT f.doc_id, f.repo, f.path, f.uname, f.importance,
+         0.1 * a.s_all + 0.2 * (1.5 * a.s_name) + a.s_all
+         + CASE WHEN (SELECT df_np FROM npstat) > 0 AND starts_with(f.aname, '{whole}')
+                THEN 0.1 * {idf.format(df="(SELECT df_np FROM npstat)")}
+                ELSE 0.0 END
+         + f.importance * 30.0 AS os_score
+  FROM agg a JOIN feat f USING (doc_id)
+  WHERE a.nm = {n_t} AND a.name_present
+), cand AS (
+  SELECT * FROM scored ORDER BY os_score DESC, doc_id ASC LIMIT 15
+), resc AS (
+  SELECT doc_id, repo, path, importance,
+         os_score - importance * 30.0 * 1.0 AS os_adj,
+         CASE {grade_cases} ELSE 0.5 * importance END AS grade
+  FROM cand
+), normed AS (
+  SELECT *, GREATEST(10.0, MAX(os_adj) OVER ()) AS mx FROM resc
+), final AS (
+  SELECT doc_id, repo, path, os_adj,
+         (importance + grade)
+         + CASE WHEN os_adj >= mx THEN 1.0
+                WHEN mx < 20 THEN os_adj / mx
+                WHEN os_adj > mx - 20 THEN (os_adj - mx + 20) / 20
+                ELSE 0.0 END AS score
+  FROM normed
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, os_adj DESC, doc_id ASC) AS INTEGER) AS rank,
+       doc_id, repo, path, {out_col}
+FROM final
+ORDER BY score DESC, os_adj DESC, doc_id ASC
+LIMIT 10"""
+    )
+
+
+def _sql_engine_short(q: str) -> str:
+    """DuckDB twin of the SHORT-query plan (SearchQueryBuilder.java:
+    37-84, strict pass) for a <4-char query: should(name_prefix match)
+    — the name_full fuzzy branch has fuzziness 0 below 4 chars and the
+    whole-basename token never equals the query on this corpus — plus
+    the type-weight function (0 here: every doc is type 'other') and
+    the rescore. name_prefix('{q}') ≡ alnum-basename prefix, tf 1 ⇒
+    sat = 1 ⇒ score = idf; the reranker grade hits the name-prefix
+    early-return 0.8 (QueryReranker.java:44-52) exactly when the
+    underscored basename starts with the query."""
+    return (
+        _ENGINE_DOCS_CTE
+        + _ENGINE_FEAT_CTE
+        + f"""
+, npstat AS (
+  SELECT (SELECT COUNT(*) FROM feat WHERE starts_with(feat.aname, '{q}'))::DOUBLE AS df
+), scored AS (
+  SELECT doc_id, repo, path, uname, importance,
+         ln(1.0 + ((SELECT n_docs FROM n) - (SELECT df FROM npstat) + 0.5)
+            / ((SELECT df FROM npstat) + 0.5))
+         + importance * 30.0 AS os_score
+  FROM feat
+  WHERE starts_with(aname, '{q}') AND (SELECT df FROM npstat) > 0
+), cand AS (
+  SELECT * FROM scored ORDER BY os_score DESC, doc_id ASC LIMIT 15
+), resc AS (
+  SELECT doc_id, repo, path, importance,
+         os_score - importance * 30.0 * 1.0 AS os_adj,
+         CASE WHEN uname = '{q}' THEN 1.0
+              WHEN starts_with(uname, '{q}') THEN 0.8
+              ELSE 0.5 * importance END AS grade
+  FROM cand
+), normed AS (
+  SELECT *, GREATEST(10.0, MAX(os_adj) OVER ()) AS mx FROM resc
+), final AS (
+  SELECT doc_id, repo, path, os_adj,
+         (importance + grade)
+         + CASE WHEN os_adj >= mx THEN 1.0
+                WHEN mx < 20 THEN os_adj / mx
+                WHEN os_adj > mx - 20 THEN (os_adj - mx + 20) / 20
+                ELSE 0.0 END AS score
+  FROM normed
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, os_adj DESC, doc_id ASC) AS INTEGER) AS rank,
+       doc_id, repo, path, ROUND(score, 6) AS score
+FROM final
+ORDER BY score DESC, os_adj DESC, doc_id ASC
+LIMIT 10"""
+    )
+
+
 # ---------------------------------------------------------------------------
 # engine-native search (full analyzer + inverted index), cached per sf_dir
 # ---------------------------------------------------------------------------
@@ -738,28 +919,7 @@ FROM pairs JOIN sig sa ON pairs.id_a = sa.doc_id JOIN sig sb ON pairs.id_b = sb.
 WHERE ROUND(list_sum([CASE WHEN sa.s[i] = sb.s[i] THEN 1 ELSE 0 END for i in range(1, 17)]) / 16.0, 6) >= 0.3"""
 
     # ---- engine-native oracles -------------------------------------
-    # DuckDB twin of the _engine corpus mapping + sha-dedupe (the
-    # engine's docs table, photon_spark/index/build.py:324-334)
-    engine_docs_cte = r"""
-WITH mapped AS (
-  SELECT doc_id AS odid, source, lang, text,
-         array_to_string(list_slice(regexp_split_to_array(lower(text), '\s+'), 1, 2), '_') AS title
-  FROM documents
-), srcmap AS (
-  SELECT source AS repo,
-         'docs/' || title || '_' || CAST(odid AS VARCHAR) || '.txt' AS path,
-         sha256(source || ':' || CAST(odid AS VARCHAR)) AS commit,
-         lang, text AS content,
-         1.0 / (1.0 + CAST(odid AS DOUBLE) / 100.0) AS importance
-  FROM mapped
-), ids AS (
-  SELECT *, sha256(content) AS doc_id FROM srcmap
-), edocs AS (
-  SELECT * FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY repo, path, commit) AS rn
-    FROM ids) t WHERE rn = 1
-)
-"""
+    engine_docs_cte = _ENGINE_DOCS_CTE
 
     o["engine_reverse"] = engine_docs_cte + """
 , coords AS (
@@ -865,8 +1025,32 @@ ORDER BY ln(1.0 + ((SELECT n_docs FROM n) - (SELECT df FROM dfq) + 0.5)
           / ((SELECT df FROM dfq) + 0.5)) + importance * 30.0 DESC, doc_id ASC
 LIMIT 20"""
 
+    # ---- flagship engine-native search oracles ----------------------
+    # The STRICT full-query plan (VERDICT r2 #1) is closed-form over
+    # this corpus: the testdata vocabulary is 31 pure-alpha tokens
+    # (word-delimiter/folding = identity) and no vocab token is a
+    # strict prefix of a query term, so the edge-ngram fields reduce
+    # exactly — all_ngram(t) ≡ all(t), name(t) ≡ title-token equality,
+    # name_prefix(w) ≡ alnum-basename prefix. No fuzzy fires (every
+    # token is in-dictionary ⇒ the strict pass is non-empty), so the
+    # twin recomputes the entire pipeline: zone-priority tf → df/idf →
+    # BM25 clause sums → 0.1·ngram AND + 0.2·dis_max(1.5·name) +
+    # should(all) + 0.1·should(name_prefix) + importance×30 → top-15
+    # candidate cut → R1/R3/R4/R5 rescore (grade string math +
+    # running-max normalization) → top-10.
+    # Reference pins: SearchQueryBuilder.java:86-172,
+    # QueryReranker.java:14-119, ResultScorer.java:27-46.
+    o["engine_search_full"] = _sql_engine_search(
+        ["table", "merge", "stream"], "table merge stream",
+        "ROUND(score, 6) AS score",
+    )
+    o["engine_suggest_search"] = _sql_engine_search(
+        ["table", "merge"], "table merge",
+        "CAST(-1 AS INTEGER) AS chunk",
+    )
+    o["engine_search_short"] = _sql_engine_short("tab")
+
     # rows-only (no SQL oracle): lsh_ann_topk / ivf_ann_topk
-    # (approximate by design), multimodal_features (synthetic binary),
-    # engine_search_* (full analyzer + fuzzy + rescore semantics —
-    # rank-identity checked in pytest).
+    # (approximate by design), multimodal_features / multimodal_resize
+    # (synthetic binary payloads, stub decode).
     return o
