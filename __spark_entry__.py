@@ -554,6 +554,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ).select(
         "media_id", "width", "height", "out_width", "out_height"
     ).orderBy("media_id")  # rows-only: stub decode, real plumbing
+    # ORACLED: the decode-INDEPENDENT metadata of the feature extractor
+    # (kind passthrough + kernel-computed n_bytes), joined with the
+    # full payload hex — the DuckDB twin reconstructs the
+    # deterministic synthetic payloads byte-for-byte (this DuckDB
+    # build cannot hash BLOBs, so the twin compares the payload
+    # itself, which is strictly stronger). width/height stay stub-only.
+    def _mm_metadata(s, d):
+        media = mm.synth_media(s, n=64)
+        feats = mm.extract_features(media, fake=True).select(
+            "media_id", "kind", "n_bytes"
+        )
+        return feats.join(
+            media.select(
+                "media_id", F.lower(F.hex("payload")).alias("payload_hex")
+            ),
+            "media_id",
+        )
+
+    q["multimodal_metadata"] = _mm_metadata
 
     # ---- engine-native full search (rows-only; pytest rank-identity) ----
     q["engine_search_full"] = lambda s, d: _engine_search_df(s, d, "table merge stream", k=10)
@@ -1024,6 +1043,25 @@ FROM hits
 ORDER BY ln(1.0 + ((SELECT n_docs FROM n) - (SELECT df FROM dfq) + 0.5)
           / ((SELECT df FROM dfq) + 0.5)) + importance * 30.0 DESC, doc_id ASC
 LIMIT 20"""
+
+    # ---- multimodal: decode-independent metadata twin ----------------
+    # synth_media payload = sha256("42:<i>").digest() × (4 + i mod 7);
+    # DuckDB rebuilds the payload hex independently — byte-identical
+    # payloads + kernel-computed n_bytes pin the mapInPandas plumbing.
+    o["multimodal_metadata"] = """
+WITH idx AS (SELECT unnest(range(0, 64)) AS media_id),
+blobs AS (
+  SELECT media_id,
+         repeat(sha256('42:' || CAST(media_id AS VARCHAR)),
+                CAST(4 + media_id % 7 AS INTEGER)) AS payload_hex
+  FROM idx
+)
+SELECT media_id,
+       CASE CAST(media_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+            WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       octet_length(unhex(payload_hex)) AS n_bytes,
+       payload_hex
+FROM blobs"""
 
     # ---- flagship engine-native search oracles ----------------------
     # The STRICT full-query plan (VERDICT r2 #1) is closed-form over

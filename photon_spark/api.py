@@ -172,10 +172,16 @@ def resolve_language(
                     try:
                         q = float(b[2:])
                     except ValueError:
-                        q = 0.0
+                        # malformed weight ⇒ the whole header is
+                        # invalid (LanguageRange.parse throws and the
+                        # reference ignores the header,
+                        # RequestFactoryBase.java:88-98)
+                        return "default"
             weighted.append((-q, i, tag))
         for _, _, tag in sorted(weighted):
-            if tag in supported:
+            # '*' is the wildcard range — Locale.lookupTag skips it
+            # (it never selects a concrete supported language)
+            if tag != "*" and tag in supported:
                 return tag
     return "default"
 

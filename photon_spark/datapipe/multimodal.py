@@ -44,18 +44,36 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def _pillow():
+    """Pillow if importable, else None (not shipped in this
+    container; present in a real deployment image)."""
+    try:
+        import PIL.Image as Image  # type: ignore
+
+        return Image
+    except ImportError:
+        return None
+
+
 def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int]:
     """Decode an image payload → (width, height).
 
-    STUB: real decoding needs Pillow/libvips (absent here). The fake
-    path derives deterministic dimensions from the payload hash so
-    the distributed plumbing is testable.
+    Real path: Pillow when importable (deployment image). Fallback is
+    a declared STUB — the fake path derives deterministic dimensions
+    from the payload hash so the distributed plumbing is testable in
+    this container (no image libraries baked in).
     """
     if not fake:
-        raise NotImplementedError(
-            "image decoding requires an image library not present in this "
-            "container; pass fake=True for the deterministic test decoder"
-        )
+        img = _pillow()
+        if img is None:
+            raise NotImplementedError(
+                "image decoding requires Pillow (absent in this container); "
+                "pass fake=True for the deterministic test decoder"
+            )
+        import io
+
+        with img.open(io.BytesIO(payload)) as im:
+            return int(im.width), int(im.height)
     h = hashlib.md5(payload).hexdigest()
     return 16 + int(h[:4], 16) % 2048, 16 + int(h[4:8], 16) % 2048
 
@@ -126,8 +144,19 @@ def resize_images(df: DataFrame, max_dim: int = 256, fake: bool = True) -> DataF
                 w, h = decode_image(bytes(payload), fake=fake)
                 scale = min(1.0, max_dim / max(w, h))
                 ow, oh = max(1, int(w * scale)), max(1, int(h * scale))
-                seed = hashlib.md5(bytes(payload)).digest()
-                fake_px = (seed * (1 + (ow * oh) // len(seed)))[: ow * oh]
+                if not fake and _pillow() is not None:
+                    # real pixel path (deployment image): decode,
+                    # aspect-preserving resize, re-encode PNG
+                    import io
+
+                    img = _pillow()
+                    with img.open(io.BytesIO(bytes(payload))) as im:
+                        buf = io.BytesIO()
+                        im.resize((ow, oh)).save(buf, format="PNG")
+                        fake_px = buf.getvalue()
+                else:
+                    seed = hashlib.md5(bytes(payload)).digest()
+                    fake_px = (seed * (1 + (ow * oh) // len(seed)))[: ow * oh]
                 rows["media_id"].append(mid)
                 rows["width"].append(w)
                 rows["height"].append(h)

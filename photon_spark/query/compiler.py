@@ -536,4 +536,10 @@ def compile_structured(
         plan.layers = (
             ["file", "chunk"] if (sq.ext and not drop_fine) else ["file"]
         )
+    elif sq.repo:
+        # city-level query (repo only): never return house-level
+        # objects (StructuredQueryTest.doesNotReturnHousesForCityRequest)
+        # — chunk sub-docs are excluded, but 'other'-type docs stay
+        # (the 'other' exclusion applies only to sub-repo queries)
+        plan.layers = ["file", "other"]
     return plan

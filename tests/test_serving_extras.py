@@ -70,3 +70,27 @@ def test_accept_language():
     assert resolve_language({"accept_language": "de-DE,de;q=0.9,en;q=0.8"}) == "de"
     assert resolve_language({"accept_language": "xx,fr;q=0.5,en;q=0.9"}) == "en"
     assert resolve_language({"accept_language": "zz,yy"}) == "default"
+    # RequestFactoryBase.java:76-103 edge cases:
+    # the '*' wildcard range never selects a concrete language
+    # (Locale.lookupTag skips it) but later concrete tags still match
+    assert resolve_language({"accept_language": "*"}) == "default"
+    assert resolve_language({"accept_language": "*;q=0.9,de;q=0.5"}) == "de"
+    # malformed q-weight ⇒ LanguageRange.parse throws ⇒ header ignored
+    assert resolve_language({"accept_language": "de;q=abc"}) == "default"
+    # unsupported-only list with weights ⇒ default
+    assert resolve_language({"accept_language": "zz;q=1.0,yy;q=0.5"}) == "default"
+    # case-insensitive tags, region subtags stripped
+    assert resolve_language({"accept_language": "FR-ca"}) == "fr"
+
+
+def test_accept_language_end_to_end(spark, pdf, tmp_path_factory):
+    """R9→R8: accept_language drives the response's lang field through
+    the full API surface (validated params → search → formatting)."""
+    out = str(tmp_path_factory.mktemp("lang_idx"))
+    build_index(spark, spark.createDataFrame(pdf), out)
+    api = SearchAPI(Index(spark, out, cache=False))
+    resp = api.api({"q": "Alpha", "accept_language": "da,de-AT;q=0.8,en;q=0.7"})
+    assert resp["lang"] == "de"
+    assert resp["features"][0]["properties"]["path"] == "src/Alpha.py"
+    resp2 = api.api({"q": "Alpha"})
+    assert resp2["lang"] == "default"

@@ -25,6 +25,11 @@ CASES = [
     StructuredQuery(name="importer", lang="java"),
     StructuredQuery(name="Mugglen"),          # misspelling → lenient pass
     StructuredQuery(name="utils", ext="nosuchext"),  # → drop-fine pass
+    # findsDistrictFuzzy analog: misspelled directory → lenient pass
+    StructuredQuery(directory="coree", name="QueryBuilder"),
+    # testDistrictAsCity analog: a directory token passed in the
+    # city-level field still matches (repo grounds in the `all` zone)
+    StructuredQuery(repo="core"),
 ]
 
 
@@ -54,3 +59,131 @@ def test_drop_fine_fallback(engine):
     # nonsense ext can't match; third pass drops it and matches by name
     hits = engine.structured_search(StructuredQuery(name="utils", ext="nosuchext"), k=5)
     assert hits
+
+
+# ---------------------------------------------------------------------------
+# StructuredQueryTest.java remaining rows over a CHUNKED corpus
+# (graft object model: repo ≈ city, directory ≈ street/district,
+# ext ≈ housenumber, chunk sub-doc ≈ house).
+#
+# Rows with no corpus analog, skipped with reason:
+#  - findsPostcode / findsDistrictByPostcode: no postcode zone in the
+#    code corpus (SURVEY §2 S4 adjudicated n/a)
+#  - returnsOnlyCountryForCountryRequests: the corpus has no repo-level
+#    *document*; a repo-only query correctly returns the repo's files
+#  - the named-bus-stop twist of doesNotReturnBusStops: graft houses
+#    (chunk sub-docs) are never named, so the named-house case
+#    collapses into the generic chunk exclusion asserted below
+# ---------------------------------------------------------------------------
+
+import pandas as pd  # noqa: E402
+
+CHUNK_LINES = 5
+
+
+def _content(tag: str, n_lines: int) -> str:
+    return "\n".join(f"{tag} line{i:02d} common" for i in range(n_lines))
+
+
+CHUNKED_ROWS = [
+    # a street (directory) with a named file + its house-level chunks
+    ("town/proj", "mainstreet/Corner.py", "m1" * 20, "python",
+     _content("corner", 12)),
+    # the hamlet: houses addressed without a street name
+    ("town/proj", "hamlet/Lodge.py", "h1" * 20, "python",
+     _content("lodge", 12)),
+    ("town/proj", "plaza/Small.py", "s1" * 20, "python",
+     _content("small", 3)),
+]
+CCOLS = ["repo", "path", "commit", "lang", "content"]
+
+
+@pytest.fixture(scope="module")
+def chunked(spark, tmp_path_factory):
+    from photon_spark.index.build import build_index
+    from photon_spark.oracle.oracle import OracleIndex
+
+    pdf = pd.DataFrame(CHUNKED_ROWS, columns=CCOLS)
+    out = str(tmp_path_factory.mktemp("sq_chunk_idx"))
+    build_index(spark, spark.createDataFrame(pdf), out, chunk_lines=CHUNK_LINES)
+    return Index(spark, out, cache=False), OracleIndex(pdf, chunk_lines=CHUNK_LINES)
+
+
+def _identity(eng, orc, sq, k=10):
+    got = eng.structured_search(sq, k=k)
+    want = orc.structured_search(sq, k=k)
+    assert [(h["doc"], round(h["score"], 9)) for h in got] == [
+        (h["doc"], round(h["score"], 9)) for h in want
+    ]
+    return got
+
+
+def test_hamlet_housenumber_without_street(chunked):
+    # findsHouseNumberInHamletWithoutStreetName: district + housenumber
+    # (no street) resolves to exactly ONE house — the hamlet chunk
+    eng, orc = chunked
+    hits = _identity(eng, orc, StructuredQuery(directory="hamlet", ext="2"))
+    assert len(hits) == 1
+    assert hits[0]["path"] == "hamlet/Lodge.py" and hits[0]["chunk"] == 2
+
+
+def test_house_exact(chunked):
+    # testHouse: city + street + housenumber → the exact house
+    eng, orc = chunked
+    hits = _identity(
+        eng, orc,
+        StructuredQuery(repo="town/proj", directory="mainstreet", ext="1"),
+    )
+    assert len(hits) == 1
+    assert hits[0]["path"] == "mainstreet/Corner.py" and hits[0]["chunk"] == 1
+
+
+def test_street_query_excludes_houses(chunked):
+    # doesNotReturnBusStops: a city+street query (no housenumber)
+    # never returns house-level objects
+    eng, orc = chunked
+    hits = _identity(
+        eng, orc, StructuredQuery(repo="town/proj", directory="mainstreet")
+    )
+    assert hits and all(h["type"] != "chunk" for h in hits)
+    assert hits[0]["path"] == "mainstreet/Corner.py"
+
+
+def test_city_query_excludes_houses(chunked):
+    # doesNotReturnHousesForCityRequest: a city-level (repo-only)
+    # query returns no house-level objects either
+    eng, orc = chunked
+    hits = _identity(eng, orc, StructuredQuery(repo="town/proj"))
+    assert hits and all(h["type"] != "chunk" for h in hits)
+    assert {h["path"] for h in hits} == {
+        "mainstreet/Corner.py", "hamlet/Lodge.py", "plaza/Small.py"
+    }
+
+
+def test_wrong_street_falls_back_to_city(chunked):
+    # testWrongStreet / testWrongHouseNumberAndWrongStreet: an
+    # unmatchable street+housenumber falls through the retry cascade
+    # (P6) to the city-level result set
+    eng, orc = chunked
+    hits = _identity(
+        eng, orc,
+        StructuredQuery(repo="town/proj", directory="totally wrong", ext="42"),
+    )
+    assert hits and all(h["repo"] == "town/proj" for h in hits)
+    assert all(h["type"] != "chunk" for h in hits)
+
+
+def test_wrong_housenumber_falls_back(chunked):
+    # testWrongHouseNumber: existing street, nonexistent housenumber.
+    # Reference: the street doc returns via mustNot(exists housenumber)
+    # — n/a here (documented deviation: EVERY file carries an ext, so
+    # the absence branch never rescues the street). The graft's
+    # cascade therefore falls through to the drop-fine (city-level)
+    # pass: the repo's files, no houses, street file among them.
+    eng, orc = chunked
+    hits = _identity(
+        eng, orc,
+        StructuredQuery(repo="town/proj", directory="mainstreet", ext="99"),
+    )
+    assert hits and all(h["type"] != "chunk" for h in hits)
+    assert "mainstreet/Corner.py" in {h["path"] for h in hits}
