@@ -53,7 +53,26 @@ def main() -> None:
         (F.lit(1.0) / (F.lit(1.0) + F.col("doc_id").cast("double") / F.lit(100.0))).alias("importance"),
     )
 
+    # quiet-box protocol (round-3): every query entry runs ``repeats``
+    # times and reports the MEDIAN (r1→r2 showed ±25% drift on
+    # unchanged code under background load; medians of 3 absorb both
+    # the first-run cache warmup and one noisy sample). The build runs
+    # once — its per-stage split is reported for drift attribution.
+    import statistics
+
+    repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "3"))
     timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
+
+    def timed(name: str, fn) -> None:
+        runs = []
+        for _ in range(repeats):
+            t0 = time.time()
+            fn()
+            runs.append(round(time.time() - t0, 3))
+        samples[name] = runs
+        timings[name] = round(statistics.median(runs), 3)
+
     out_dir = tempfile.mkdtemp(prefix="photon_bench_idx_")
     try:
         t0 = time.time()
@@ -68,18 +87,18 @@ def main() -> None:
             "engine_search_filtered": ("table merge", {"lang": "en"}),
         }
         for name, (q, filt) in searches.items():
-            t0 = time.time()
-            idx.search(q, k=15, filters=filt or None)
-            timings[name] = round(time.time() - t0, 3)
+            timed(name, lambda q=q, filt=filt: idx.search(q, k=15, filters=filt or None))
 
         # round-2 surfaces: suggest mode + pruned reverse lookup
-        t0 = time.time()
-        idx.search("table merge", k=10, suggest=True)
-        timings["engine_search_suggest"] = round(time.time() - t0, 3)
+        timed(
+            "engine_search_suggest",
+            lambda: idx.search("table merge", k=10, suggest=True),
+        )
         probe = idx.docs().orderBy("ord").head()
-        t0 = time.time()
-        idx.reverse(probe["repo"], probe["path"], k=10, radius=3)
-        timings["engine_reverse"] = round(time.time() - t0, 3)
+        timed(
+            "engine_reverse",
+            lambda: idx.reverse(probe["repo"], probe["path"], k=10, radius=3),
+        )
 
         from photon_spark.query.batch import batch_search
 
@@ -88,26 +107,17 @@ def main() -> None:
             "key agg row", "spark order data", "group value sort",
             "filter query key", "scan slow fast", "join small line",
         ]
-        t0 = time.time()
-        batch_search(idx, fixture_queries, k=10)
-        timings["engine_batch10_search"] = round(time.time() - t0, 3)
+        timed("engine_batch10_search", lambda: batch_search(idx, fixture_queries, k=10))
 
-        t0 = time.time()
-        dd.minhash_lsh_pairs(docs, n_hashes=16, bands=4, threshold=0.3).count()
-        timings["datapipe_minhash_lsh"] = round(time.time() - t0, 3)
-
-        t0 = time.time()
-        dd.simhash(docs, bits=16).count()
-        timings["datapipe_simhash"] = round(time.time() - t0, 3)
-
-        t0 = time.time()
-        ts.winnow_fingerprints(docs).count()
-        timings["datapipe_winnow"] = round(time.time() - t0, 3)
+        timed(
+            "datapipe_minhash_lsh",
+            lambda: dd.minhash_lsh_pairs(docs, n_hashes=16, bands=4, threshold=0.3).count(),
+        )
+        timed("datapipe_simhash", lambda: dd.simhash(docs, bits=16).count())
+        timed("datapipe_winnow", lambda: ts.winnow_fingerprints(docs).count())
 
         qvec = [float(x) for x in embs.filter(F.col("vec_id") == 0).head()["embedding"]]
-        t0 = time.time()
-        sim.brute_force_topk(embs, qvec, k=10).collect()
-        timings["datapipe_cosine_topk"] = round(time.time() - t0, 3)
+        timed("datapipe_cosine_topk", lambda: sim.brute_force_topk(embs, qvec, k=10).collect())
 
         total = round(sum(timings.values()), 3)
         print(
@@ -117,13 +127,12 @@ def main() -> None:
                     "value": total,
                     "unit": "sec",
                     "queries": timings,
+                    "repeats": repeats,
+                    "query_samples": samples,
                     "sf": sf,
                     "n_input_files": meta["n_input_files"],
                     "n_docs": meta["n_docs"],
                     "build_files_per_sec": round(meta["n_input_files"] / timings["index_build"], 1),
-                    # the build now also materializes the SymSpell
-                    # deletions table + the repo-sorted reverse
-                    # projection (round-2 scale fixes) — stage split:
                     "build_stage_seconds": meta.get("stage_seconds", {}),
                     "cpus": cpus,
                 }
