@@ -687,8 +687,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["engine_phrase_topk"] = _engine_phrase
 
     def _engine_suggest(s, d):
-        # rows-only: suggestAddresses mode over a chunked engine build
-        # (chunk sub-docs = photon houses); pytest pins the semantics
+        # ORACLED: suggestAddresses mode (P3 suggest branch) over the
+        # shared engine build — unchunked, so every hit is a whole
+        # file (chunk = -1); chunked suggest semantics are pinned by
+        # pytest (test_chunks)
         idx = _engine(s, d)
         hits = idx.search("table merge", k=10, suggest=True)
         return s.createDataFrame(

@@ -216,6 +216,7 @@ def analyze_doc(
     content: str,
     chunk: int | None = None,
     categories: list[str] | None = None,
+    lang_name: str | None = None,
 ) -> dict[str, dict[str, int]]:
     """Analyze one document into ``{field: {term: tf}}``.
 
@@ -231,7 +232,9 @@ def analyze_doc(
     SearchQueryBuilder.java:142-147).
     """
     if chunk is not None:
-        return _analyze_chunk_doc(repo, path, lang, content, chunk, categories)
+        return _analyze_chunk_doc(
+            repo, path, lang, content, chunk, categories, lang_name
+        )
     basename, path_rest = split_basename(path or "")
 
     # --- collector.all analog: term -> max priority -----------------
@@ -245,6 +248,10 @@ def analyze_doc(
     _add(_zone_terms(normalize_apostrophes(basename)), PRIO_NAME)
     _add(_zone_terms(normalize_apostrophes(" ".join(path_rest))), PRIO_PATH)
     _add(_zone_terms((repo or "").replace("/", " ")), PRIO_REPO)
+    # S5: language display name (country-name analog) at the
+    # countrycode/parent priority — "javascript" finds js files
+    if lang_name:
+        _add(_zone_terms(normalize_apostrophes(lang_name)), PRIO_REPO)
     _add(_zone_terms(normalize_apostrophes(content or "")), PRIO_CONTENT)
     if lang:
         for cat in category_prefixes(f"code.{fold(lang)}"):
@@ -353,6 +360,7 @@ def _analyze_chunk_doc(
     content: str,
     chunk: int,
     categories: list[str] | None = None,
+    lang_name: str | None = None,
 ) -> dict[str, dict[str, int]]:
     """Chunk sub-doc analysis (photon house): no name zones; the
     file basename is an ADDRESS part (prio 2, like a house's street
@@ -375,6 +383,8 @@ def _analyze_chunk_doc(
     _add(_zone_terms(normalize_apostrophes(basename)), PRIO_NAME)
     _add(_zone_terms(normalize_apostrophes(" ".join(path_rest))), PRIO_PATH)
     _add(_zone_terms((repo or "").replace("/", " ")), PRIO_REPO)
+    if lang_name:
+        _add(_zone_terms(normalize_apostrophes(lang_name)), PRIO_REPO)
     _add(_zone_terms(normalize_apostrophes(content or "")), PRIO_CONTENT)
     if lang:
         for cat in category_prefixes(f"code.{fold(lang)}"):
@@ -433,6 +443,26 @@ def _analyze_chunk_doc(
 
 
 KNOWN_LANGS = {"python", "java", "js", "go", "md"}
+
+# S5 — country-name side input (graft of the reference's country_name
+# map, NominatimConnector.java:61-79: countrycode → display names,
+# loaded once and attached to every doc of that country). The graft's
+# countrycode is ``lang``; its display name indexes as an address-part
+# zone (prio 2) so "javascript" finds js files the way "Germany"
+# finds DE places. Build-time override via build_index(lang_names=…);
+# the map is persisted in meta.json and reapplied by the updater.
+DEFAULT_LANG_NAMES = {
+    "python": "Python",
+    "java": "Java",
+    "js": "JavaScript",
+    "go": "Go",
+    "md": "Markdown",
+    "en": "English",
+    "de": "German",
+    "zh": "Chinese",
+    "fr": "French",
+    "es": "Spanish",
+}
 
 
 def doc_type(lang: str | None, chunk: int | None = None) -> str:

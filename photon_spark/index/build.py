@@ -174,6 +174,26 @@ def extra_tags_col(src_cols: list[str], extra_tags) -> "F.Column":
     )
 
 
+def with_lang_name(
+    spark: SparkSession, df: DataFrame, lang_names: dict[str, str] | None
+) -> DataFrame:
+    """S5 — country-name side input: broadcast-join the
+    lang → display-name map (NominatimConnector.java:61-79 analog;
+    the reference caches the country_name table in a map, the Spark
+    shape is a broadcast hash join against the tiny side table).
+    Unmapped/empty map → NULL column (no name terms indexed)."""
+    if not lang_names:
+        return df.withColumn("lang_name", F.lit(None).cast("string"))
+    names_df = spark.createDataFrame(
+        sorted(lang_names.items()), "lang_key string, lang_name string"
+    )
+    return df.join(
+        F.broadcast(names_df),
+        F.lower(df["lang"]) == F.col("lang_key"),
+        "left",
+    ).drop("lang_key")
+
+
 def dedupe_docs(with_id: DataFrame) -> DataFrame:
     """Content-sha dedupe via ONE hash aggregation: per doc_id keep
     the representative with the smallest (repo, path, commit, chunk)
@@ -364,14 +384,18 @@ def _tokenize_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
             cats = batch.column("categories").to_pylist()
         else:
             cats = [None] * len(docs)
+        if "lang_name" in batch.schema.names:
+            lnames = batch.column("lang_name").to_pylist()
+        else:
+            lnames = [None] * len(docs)
         o_field: list[str] = []
         o_term: list[str] = []
         o_doc: list[int] = []
         o_tf: list[int] = []
-        for d, r, p, lg, c, ck, cat in zip(
-            docs, repos, paths, langs, contents, chunks, cats
+        for d, r, p, lg, c, ck, cat, ln in zip(
+            docs, repos, paths, langs, contents, chunks, cats, lnames
         ):
-            fields = analyze_doc(r or "", p or "", lg or "", c or "", ck, cat)
+            fields = analyze_doc(r or "", p or "", lg or "", c or "", ck, cat, ln)
             for fname, tmap in fields.items():
                 for term, tf in tmap.items():
                     o_field.append(fname)
@@ -523,6 +547,7 @@ def build_index(
     deletions: bool = True,
     chunk_lines: int | None = None,
     extra_tags: str | list[str] | None = None,
+    lang_names: dict[str, str] | None = None,
 ) -> dict:
     """Run the full index build; returns build metrics.
 
@@ -537,6 +562,11 @@ def build_index(
     ``chunk_lines`` (set to e.g. 400 to enable) fans files longer
     than that into chunk sub-docs (O2, index/chunking.py) — photon's
     street/house object hierarchy.
+
+    ``lang_names`` (S5) is the country-name side-input analog
+    (NominatimConnector.java:61-79): a lang → display-name map,
+    broadcast-joined onto every doc and indexed as an address-part
+    zone, persisted in meta.json and reapplied by the updater.
     """
     t0 = time.time()
     if isinstance(source, str):
@@ -593,11 +623,16 @@ def build_index(
 
     ords = spark.read.parquet(os.path.join(out_dir, "docs")).select("doc_id", "ord")
     tokens = (
-        docs.select("doc_id", "repo", "path", "lang", "content", "chunk", "categories")
-        .join(ords, "doc_id")
+        with_lang_name(
+            spark,
+            docs.select(
+                "doc_id", "repo", "path", "lang", "content", "chunk", "categories"
+            ).join(ords, "doc_id"),
+            lang_names,
+        )
         .select(
             F.col("ord").alias("doc"), "repo", "path", "lang", "content",
-            "chunk", "categories",
+            "chunk", "categories", "lang_name",
         )
         .mapInArrow(_tokenize_batches, _TOKENS_DDL)
     ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -660,6 +695,7 @@ def build_index(
         "n_buckets": n_buckets,
         "chunk_lines": chunk_lines,
         "extra_tags": extra_tags,
+        "lang_names": lang_names,
         "stage_seconds": stage_s,
         "build_seconds": elapsed,
         "files_per_sec": n_input / elapsed if elapsed > 0 else None,

@@ -101,6 +101,7 @@ def build_index_resumable(
     deletions: bool = True,
     chunk_lines: int | None = None,
     extra_tags: str | list[str] | None = None,
+    lang_names: dict[str, str] | None = None,
 ) -> dict:
     """Checkpointed build; safe to re-invoke after any crash.
 
@@ -184,9 +185,13 @@ def build_index_resumable(
         # explicit partition count: tokenize EXPANDS ~100× (ngram
         # fields), so AQE's size-based coalescing of the small input
         # shuffle would serialize the heaviest python stage
+        from photon_spark.index.build import with_lang_name
+
         tokens = (
-            tok_src.select(
-                "doc", "repo", "path", "lang", "content", "chunk", "categories"
+            with_lang_name(spark, tok_src, lang_names)
+            .select(
+                "doc", "repo", "path", "lang", "content", "chunk",
+                "categories", "lang_name",
             )
             .repartition(partitions, "doc")
             .mapInArrow(_tokenize_batches, _TOKENS_DDL)
@@ -309,6 +314,7 @@ def build_index_resumable(
         "n_groups": n_groups,
         "chunk_lines": chunk_lines,
         "extra_tags": extra_tags,
+        "lang_names": lang_names,
         "build_seconds": elapsed,
         "files_per_sec": n_input / elapsed if elapsed > 0 else None,
         "next_ord": n_docs,

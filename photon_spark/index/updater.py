@@ -267,9 +267,15 @@ def apply_updates(
     # delta segment for the added docs
     seg = _next_seg(index_dir)
     if n_added > 0:
-        tokens = truly_new.select(
+        # S5: reapply the persisted lang→display-name side input so
+        # updated docs index the same name terms as the build
+        from photon_spark.index.build import with_lang_name
+
+        tokens = with_lang_name(
+            spark, truly_new, meta.get("lang_names")
+        ).select(
             F.col("ord").alias("doc"), "repo", "path", "lang", "content",
-            "chunk", "categories",
+            "chunk", "categories", "lang_name",
         ).mapInArrow(_tokenize_batches, _TOKENS_DDL)
         parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
         dict_delta = tokens.groupBy("field", "term").agg(

@@ -112,6 +112,13 @@ class Index:
                 f"engine {INDEX_FORMAT_VERSION} — rebuild or compact the index"
             )
         self.n_docs: int = self.meta["n_docs"]
+        # S5: lang → display-name side input persisted at build; the
+        # R3 reranker counts the display name as an address part the
+        # way photon's reranker sees country names in result addresses
+        self.lang_names: dict[str, str] = {
+            k.lower(): v
+            for k, v in (self.meta.get("lang_names") or {}).items()
+        }
         # ordinal space bound (dense segment docIDs; grows with delta
         # segments, never reused)
         self.next_ord: int = self.meta.get("next_ord", self.meta["n_docs"])
@@ -652,7 +659,13 @@ class Index:
             .limit(ext_limit)
             .collect()
         )
-        return [r.asDict() for r in rows]
+        return self._stamp_lang_name([r.asDict() for r in rows])
+
+    def _stamp_lang_name(self, cands: list[dict]) -> list[dict]:
+        if self.lang_names:
+            for c in cands:
+                c["lang_name"] = self.lang_names.get((c.get("lang") or "").lower())
+        return cands
 
     def candidates_multi(
         self, plans: list[SearchPlan], ext_limit: int
@@ -677,6 +690,8 @@ class Index:
             _offset_ids(p.root, (i + 1) * 100_000)
             keyed[i] = p
         out = _batch_candidates(self, keyed, ext_limit) if keyed else {}
+        for cands in out.values():
+            self._stamp_lang_name(cands)
         out.update(seq)
         return [out.get(i, []) for i in range(len(plans))]
 

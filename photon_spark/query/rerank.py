@@ -57,7 +57,10 @@ def rerank_grade(query: str, cand: dict) -> float:
     # graft of the address-part list (QueryReranker.java:57-69)
     segs = [s for s in (cand.get("path") or "").split("/") if s]
     ext = segs[-1].rpartition(".")[2] if segs and "." in segs[-1][1:] else ""
-    parts = [name, ext, *segs[:-1], cand.get("repo") or "", cand.get("lang") or ""]
+    parts = [
+        name, ext, *segs[:-1], cand.get("repo") or "",
+        cand.get("lang") or "", cand.get("lang_name") or "",
+    ]
     result_terms = [t for t in (_normalize(p) for p in parts) if t]
 
     matches = 0.0

@@ -1,0 +1,94 @@
+"""S5 — country-name side input analog: the lang → display-name map
+(reference NominatimConnector.java:61-79 loads the country_name table
+into a map and attaches localized country names to every doc; the
+graft broadcast-joins a lang → display-name map and indexes the name
+as an address-part zone). Covers build-time indexing, meta.json
+persistence, and updater reapplication."""
+
+import pandas as pd
+import pytest
+
+from photon_spark.analysis.analyzers import (
+    DEFAULT_LANG_NAMES,
+    FIELD_ALL,
+    analyze_doc,
+)
+from photon_spark.index.build import build_index
+from photon_spark.index.updater import UPDATES_DDL, apply_updates
+from photon_spark.query.executor import Index
+
+
+def test_analyzer_lang_name_terms():
+    with_name = analyze_doc(
+        "org/r", "src/app.js", "js", "var x = 1", lang_name="JavaScript"
+    )
+    without = analyze_doc("org/r", "src/app.js", "js", "var x = 1")
+    assert "javascript" in with_name[FIELD_ALL]
+    assert "javascript" not in without[FIELD_ALL]
+    # indexed at the address-part priority (all-field tf = zone
+    # priority), like a photon country name — not at the name prio
+    from photon_spark.analysis.analyzers import PRIO_REPO
+
+    assert with_name[FIELD_ALL]["javascript"] == PRIO_REPO
+
+
+def test_analyzer_chunk_doc_gets_lang_name():
+    fields = analyze_doc(
+        "org/r", "src/app.js", "js", "var x = 1", chunk=2,
+        lang_name="JavaScript",
+    )
+    assert "javascript" in fields[FIELD_ALL]
+
+
+@pytest.fixture(scope="module")
+def lang_idx(spark, tmp_path_factory):
+    rows = [
+        ("org/webapp", "src/render.js", "c" * 40, "js", "function render() {}", 0.0),
+        ("org/webapp", "src/util.py", "d" * 40, "python", "def util(): pass", 0.0),
+        ("org/webapp", "docs/guide.md", "e" * 40, "md", "guide text here", 0.0),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["repo", "path", "commit", "lang", "content", "importance"]
+    )
+    out = str(tmp_path_factory.mktemp("lang_idx"))
+    build_index(
+        spark, spark.createDataFrame(pdf), out, lang_names=DEFAULT_LANG_NAMES
+    )
+    return out
+
+
+def test_lang_name_searchable(spark, lang_idx):
+    idx = Index(spark, lang_idx, cache=False)
+    # full plan: the display name acts as an address part — exactly
+    # like "<name> <country>" in photon ("render javascript" ~
+    # "Berlin Germany")
+    hits = idx.search("javascript render")
+    assert hits and hits[0]["path"] == "src/render.js"
+    # the display name rides along as a reranker address part
+    assert hits[0]["lang_name"] == "JavaScript"
+    assert all(h["path"] != "docs/guide.md" for h in idx.search("javascript render"))
+    hits_py = idx.search("python util")
+    assert hits_py and hits_py[0]["path"] == "src/util.py"
+    # single-word queries route to the name-scoped short plan
+    # (compiler dispatch, P1) — an address-only term matches nothing
+    # there, mirroring photon where a bare country name only finds
+    # docs NAMED that
+    assert idx.search("javascript") == []
+
+
+def test_meta_persists_and_updater_reapplies(spark, lang_idx):
+    import json
+    import os
+
+    with open(os.path.join(lang_idx, "meta.json")) as f:
+        assert json.load(f)["lang_names"]["js"] == "JavaScript"
+    batch = spark.createDataFrame(
+        [("upsert", "org/webapp", "src/new_widget.js", "f" * 40, "js",
+          "widget code body", 5)],
+        UPDATES_DDL,
+    )
+    apply_updates(spark, lang_idx, batch)
+    idx = Index(spark, lang_idx, cache=False)
+    assert any(
+        h["path"] == "src/new_widget.js" for h in idx.search("javascript widget")
+    )
