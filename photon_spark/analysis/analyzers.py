@@ -209,6 +209,63 @@ def split_basename(path: str) -> tuple[str, list[str]]:
     return base, rest
 
 
+# R9/O4 shared language set (photon's supportLanguages default;
+# api.py re-exports it for Accept-Language resolution)
+SUPPORTED_LANGUAGES = ("en", "de", "fr", "es", "it")
+
+
+def resolve_address_overlay(
+    address: dict[str, str] | None,
+) -> tuple[dict[str, str], list[str]]:
+    """O4 — explicit address tags displace derived address parts
+    (PhotonDoc.addAddresses, PhotonDoc.java:248-307): an ``addr:*``
+    entry overlays the address part of its type; a second value for
+    an occupied slot, and every ``other*`` key, drops into the
+    searchable context instead of vanishing.
+
+    Graft key space: ``directory`` and ``repo`` are the graft's
+    address types (street/city analogs); ``other*`` → context
+    (AddressType.OTHER branch); ``postcode`` is adjudicated n/a
+    (SURVEY S4 — no postcode zone in a code corpus); unknown keys
+    drop silently (ADDRESS_TYPE_LOOKUP miss). A ``key:lang`` suffix
+    is accepted only for supported languages (PhotonDoc.java:276-283).
+
+    Returns ``(overlay, context_values)``. Keys iterate bare-first
+    then by name — a deterministic stand-in for the reference's
+    unordered HashMap walk, with bare keys taking the ``default``
+    name slot first like putIfAbsent.
+    """
+    if not address:
+        return {}, []
+    overlay: dict[str, str] = {}
+    ctx: list[str] = []
+
+    def _rank(k: str) -> tuple:
+        base, _, suf = k.partition(":")
+        return (base, suf != "", k)
+
+    for key in sorted(address, key=_rank):
+        value = (address.get(key) or "").strip()
+        if not value:
+            continue
+        base, colon, suffix = key.partition(":")
+        if base == "postcode":
+            continue
+        if base.startswith("other"):
+            ctx.append(value)
+            continue
+        if base not in ("directory", "repo"):
+            continue
+        if colon and suffix not in SUPPORTED_LANGUAGES:
+            continue
+        if base in overlay:
+            if value != overlay[base]:
+                ctx.append(value)
+        else:
+            overlay[base] = value
+    return overlay, ctx
+
+
 def analyze_doc(
     repo: str,
     path: str,
@@ -217,6 +274,7 @@ def analyze_doc(
     chunk: int | None = None,
     categories: list[str] | None = None,
     lang_name: str | None = None,
+    address: dict[str, str] | None = None,
 ) -> dict[str, dict[str, int]]:
     """Analyze one document into ``{field: {term: tf}}``.
 
@@ -233,9 +291,14 @@ def analyze_doc(
     """
     if chunk is not None:
         return _analyze_chunk_doc(
-            repo, path, lang, content, chunk, categories, lang_name
+            repo, path, lang, content, chunk, categories, lang_name, address
         )
     basename, path_rest = split_basename(path or "")
+    # O4: explicit address tags displace the derived zones; the
+    # displaced derived value keeps searching from context (prio 1)
+    overlay, addr_ctx = resolve_address_overlay(address)
+    dir_display = overlay.get("directory")
+    repo_display = overlay.get("repo")
 
     # --- collector.all analog: term -> max priority -----------------
     all_terms: dict[str, int] = {}
@@ -246,12 +309,24 @@ def analyze_doc(
                 all_terms[t] = prio
 
     _add(_zone_terms(normalize_apostrophes(basename)), PRIO_NAME)
-    _add(_zone_terms(normalize_apostrophes(" ".join(path_rest))), PRIO_PATH)
-    _add(_zone_terms((repo or "").replace("/", " ")), PRIO_REPO)
+    _add(
+        _zone_terms(normalize_apostrophes(" ".join(path_rest))),
+        PRIO_CONTENT if dir_display else PRIO_PATH,
+    )
+    if dir_display:
+        _add(_zone_terms(normalize_apostrophes(dir_display)), PRIO_PATH)
+    _add(
+        _zone_terms((repo or "").replace("/", " ")),
+        PRIO_CONTENT if repo_display else PRIO_REPO,
+    )
+    if repo_display:
+        _add(_zone_terms(normalize_apostrophes(repo_display)), PRIO_REPO)
     # S5: language display name (country-name analog) at the
     # countrycode/parent priority — "javascript" finds js files
     if lang_name:
         _add(_zone_terms(normalize_apostrophes(lang_name)), PRIO_REPO)
+    for v in addr_ctx:
+        _add(_zone_terms(normalize_apostrophes(v)), PRIO_CONTENT)
     _add(_zone_terms(normalize_apostrophes(content or "")), PRIO_CONTENT)
     if lang:
         for cat in category_prefixes(f"code.{fold(lang)}"):
@@ -305,8 +380,11 @@ def analyze_doc(
         ext_terms[fold(segs[-1].rpartition(".")[2])] = 1
 
     # --- parent: directory tokens, name_edge_ngram treatment ---------
+    # O4: a directory overlay REPLACES the derived segments as the
+    # address-part name (PhotonDoc.java:287-307 — the new value takes
+    # the slot; the old one lives on in context/all only)
     parent_terms: dict[str, int] = {}
-    dir_segs = segs[:-1] if segs else []
+    dir_segs = [dir_display] if dir_display else (segs[:-1] if segs else [])
     for seg in dir_segs:
         for t in _chunk_terms(normalize_apostrophes(seg), True):
             for g in edge_ngrams(t, 5, 30, preserve_original=True):
@@ -361,6 +439,7 @@ def _analyze_chunk_doc(
     chunk: int,
     categories: list[str] | None = None,
     lang_name: str | None = None,
+    address: dict[str, str] | None = None,
 ) -> dict[str, dict[str, int]]:
     """Chunk sub-doc analysis (photon house): no name zones; the
     file basename is an ADDRESS part (prio 2, like a house's street
@@ -379,12 +458,29 @@ def _analyze_chunk_doc(
     # collector.all at prio 5 for an unnamed object, and the street
     # of a housenumber-carrying doc at prio 5 too (serializer line
     # 84: prio = hasHouseNumber && STREET ? 5 : searchPrio)
+    # O4 displacement applies to the chunk's inherited address too
+    overlay, addr_ctx = resolve_address_overlay(address)
+    dir_display = overlay.get("directory")
+    repo_display = overlay.get("repo")
+
     _add(_zone_terms(str(chunk)), PRIO_NAME)
     _add(_zone_terms(normalize_apostrophes(basename)), PRIO_NAME)
-    _add(_zone_terms(normalize_apostrophes(" ".join(path_rest))), PRIO_PATH)
-    _add(_zone_terms((repo or "").replace("/", " ")), PRIO_REPO)
+    _add(
+        _zone_terms(normalize_apostrophes(" ".join(path_rest))),
+        PRIO_CONTENT if dir_display else PRIO_PATH,
+    )
+    if dir_display:
+        _add(_zone_terms(normalize_apostrophes(dir_display)), PRIO_PATH)
+    _add(
+        _zone_terms((repo or "").replace("/", " ")),
+        PRIO_CONTENT if repo_display else PRIO_REPO,
+    )
+    if repo_display:
+        _add(_zone_terms(normalize_apostrophes(repo_display)), PRIO_REPO)
     if lang_name:
         _add(_zone_terms(normalize_apostrophes(lang_name)), PRIO_REPO)
+    for v in addr_ctx:
+        _add(_zone_terms(normalize_apostrophes(v)), PRIO_CONTENT)
     _add(_zone_terms(normalize_apostrophes(content or "")), PRIO_CONTENT)
     if lang:
         for cat in category_prefixes(f"code.{fold(lang)}"):
@@ -403,11 +499,13 @@ def _analyze_chunk_doc(
             if ngram_terms.get(g, 0) < tf:
                 ngram_terms[g] = tf
 
-    # parent = directory segments + the file basename (the street)
+    # parent = directory segments + the file basename (the street);
+    # O4: a directory overlay replaces the derived segments
     segs = [s for s in (path or "").split("/") if s]
     parent_terms: dict[str, int] = {}
     parent_seq_terms: dict[str, int] = {}
-    parent_values = (segs[:-1] if segs else []) + ([basename] if basename else [])
+    derived_dirs = [dir_display] if dir_display else (segs[:-1] if segs else [])
+    parent_values = derived_dirs + ([basename] if basename else [])
     for seg in parent_values:
         for t in _chunk_terms(normalize_apostrophes(seg), True):
             for g in edge_ngrams(t, 5, 30, preserve_original=True):

@@ -144,7 +144,9 @@ def format_results(hits: list[dict]) -> dict[str, Any]:
     return {"type": "FeatureCollection", "features": features}
 
 
-SUPPORTED_LANGUAGES = ("en", "de", "fr", "es", "it")  # supportLanguages analog
+# supportLanguages analog — single definition shared with the O4
+# address-overlay language-suffix check (analyzers.py)
+from photon_spark.analysis.analyzers import SUPPORTED_LANGUAGES  # noqa: E402,F401
 
 
 def resolve_language(

@@ -274,6 +274,31 @@ def valid_categories_col(col: "F.Column") -> "F.Column":
     )
 
 
+def normalize_optional_cols(src: DataFrame) -> DataFrame:
+    """Normalize the optional source columns shared by build / resume /
+    update ingestion: ``chunk`` (int), ``categories`` (array<string>,
+    O8-validated per PhotonDoc.java:170-177) and ``address``
+    (map<string,string>, the O4 addr:* overlay). A column that is
+    absent OR typed VOID (an all-null pandas/JSON column infers
+    NullType, which breaks the higher-order validators) is replaced by
+    a typed null literal."""
+    from pyspark.sql.types import NullType
+
+    def _void(name: str) -> bool:
+        return isinstance(src.schema[name].dataType, NullType)
+
+    if "chunk" not in src.columns or _void("chunk"):
+        src = src.withColumn("chunk", F.lit(None).cast("int"))
+    if "categories" not in src.columns or _void("categories"):
+        src = src.withColumn("categories", F.lit(None).cast("array<string>"))
+    else:
+        # O8: drop malformed user categories (PhotonDoc.java:170-177)
+        src = src.withColumn("categories", valid_categories_col(F.col("categories")))
+    if "address" not in src.columns or _void("address"):
+        src = src.withColumn("address", F.lit(None).cast("map<string,string>"))
+    return src
+
+
 def write_docs_with_ordinals(
     spark: SparkSession, docs_sel: DataFrame, docs_path: str, partitions: int
 ) -> tuple[int, int]:
@@ -388,14 +413,25 @@ def _tokenize_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
             lnames = batch.column("lang_name").to_pylist()
         else:
             lnames = [None] * len(docs)
+        if "address" in batch.schema.names:
+            # Arrow map columns surface as lists of (key, value)
+            # tuples; the analyzer wants a dict
+            addrs = [
+                (dict(a) if isinstance(a, list) else a) if a else None
+                for a in batch.column("address").to_pylist()
+            ]
+        else:
+            addrs = [None] * len(docs)
         o_field: list[str] = []
         o_term: list[str] = []
         o_doc: list[int] = []
         o_tf: list[int] = []
-        for d, r, p, lg, c, ck, cat, ln in zip(
-            docs, repos, paths, langs, contents, chunks, cats, lnames
+        for d, r, p, lg, c, ck, cat, ln, ad in zip(
+            docs, repos, paths, langs, contents, chunks, cats, lnames, addrs
         ):
-            fields = analyze_doc(r or "", p or "", lg or "", c or "", ck, cat, ln)
+            fields = analyze_doc(
+                r or "", p or "", lg or "", c or "", ck, cat, ln, ad
+            )
             for fname, tmap in fields.items():
                 for term, tf in tmap.items():
                     o_field.append(fname)
@@ -581,11 +617,7 @@ def build_index(
         src = fan_out_chunks(src, chunk_lines)
     elif "chunk" not in src.columns:
         src = src.withColumn("chunk", F.lit(None).cast("int"))
-    if "categories" not in src.columns:
-        src = src.withColumn("categories", F.lit(None).cast("array<string>"))
-    else:
-        # O8: drop malformed user categories (PhotonDoc.java:170-177)
-        src = src.withColumn("categories", valid_categories_col(F.col("categories")))
+    src = normalize_optional_cols(src)
     partitions = partitions or spark.conf.get("spark.sql.shuffle.partitions")
     partitions = int(partitions)
     stage_s: dict[str, float] = {}
@@ -626,13 +658,14 @@ def build_index(
         with_lang_name(
             spark,
             docs.select(
-                "doc_id", "repo", "path", "lang", "content", "chunk", "categories"
+                "doc_id", "repo", "path", "lang", "content", "chunk",
+                "categories", "address",
             ).join(ords, "doc_id"),
             lang_names,
         )
         .select(
             F.col("ord").alias("doc"), "repo", "path", "lang", "content",
-            "chunk", "categories", "lang_name",
+            "chunk", "categories", "lang_name", "address",
         )
         .mapInArrow(_tokenize_batches, _TOKENS_DDL)
     ).persist(StorageLevel.MEMORY_AND_DISK)

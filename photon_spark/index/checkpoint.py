@@ -122,13 +122,9 @@ def build_index_resumable(
         src = fan_out_chunks(src, chunk_lines)
     elif "chunk" not in src.columns:
         src = src.withColumn("chunk", F.lit(None).cast("int"))
-    if "categories" not in src.columns:
-        src = src.withColumn("categories", F.lit(None).cast("array<string>"))
-    else:
-        # O8: drop malformed user categories (PhotonDoc.java:170-177)
-        from photon_spark.index.build import valid_categories_col
+    from photon_spark.index.build import normalize_optional_cols
 
-        src = src.withColumn("categories", valid_categories_col(F.col("categories")))
+    src = normalize_optional_cols(src)
     partitions = int(partitions or spark.conf.get("spark.sql.shuffle.partitions"))
     st = _State(out_dir)
 
@@ -175,9 +171,24 @@ def build_index_resumable(
         docs_df = spark.read.parquet(docs_path)
         # tokenize needs content — rejoin source by doc_id (the docs
         # table intentionally drops the (huge) content column)
-        content = src.select(
-            F.sha2(F.col("content"), 256).alias("doc_id"), "content"
-        ).dropDuplicates(["doc_id"])
+        # address rides the same rejoin (it is not stored in docs,
+        # only analyzed — like content). Same representative rule as
+        # dedupe_docs: duplicate content with DIFFERENT address maps
+        # must analyze the representative row's address
+        content = (
+            src.select(
+                F.sha2(F.col("content"), 256).alias("doc_id"),
+                "content", "address", "repo", "path", "commit", "chunk",
+            )
+            .groupBy("doc_id")
+            .agg(
+                F.min_by(
+                    F.struct("content", "address"),
+                    F.struct("repo", "path", "commit", "chunk"),
+                ).alias("_rep")
+            )
+            .select("doc_id", "_rep.*")
+        )
         tok_src = docs_df.select(
             "doc_id", F.col("ord").alias("doc"), "repo", "path", "lang",
             "chunk", "categories",
@@ -191,7 +202,7 @@ def build_index_resumable(
             with_lang_name(spark, tok_src, lang_names)
             .select(
                 "doc", "repo", "path", "lang", "content", "chunk",
-                "categories", "lang_name",
+                "categories", "lang_name", "address",
             )
             .repartition(partitions, "doc")
             .mapInArrow(_tokenize_batches, _TOKENS_DDL)

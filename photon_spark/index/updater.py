@@ -154,18 +154,13 @@ def apply_updates(
         from photon_spark.index.chunking import fan_out_chunks
 
         upserts = fan_out_chunks(upserts, chunk_lines)
-    elif "chunk" not in upserts.columns:
-        upserts = upserts.withColumn("chunk", F.lit(None).cast("int"))
-    if "categories" not in upserts.columns:
-        upserts = upserts.withColumn("categories", F.lit(None).cast("array<string>"))
-    else:
-        # O8: drop malformed user categories (PhotonDoc.java:170-177)
-        from photon_spark.index.build import valid_categories_col
+    from photon_spark.index.build import (
+        doc_type_col,
+        extra_tags_col,
+        normalize_optional_cols,
+    )
 
-        upserts = upserts.withColumn(
-            "categories", valid_categories_col(F.col("categories"))
-        )
-    from photon_spark.index.build import doc_type_col, extra_tags_col
+    upserts = normalize_optional_cols(upserts)
 
     new_docs = (
         upserts.withColumn("doc_id", F.sha2(F.col("content"), 256))
@@ -187,7 +182,7 @@ def apply_updates(
             "doc_id", "doc", "repo", "path", "commit", "lang", "importance",
             "n_dupes", "chunk", "categories", doc_type_col().alias("type"),
             extra_tags_col(upserts.columns, meta.get("extra_tags")).alias("extra"),
-            "content",
+            "address", "content",
         )
     )
     new_docs.persist()
@@ -212,7 +207,7 @@ def apply_updates(
         base=next_ord,
     )
     reattached = (
-        new_docs.drop("content")
+        new_docs.drop("content", "address")
         .join(old_docs.select("doc_id", F.col("ord").alias("old_ord")), "doc_id")
         .withColumn("ord", F.col("old_ord"))
         .drop("old_ord")
@@ -255,7 +250,7 @@ def apply_updates(
         .filter(F.col("rn") == 1)
         .drop("prio", "rn")
     )
-    merged_docs = survivors_plus.unionByName(truly_new.drop("content"))
+    merged_docs = survivors_plus.unionByName(truly_new.drop("content", "address"))
 
     # stage everything BEFORE the docs swap: every plan below still
     # reads the old docs files lazily; the rename happens last
@@ -275,7 +270,7 @@ def apply_updates(
             spark, truly_new, meta.get("lang_names")
         ).select(
             F.col("ord").alias("doc"), "repo", "path", "lang", "content",
-            "chunk", "categories", "lang_name",
+            "chunk", "categories", "lang_name", "address",
         ).mapInArrow(_tokenize_batches, _TOKENS_DDL)
         parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
         dict_delta = tokens.groupBy("field", "term").agg(

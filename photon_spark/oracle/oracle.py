@@ -43,7 +43,7 @@ class OracleIndex:
 
     def __init__(
         self, corpus: pd.DataFrame, synonyms=None, chunk_lines=None,
-        extra_tags=None,
+        extra_tags=None, lang_names=None,
     ):
         self.synonyms = synonyms  # query-time Synonyms config (A12/A13)
         self.docs: dict[int, dict] = {}
@@ -54,7 +54,11 @@ class OracleIndex:
         # sorts first like Spark's asc-nulls-first
         canonical = {
             "repo", "path", "commit", "lang", "content", "importance", "chunk",
-            "categories",
+            "categories", "address",
+        }
+        # S5 twin: lang → display-name side input
+        self.lang_names = {
+            k.lower(): v for k, v in (lang_names or {}).items()
         }
         extra_cols = [c for c in corpus.columns if c not in canonical]
         if extra_tags == "ALL":
@@ -76,9 +80,12 @@ class OracleIndex:
                 from photon_spark.analysis.analyzers import valid_categories
 
                 cats = valid_categories(cats)
+            # O4 twin: optional per-row address-overlay map
+            addr = getattr(row, "address", None)
+            addr = dict(addr) if isinstance(addr, dict) and addr else None
             expanded.append(
                 (row.repo, row.path, row.commit, row.lang, row.content, imp, None,
-                 extra, cats)
+                 extra, cats, addr)
             )
             if chunk_lines:
                 from photon_spark.index.chunking import chunk_py
@@ -86,12 +93,12 @@ class OracleIndex:
                 for k, ck in enumerate(chunk_py(row.content, chunk_lines)):
                     expanded.append(
                         (row.repo, row.path, row.commit, row.lang, ck, imp, k,
-                         extra, cats)
+                         extra, cats, addr)
                     )
 
         best: dict[str, tuple] = {}
         dupes: dict[str, int] = {}
-        for repo, path, commit, lang, content, imp, chunk, extra, cats in expanded:
+        for repo, path, commit, lang, content, imp, chunk, extra, cats, addr in expanded:
             h = sha256_hex(content)
             dupes[h] = dupes.get(h, 0) + 1
             key = (repo, path, commit, -1 if chunk is None else chunk)
@@ -100,11 +107,13 @@ class OracleIndex:
                 prev[0], prev[1], prev[2], -1 if prev[6] is None else prev[6]
             ):
                 best[h] = (
-                    repo, path, commit, lang, content, imp, chunk, extra, cats, h
+                    repo, path, commit, lang, content, imp, chunk, extra, cats,
+                    addr, h,
                 )
 
         for (
-            repo, path, commit, lang, content, importance, chunk, extra, cats, h
+            repo, path, commit, lang, content, importance, chunk, extra, cats,
+            addr, h,
         ) in best.values():
             d = doc_int_py(h)
             self.docs[d] = {
@@ -120,9 +129,11 @@ class OracleIndex:
                 "type": doc_type(lang, chunk),
                 "extra": extra,
                 "categories": cats,
+                "lang_name": self.lang_names.get((lang or "").lower()),
             }
             for field, tmap in analyze_doc(
-                repo, path, lang, content, chunk, cats
+                repo, path, lang, content, chunk, cats,
+                self.lang_names.get((lang or "").lower()), addr,
             ).items():
                 fpost = self.postings.setdefault(field, {})
                 for term, tf in tmap.items():

@@ -1,0 +1,162 @@
+"""O4 — address completion & displacement (PhotonDoc.addAddresses,
+PhotonDoc.java:248-307): explicit address tags overlay the derived
+address parts; displaced and surplus values drop into the searchable
+context instead of vanishing; unknown keys and unsupported language
+suffixes drop silently."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from photon_spark.analysis.analyzers import (
+    FIELD_ALL,
+    FIELD_PARENT,
+    PRIO_CONTENT,
+    PRIO_PATH,
+    analyze_doc,
+    resolve_address_overlay,
+)
+from photon_spark.index.build import build_index
+from photon_spark.index.updater import apply_updates
+from photon_spark.oracle.oracle import OracleIndex
+from photon_spark.query.executor import Index
+
+
+# ---------------- resolver unit (PhotonDoc.addAddresses table) ------
+
+def test_overlay_basic():
+    ov, ctx = resolve_address_overlay(
+        {"directory": "Common Tools", "repo": "Acme Platform"}
+    )
+    assert ov == {"directory": "Common Tools", "repo": "Acme Platform"}
+    assert ctx == []
+
+
+def test_other_keys_go_to_context():
+    # AddressType.OTHER branch: other / other1 / other2 → context
+    ov, ctx = resolve_address_overlay(
+        {"other": "alpha", "other1": "beta", "other2": "gamma"}
+    )
+    assert ov == {}
+    assert sorted(ctx) == ["alpha", "beta", "gamma"]
+
+
+def test_second_value_for_slot_goes_to_context():
+    # putIfAbsent != null → context (bare key takes the slot first)
+    ov, ctx = resolve_address_overlay(
+        {"directory": "Primary", "directory:en": "Secondary"}
+    )
+    assert ov == {"directory": "Primary"}
+    assert ctx == ["Secondary"]
+
+
+def test_unsupported_language_suffix_dropped():
+    ov, ctx = resolve_address_overlay({"directory:xx": "Nope"})
+    assert ov == {} and ctx == []
+    # supported suffix is accepted when the slot is free
+    ov, _ = resolve_address_overlay({"directory:de": "Werkzeuge"})
+    assert ov == {"directory": "Werkzeuge"}
+
+
+def test_unknown_postcode_and_empty_dropped():
+    ov, ctx = resolve_address_overlay(
+        {"city": "X", "postcode": "12345", "directory": "   "}
+    )
+    assert ov == {} and ctx == []
+
+
+# ---------------- analyzer displacement ----------------------------
+
+def test_displacement_in_all_field():
+    fields = analyze_doc(
+        "org/acme", "src/util/helpers.py", "python", "pass",
+        address={"directory": "Common Tools"},
+    )
+    allf = fields[FIELD_ALL]
+    # overlay terms take the address-part priority …
+    assert allf["common"] == PRIO_PATH and allf["tools"] == PRIO_PATH
+    # … and the displaced derived segments keep searching from context
+    assert allf["src"] == PRIO_CONTENT and allf["util"] == PRIO_CONTENT
+    # without an overlay the derived segments hold the address prio
+    plain = analyze_doc("org/acme", "src/util/helpers.py", "python", "pass")
+    assert plain[FIELD_ALL]["util"] == PRIO_PATH
+
+
+def test_overlay_replaces_parent_field():
+    fields = analyze_doc(
+        "org/acme", "src/util/helpers.py", "python", "pass",
+        address={"directory": "Common Tools"},
+    )
+    assert "common" in fields[FIELD_PARENT]
+    assert "util" not in fields[FIELD_PARENT]
+
+
+def test_chunk_doc_inherits_overlay():
+    fields = analyze_doc(
+        "org/acme", "src/util/helpers.py", "python", "pass", chunk=1,
+        address={"directory": "Common Tools"},
+    )
+    assert fields[FIELD_ALL]["common"] == PRIO_PATH
+    assert "common" in fields[FIELD_PARENT]
+
+
+# ---------------- engine + oracle end-to-end ------------------------
+
+ROWS = [
+    ("org/acme", "src/util/helpers.py", "a" * 40, "python",
+     "def helpers(): pass", 0.0, {"directory": "Common Tools"}),
+    ("org/acme", "src/util/parser.py", "b" * 40, "python",
+     "def parser(): pass", 0.0, None),
+    ("org/acme", "docs/readme.md", "c" * 40, "md",
+     "readme body words", 0.0, {"other1": "sidecar note"}),
+]
+COLS = ["repo", "path", "commit", "lang", "content", "importance", "address"]
+DDL = (
+    "repo string, path string, commit string, lang string, content string, "
+    "importance double, address map<string,string>"
+)
+
+
+@pytest.fixture(scope="module")
+def addr_idx(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("addr_idx"))
+    build_index(spark, spark.createDataFrame(ROWS, DDL), out)
+    return out
+
+
+def test_engine_overlay_searchable(spark, addr_idx):
+    idx = Index(spark, addr_idx, cache=False)
+    hits = idx.search("tools helpers")
+    assert hits and hits[0]["path"] == "src/util/helpers.py"
+    # displaced derived segment still reachable (context terms)
+    assert any(
+        h["path"] == "src/util/helpers.py" for h in idx.search("util helpers")
+    )
+    # other* context value is searchable on the carrying doc only
+    hits = idx.search("sidecar readme")
+    assert hits and hits[0]["path"] == "docs/readme.md"
+
+
+def test_rank_identity_with_overlay(spark, addr_idx):
+    idx = Index(spark, addr_idx, cache=False)
+    oracle = OracleIndex(pd.DataFrame(ROWS, columns=COLS))
+    for q in ("tools helpers", "util parser", "sidecar readme", "acme parser"):
+        got = [(h["doc_id"], round(h["score"], 9)) for h in idx.search(q)]
+        want = [(h["doc_id"], round(h["score"], 9)) for h in oracle.search(q)]
+        assert got == want, q
+
+
+def test_updater_applies_overlay(spark, addr_idx):
+    from photon_spark.index.updater import UPDATES_DDL
+
+    batch = spark.createDataFrame(
+        [("upsert", "org/acme", "src/extra/widget.py", "d" * 40, "python",
+          "widget body", 7)],
+        UPDATES_DDL,
+    ).withColumn(
+        "address", F.create_map(F.lit("directory"), F.lit("Gadget Tools"))
+    )
+    apply_updates(spark, addr_idx, batch)
+    idx = Index(spark, addr_idx, cache=False)
+    hits = idx.search("gadget widget")
+    assert hits and hits[0]["path"] == "src/extra/widget.py"
