@@ -35,6 +35,15 @@ def _bool_param(params: dict, name: str, default: bool) -> bool:
 _STRUCTURED_PARAMS = {"repo", "directory", "name", "ext", "lang", "limit"}
 
 
+class NotFound(ValueError):
+    """404 analog — endpoint disabled in this serving mode
+    (reverse-only: App.java wires only /reverse + /status when
+    ``-reverse-only`` is set; ApiReverseOnlyTest expects 404 on
+    /api, /structured and /metrics)."""
+
+    code = 404
+
+
 class BadRequest(ValueError):
     """Maps to HTTP 400 (reference returns BadRequestResponse)."""
 
@@ -61,10 +70,15 @@ def validate_search(params: dict) -> dict:
     if not q and not include and not exclude:
         raise BadRequest("missing query parameter 'q'")
     filters = {}
-    if params.get("lang"):
-        filters["lang"] = str(params["lang"])
-    if params.get("repo"):
-        filters["repo"] = str(params["repo"])
+    # lang/repo accept repeated values — the reference's repeated
+    # countrycode param becomes a terms query (OR within the key,
+    # ApiCountryCodeFilterTest.java:133-155); keys AND together
+    for key in ("lang", "repo"):
+        v = params.get(key)
+        if v:
+            filters[key] = (
+                [str(x) for x in v] if isinstance(v, (list, tuple)) else str(v)
+            )
     osm_tag = params.get("osm_tag") or []
     if osm_tag:
         from photon_spark.query.tagfilter import BadTagFilter, parse_tag_filters
@@ -193,9 +207,16 @@ class SearchAPI:
     :class:`photon_spark.metrics.ServingMetrics` records per-endpoint
     counters + latency (the /metrics surface)."""
 
-    def __init__(self, backend, metrics=None):
+    def __init__(self, backend, metrics=None, reverse_only=False):
         self.backend = backend
         self._metrics = metrics
+        # -reverse-only serving mode: only /reverse and /status stay
+        # wired (App.java; ApiReverseOnlyTest.testSearchDisabled)
+        self.reverse_only = reverse_only
+
+    def _check_search_enabled(self, endpoint: str) -> None:
+        if self.reverse_only:
+            raise NotFound(f"{endpoint} disabled in reverse-only mode")
 
     def _timed(self, endpoint: str, fn):
         import time as _time
@@ -212,6 +233,8 @@ class SearchAPI:
         return out
 
     def api(self, params: dict) -> dict:
+        self._check_search_enabled("api")
+
         def _run():
             v = validate_search(params)
             hits = self.backend.search(
@@ -240,6 +263,8 @@ class SearchAPI:
         return self._timed("api", _run)
 
     def structured(self, params: dict) -> dict:
+        self._check_search_enabled("structured")
+
         def _run():
             sq, k = validate_structured(params)
             return format_results(self.backend.structured_search(sq, k=k))
@@ -248,6 +273,7 @@ class SearchAPI:
 
     def metrics(self) -> str:
         """Prometheus text exposition (/metrics)."""
+        self._check_search_enabled("metrics")
         if self._metrics is None:
             return ""
         return self._metrics.prometheus()

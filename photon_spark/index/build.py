@@ -274,6 +274,21 @@ def valid_categories_col(col: "F.Column") -> "F.Column":
     )
 
 
+def apply_language_filter(
+    src: DataFrame, languages: list[str] | None
+) -> DataFrame:
+    """O7 import restriction (DatabaseProperties.setLanguages +
+    JsonReader.java:63-70 country filter analog): when an import
+    language list is configured, rows of any other language are
+    dropped at read time — before dedupe, ordinals, or analysis —
+    so the filter pushes down to the source scan. Case-insensitive
+    like the reference's country codes."""
+    if not languages:
+        return src
+    wanted = sorted({(x or "").lower() for x in languages})
+    return src.filter(F.lower(F.col("lang")).isin(wanted))
+
+
 def normalize_optional_cols(src: DataFrame) -> DataFrame:
     """Normalize the optional source columns shared by build / resume /
     update ingestion: ``chunk`` (int), ``categories`` (array<string>,
@@ -584,6 +599,7 @@ def build_index(
     chunk_lines: int | None = None,
     extra_tags: str | list[str] | None = None,
     lang_names: dict[str, str] | None = None,
+    languages: list[str] | None = None,
 ) -> dict:
     """Run the full index build; returns build metrics.
 
@@ -611,6 +627,7 @@ def build_index(
         src = source
     if "importance" not in src.columns:
         src = src.withColumn("importance", F.lit(0.0))
+    src = apply_language_filter(src, languages)
     if chunk_lines:
         from photon_spark.index.chunking import fan_out_chunks
 
@@ -720,6 +737,10 @@ def build_index(
 
     docs.unpersist()
     elapsed = time.time() - t0
+    # DatabaseProperties analog (DatabaseProperties.java: languages +
+    # import date persisted index-globally, validated on load)
+    import datetime as _dt
+
     meta = {
         "version": INDEX_FORMAT_VERSION,
         "n_input_files": n_input,
@@ -729,6 +750,10 @@ def build_index(
         "chunk_lines": chunk_lines,
         "extra_tags": extra_tags,
         "lang_names": lang_names,
+        "languages": sorted({(x or "").lower() for x in languages})
+        if languages
+        else None,
+        "import_date": _dt.datetime.now(_dt.timezone.utc).isoformat(),
         "stage_seconds": stage_s,
         "build_seconds": elapsed,
         "files_per_sec": n_input / elapsed if elapsed > 0 else None,

@@ -34,6 +34,7 @@ process a hot term's blocks in parallel too.
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
 import os
 import time
@@ -102,6 +103,7 @@ def build_index_resumable(
     chunk_lines: int | None = None,
     extra_tags: str | list[str] | None = None,
     lang_names: dict[str, str] | None = None,
+    languages: list[str] | None = None,
 ) -> dict:
     """Checkpointed build; safe to re-invoke after any crash.
 
@@ -122,9 +124,12 @@ def build_index_resumable(
         src = fan_out_chunks(src, chunk_lines)
     elif "chunk" not in src.columns:
         src = src.withColumn("chunk", F.lit(None).cast("int"))
-    from photon_spark.index.build import normalize_optional_cols
+    from photon_spark.index.build import (
+        apply_language_filter,
+        normalize_optional_cols,
+    )
 
-    src = normalize_optional_cols(src)
+    src = normalize_optional_cols(apply_language_filter(src, languages))
     partitions = int(partitions or spark.conf.get("spark.sql.shuffle.partitions"))
     st = _State(out_dir)
 
@@ -326,6 +331,10 @@ def build_index_resumable(
         "chunk_lines": chunk_lines,
         "extra_tags": extra_tags,
         "lang_names": lang_names,
+        "languages": sorted({(x or "").lower() for x in languages})
+        if languages
+        else None,
+        "import_date": _dt.datetime.now(_dt.timezone.utc).isoformat(),
         "build_seconds": elapsed,
         "files_per_sec": n_input / elapsed if elapsed > 0 else None,
         "next_ord": n_docs,

@@ -155,12 +155,18 @@ def apply_updates(
 
         upserts = fan_out_chunks(upserts, chunk_lines)
     from photon_spark.index.build import (
+        apply_language_filter,
         doc_type_col,
         extra_tags_col,
         normalize_optional_cols,
     )
 
-    upserts = normalize_optional_cols(upserts)
+    # O7 on updates too: an index imported with a language restriction
+    # keeps it across CDC batches (NominatimUpdater applies the same
+    # country filter as the importer)
+    upserts = normalize_optional_cols(
+        apply_language_filter(upserts, meta.get("languages"))
+    )
 
     new_docs = (
         upserts.withColumn("doc_id", F.sha2(F.col("content"), 256))

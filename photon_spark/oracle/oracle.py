@@ -165,16 +165,24 @@ class OracleIndex:
 
     # ---------------- filter context ----------------
 
-    def filter_set(self, filters: dict[str, str] | None) -> set[int] | None:
+    def filter_set(
+        self, filters: dict[str, str | list[str]] | None
+    ) -> set[int] | None:
+        """Twin of Index.filter_docs: multi-value keys OR within the
+        key (reference terms query), keys AND together."""
         if not filters:
             return None
         from photon_spark.analysis.folding import fold
 
         out: set[int] | None = None
         fp = self.postings.get(FIELD_KEYWORD, {})
-        for kk, v in sorted(filters.items()):
-            norm = fold(v) if kk == "lang" else v.lower()
-            plist = set(fp.get(f"{kk}:{norm}", {}))
+        for kk, vals in sorted(filters.items()):
+            if not isinstance(vals, (list, tuple)):
+                vals = [vals]
+            plist: set[int] = set()
+            for v in vals:
+                norm = fold(v) if kk == "lang" else str(v).lower()
+                plist |= set(fp.get(f"{kk}:{norm}", {}))
             out = plist if out is None else out & plist
         return out
 

@@ -380,26 +380,43 @@ class Index:
 
     # ---------------- filter context ----------------
 
-    def filter_docs(self, filters: dict[str, str] | None) -> DataFrame | None:
-        """Non-scoring filter context: docIDs matching ALL kw filter
-        terms (posting intersection). Lookup terms normalize exactly
-        like the index side (analyzers.py kw zone): ``lang`` values
-        are folded (ascii + german normalization), everything else is
-        lowercased — a non-ASCII lang filter must hit the folded
-        indexed term, not silently miss."""
+    def filter_docs(
+        self, filters: dict[str, str | list[str]] | None
+    ) -> DataFrame | None:
+        """Non-scoring filter context: docIDs matching ALL filter keys,
+        where a key with MULTIPLE values matches ANY of them — the
+        reference's terms query per key (countrycode=FR&countrycode=US
+        is an OR, SearchQueryBuilder.java countryCodes terms filter;
+        keys AND together). Lookup terms normalize exactly like the
+        index side (analyzers.py kw zone): ``lang`` values are folded
+        (ascii + german normalization), everything else is lowercased —
+        a non-ASCII lang filter must hit the folded indexed term, not
+        silently miss.
+
+        One posting scan + one groupBy regardless of value count: each
+        posting row's key-group is derived from the ``key:`` term
+        prefix and a doc passes iff it hits every distinct group."""
         if not filters:
             return None
         from photon_spark.analysis.folding import fold
 
-        terms = [
-            f"{k}:{fold(v) if k == 'lang' else v.lower()}"
-            for k, v in sorted(filters.items())
-        ]
+        def _norm(k: str, v) -> str:
+            return fold(v) if k == "lang" else str(v).lower()
+
+        n_groups = len(filters)
+        terms = sorted(
+            {
+                f"{k}:{_norm(k, v)}"
+                for k, vals in filters.items()
+                for v in (vals if isinstance(vals, (list, tuple)) else [vals])
+            }
+        )
         p = self.postings(FIELD_KEYWORD, terms)
         return (
-            p.groupBy("doc")
-            .agg(F.count(F.lit(1)).alias("nf"))
-            .filter(F.col("nf") == len(terms))
+            p.withColumn("grp", F.substring_index("term", ":", 1))
+            .groupBy("doc")
+            .agg(F.countDistinct("grp").alias("nf"))
+            .filter(F.col("nf") == n_groups)
             .select("doc")
         )
 
@@ -806,4 +823,8 @@ class Index:
             "n_docs": self.n_docs,
             "next_ord": self.next_ord,
             "segments": len(self.meta.get("segments", [])),
+            # DatabaseProperties surface (import_date / languages are
+            # index-global properties, DatabaseProperties.java)
+            "import_date": self.meta.get("import_date"),
+            "languages": self.meta.get("languages"),
         }

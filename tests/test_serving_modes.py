@@ -1,0 +1,159 @@
+"""Serving-mode + import-restriction grafts:
+
+- multi-value filter keys (reference: repeated ``countrycode`` params
+  become a terms query — OR within a key, AND across keys;
+  ApiCountryCodeFilterTest.java:83-149).
+- reverse-only serving mode (App.java wires only /reverse + /status;
+  ApiReverseOnlyTest.testSearchDisabled expects 404 elsewhere).
+- import language restriction (O7 full: DatabaseProperties languages +
+  the importer's country filter analog) applied at build AND update
+  ingestion, persisted in meta, surfaced by /status.
+"""
+
+import pytest
+
+from photon_spark.api import BadRequest, NotFound, SearchAPI, validate_search
+from photon_spark.query.executor import Index
+
+
+@pytest.fixture(scope="module")
+def engine(spark, index_dir):
+    return Index(spark, index_dir)
+
+
+@pytest.fixture(scope="module")
+def api(engine):
+    return SearchAPI(engine)
+
+
+def _langs(out):
+    return {f["properties"]["lang"] for f in out["features"]}
+
+
+# ---------------------------------------------------------------- filters
+
+def test_multi_value_filter_rank_identity(engine, oracle):
+    """Engine vs python-oracle identity with a multi-value key and a
+    second AND-ed key (terms query per key, bool AND across keys —
+    SearchQueryBuilder countryCodes terms filter)."""
+    for filters in (
+        {"lang": ["python", "java"]},
+        {"lang": ["python", "java", "go"]},
+        {"lang": ["PYTHON"]},  # case-insensitive like countrycode
+    ):
+        got = [(r["doc_id"], r["score"]) for r in engine.search("parse config value", k=15, filters=filters)]
+        want = [(r["doc_id"], r["score"]) for r in oracle.search("parse config value", k=15, filters=filters)]
+        assert [d for d, _ in got] == [d for d, _ in want], filters
+        for (_, s1), (_, s2) in zip(got, want):
+            assert abs(s1 - s2) < 1e-12
+
+
+def test_countrycode_filter_translation(api):
+    """ApiCountryCodeFilterTest.java rows over the lang key
+    (countrycode analog): single value restricts, multiple values OR,
+    unknown value yields nothing, case-insensitive."""
+    base = {"q": "parse config value", "limit": 50}
+    all_langs = _langs(api.api(dict(base)))
+    assert len(all_langs) >= 2  # corpus spreads langs; filter is observable
+
+    one = api.api({**base, "lang": "python"})
+    assert _langs(one) == {"python"}
+
+    multi = api.api({**base, "lang": ["python", "java"]})
+    assert _langs(multi) <= {"python", "java"}
+    assert len(multi["features"]) >= len(one["features"])
+
+    # multi incl. unknown == known subset (testMultipleCountryCodesExcludeUnknownCountry)
+    with_unknown = api.api({**base, "lang": ["python", "zz"]})
+    assert _langs(with_unknown) == {"python"}
+    assert len(with_unknown["features"]) == len(one["features"])
+
+    # unknown only (testUnknownCountryCodeReturnsNoResults)
+    assert api.api({**base, "lang": "zz"})["features"] == []
+
+    # case-insensitive (testCountryCodeIsCaseInsensitive)
+    upper = api.api({**base, "lang": "PYTHON"})
+    assert len(upper["features"]) == len(one["features"])
+
+
+def test_validate_search_multi_value_passthrough():
+    v = validate_search({"q": "x", "lang": ["python", "java"], "repo": "r1"})
+    assert v["filters"] == {"lang": ["python", "java"], "repo": "r1"}
+
+
+# ---------------------------------------------------------- reverse-only
+
+def test_reverse_only_mode(engine, corpus):
+    """ApiReverseOnlyTest.testSearchDisabled: /api, /structured and
+    /metrics 404; /reverse and /status stay wired."""
+    ro = SearchAPI(engine, reverse_only=True)
+    for call in (
+        lambda: ro.api({"q": "retry"}),
+        lambda: ro.structured({"name": "importer"}),
+        lambda: ro.metrics(),
+    ):
+        with pytest.raises(NotFound):
+            call()
+    row = corpus.iloc[0]
+    out = ro.reverse({"repo": row.repo, "path": row.path, "limit": 3})
+    assert out["features"]
+    assert ro.status()["status"] == "Ok"
+    # NotFound is not BadRequest — a front-end maps them to 404 vs 400
+    assert NotFound.code == 404 and not issubclass(NotFound, BadRequest)
+
+
+# ------------------------------------------------- language import filter
+
+def test_language_import_filter(spark, corpus, tmp_path_factory):
+    """O7 import restriction: build with languages=[...] drops other
+    rows before dedupe/ordinals (JsonReader country filter analog);
+    the restriction persists in meta (DatabaseProperties.setLanguages)
+    and CDC batches inherit it (NominatimUpdater applies the same
+    filter)."""
+    import shutil
+
+    from photon_spark.index.build import build_index
+    from photon_spark.index.updater import UPDATES_DDL, apply_updates
+
+    out = str(tmp_path_factory.mktemp("lang_restricted")) + "/idx"
+    sub = corpus.iloc[:80]
+    meta = build_index(
+        spark, spark.createDataFrame(sub), out,
+        languages=["python", "JAVA"],  # case-insensitive like countrycode
+    )
+    assert meta["languages"] == ["java", "python"]
+    assert meta["import_date"]  # DatabaseProperties.setImportDate analog
+
+    idx = Index(spark, out, cache=False)
+    langs = {r["lang"] for r in idx.docs().select("lang").distinct().collect()}
+    assert langs <= {"python", "java"}
+    n_expected = len(
+        sub[sub.lang.isin(["python", "java"])]
+        .drop_duplicates(subset=["content"])
+    )
+    assert idx.n_docs == n_expected
+
+    st = idx.status()
+    assert st["languages"] == ["java", "python"]
+    assert st["import_date"] == meta["import_date"]
+
+    # update batch: the go-lang row must be dropped, the python row land
+    batch = spark.createDataFrame(
+        [
+            ("upsert", "repo_zz", "a/b/keepme.py", "a" * 40, "python",
+             "def keepme(): pass", 1),
+            ("upsert", "repo_zz", "a/b/dropme.go", "b" * 40, "go",
+             "func dropme() {}", 1),
+        ],
+        UPDATES_DDL,
+    )
+    res = apply_updates(spark, out, batch)
+    assert res["n_added"] == 1
+    idx2 = Index(spark, out, cache=False)
+    from pyspark.sql import functions as F
+
+    paths = [
+        r["path"]
+        for r in idx2.docs().filter(F.col("repo") == "repo_zz").collect()
+    ]
+    assert paths == ["a/b/keepme.py"]
