@@ -59,6 +59,18 @@ def _limit(params: dict) -> int:
     return min(limit, MAX_RESULTS)  # silently capped, RequestFactoryBase
 
 
+def _validate_categories(vals: list, param: str) -> None:
+    """Request-time category syntax check (RequestFactoryBase.java:58-67
+    checks every include/exclude value against PhotonDoc.CATEGORY_PATTERN
+    and 400s; build-time ingestion drops silently instead —
+    PhotonDoc.java:170-177)."""
+    from photon_spark.analysis.analyzers import CATEGORY_RE
+
+    for v in vals:
+        if not CATEGORY_RE.fullmatch(str(v)):
+            raise BadRequest(f"Invalid category pattern in '{param}'.")
+
+
 def validate_search(params: dict) -> dict:
     """Whitelist + shape checks for /api-analog requests."""
     unknown = set(params) - _SEARCH_PARAMS
@@ -69,6 +81,8 @@ def validate_search(params: dict) -> dict:
     exclude = params.get("exclude") or []
     if not q and not include and not exclude:
         raise BadRequest("missing query parameter 'q'")
+    _validate_categories(include, "include")
+    _validate_categories(exclude, "exclude")
     filters = {}
     # lang/repo accept repeated values — the reference's repeated
     # countrycode param becomes a terms query (OR within the key,
@@ -166,15 +180,19 @@ from photon_spark.analysis.analyzers import SUPPORTED_LANGUAGES  # noqa: E402,F4
 def resolve_language(
     params: dict,
     supported: tuple[str, ...] = SUPPORTED_LANGUAGES,
+    default_language: str | None = None,
 ) -> str:
     """R9 — display-language resolution (RequestFactoryBase.java:
     76-103): the ``accept_language`` header value is parsed with
     q-weights and matched against the supported set; else
-    ``default``. Graft note: the reference's ``lang`` param IS the
-    display language; in this graft ``lang`` is the
-    countrycode-analog kw FILTER (S5), so only the header path
-    resolves display language — the corpus is single-name anyway
-    (R8 localized-name fallback is n/a)."""
+    ``default``. ``default_language`` is the ``-default-language``
+    server option (ApiLanguageSelectionTest.testDefaultLanguageConfigured:
+    when nothing else resolves, it wins over the bare ``default``).
+    Graft note: the reference's ``lang`` param IS the display
+    language; in this graft ``lang`` is the countrycode-analog kw
+    FILTER (S5), so only the header path resolves display language —
+    the corpus is single-name anyway (R8 localized-name fallback is
+    n/a)."""
     header = params.get("accept_language")
     if header:
         weighted = []
@@ -199,7 +217,7 @@ def resolve_language(
             # (it never selects a concrete supported language)
             if tag != "*" and tag in supported:
                 return tag
-    return "default"
+    return default_language if default_language else "default"
 
 
 class SearchAPI:
@@ -207,12 +225,23 @@ class SearchAPI:
     :class:`photon_spark.metrics.ServingMetrics` records per-endpoint
     counters + latency (the /metrics surface)."""
 
-    def __init__(self, backend, metrics=None, reverse_only=False):
+    def __init__(
+        self, backend, metrics=None, reverse_only=False,
+        default_language=None,
+    ):
         self.backend = backend
         self._metrics = metrics
         # -reverse-only serving mode: only /reverse and /status stay
         # wired (App.java; ApiReverseOnlyTest.testSearchDisabled)
         self.reverse_only = reverse_only
+        # -default-language option: wins over bare "default" when no
+        # header resolves (ApiLanguageSelectionTest)
+        if default_language is not None and default_language not in SUPPORTED_LANGUAGES:
+            raise BadRequest(
+                f"default language {default_language!r} not supported; "
+                f"supported: {SUPPORTED_LANGUAGES}"
+            )
+        self.default_language = default_language
 
     def _check_search_enabled(self, endpoint: str) -> None:
         if self.reverse_only:
@@ -243,7 +272,9 @@ class SearchAPI:
                 layers=v["layers"], suggest=v["suggest"], dedupe=v["dedupe"],
             )
             out = format_results(hits)
-            out["lang"] = resolve_language(params)
+            out["lang"] = resolve_language(
+                params, default_language=self.default_language
+            )
             if _bool_param(params, "debug", False):
                 # dumpQuery analog (GenericSearchHandler.java:40-43):
                 # the strict grounded plan, serialized
@@ -272,10 +303,12 @@ class SearchAPI:
         return self._timed("structured", _run)
 
     def metrics(self) -> str:
-        """Prometheus text exposition (/metrics)."""
+        """Prometheus text exposition (/metrics). 404 when metrics are
+        not enabled (ApiMetricsTest.testMetricsEndpointReturns404WhenDisabled
+        — the endpoint only exists under ``-metrics-enable``)."""
         self._check_search_enabled("metrics")
         if self._metrics is None:
-            return ""
+            raise NotFound("metrics not enabled")
         return self._metrics.prometheus()
 
     def reverse(self, params: dict) -> dict:
@@ -283,6 +316,7 @@ class SearchAPI:
             unknown = set(params) - {
                 "repo", "path", "limit", "radius", "query_string_filter",
                 "osm_tag", "layer", "include", "exclude", "distance_sort",
+                "accept_language",
             }
             if unknown:
                 raise BadRequest(f"unknown parameters: {sorted(unknown)}")
@@ -292,6 +326,12 @@ class SearchAPI:
                 radius = int(params.get("radius", 8))
             except (TypeError, ValueError):
                 raise BadRequest("invalid radius")
+            if radius < 1:
+                # reference rejects 0 / negative radius
+                # (ApiIntegrationTest.testReverseBadRadius)
+                raise BadRequest("radius must be >= 1")
+            _validate_categories(list(params.get("include") or []), "include")
+            _validate_categories(list(params.get("exclude") or []), "exclude")
             layers = list(params.get("layer") or [])
             if layers:
                 from photon_spark.analysis.analyzers import LAYERS
@@ -314,6 +354,11 @@ class SearchAPI:
             out = format_results(hits)
             for f, h in zip(out["features"], hits):
                 f["properties"]["distance"] = h["distance"]
+            # language selection applies to /reverse too
+            # (ApiLanguageSelectionTest BASE_URLS includes /reverse)
+            out["lang"] = resolve_language(
+                params, default_language=self.default_language
+            )
             return out
 
         return self._timed("reverse", _run)

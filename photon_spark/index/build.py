@@ -146,7 +146,7 @@ def assign_ordinals(spark: SparkSession, docs_path: str) -> int:
 # "extra tag" candidate (O9, ConfigExtraTags.java:14-72)
 CANONICAL_COLS = {
     "repo", "path", "commit", "lang", "content", "importance", "chunk",
-    "categories",
+    "categories", "address",
 }
 
 

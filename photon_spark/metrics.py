@@ -20,6 +20,15 @@ import time
 
 CACHE_TTL_S = 30.0  # OpenSearchMetrics.CACHE_TTL_MS
 
+# Request-latency histogram buckets (seconds). The reference enables
+# micrometer percentile histograms on "http.server.requests" so
+# /metrics carries le-labelled buckets for histogram_quantile()
+# (ApiMetricsTest.testMetricsEndpointExposesHttpRequestLatencyHistogram);
+# fixed Prometheus-style buckets give the same PromQL surface.
+LATENCY_BUCKETS_S = (
+    0.005, 0.01, 0.025, 0.05, 0.1, 0.25, 0.5, 1.0, 2.5, 5.0, 10.0,
+)
+
 
 def _dir_size(path: str) -> int:
     total = 0
@@ -41,6 +50,9 @@ class ServingMetrics:
         self._counts: dict[str, int] = {}
         self._errors: dict[str, int] = {}
         self._time_s: dict[str, float] = {}
+        # per-endpoint cumulative bucket counts, one slot per
+        # LATENCY_BUCKETS_S entry (+Inf is the request count itself)
+        self._buckets: dict[str, list[int]] = {}
         self._gauge_cache: tuple[float, dict] | None = None
 
     # ---- counters (search totals, OpenSearchMetrics "search"/"time")
@@ -50,6 +62,12 @@ class ServingMetrics:
             self._time_s[endpoint] = self._time_s.get(endpoint, 0.0) + seconds
             if error:
                 self._errors[endpoint] = self._errors.get(endpoint, 0) + 1
+            b = self._buckets.setdefault(
+                endpoint, [0] * len(LATENCY_BUCKETS_S)
+            )
+            for i, le in enumerate(LATENCY_BUCKETS_S):
+                if seconds <= le:
+                    b[i] += 1
 
     # ---- index gauges (30 s TTL cache like the reference) ----------
     def _gauges(self) -> dict:
@@ -73,6 +91,7 @@ class ServingMetrics:
                 "requests": dict(self._counts),
                 "errors": dict(self._errors),
                 "time_seconds": {k: round(v, 6) for k, v in self._time_s.items()},
+                "buckets": {k: list(v) for k, v in self._buckets.items()},
             }
         out["gauges"] = dict(self._gauges())
         return out
@@ -91,6 +110,27 @@ class ServingMetrics:
         lines.append("# TYPE photon_request_time_seconds counter")
         for ep, v in sorted(snap["time_seconds"].items()):
             lines.append(f'photon_request_time_seconds{{endpoint="{ep}"}} {v}')
+        # le-bucketed latency histogram + _count/_sum — the series
+        # histogram_quantile() consumes (http.server.requests analog)
+        lines.append("# TYPE photon_request_duration_seconds histogram")
+        for ep, buckets in sorted(snap["buckets"].items()):
+            for le, n in zip(LATENCY_BUCKETS_S, buckets):
+                lines.append(
+                    f'photon_request_duration_seconds_bucket'
+                    f'{{endpoint="{ep}",le="{le}"}} {n}'
+                )
+            total = snap["requests"].get(ep, 0)
+            lines.append(
+                f'photon_request_duration_seconds_bucket'
+                f'{{endpoint="{ep}",le="+Inf"}} {total}'
+            )
+            lines.append(
+                f'photon_request_duration_seconds_count{{endpoint="{ep}"}} {total}'
+            )
+            lines.append(
+                f'photon_request_duration_seconds_sum{{endpoint="{ep}"}} '
+                f'{snap["time_seconds"].get(ep, 0.0)}'
+            )
         for name, v in sorted(snap["gauges"].items()):
             lines.append(f"# TYPE {name} gauge")
             lines.append(f"{name} {v}")

@@ -102,6 +102,94 @@ def test_reverse_only_mode(engine, corpus):
     assert NotFound.code == 404 and not issubclass(NotFound, BadRequest)
 
 
+# --------------------------------------------- request-time validation
+
+@pytest.mark.parametrize(
+    "bad", ["4 5.6", "abc", "ab..23", "a.b,c", "a.b,!c.d"]
+)
+def test_category_bad_values_400(api, bad):
+    """ApiIntegrationTest.testCategoryBadValues: include/exclude values
+    failing PhotonDoc.CATEGORY_PATTERN are a 400 at request time (vs
+    silent drop at import time)."""
+    with pytest.raises(BadRequest, match="Invalid category pattern"):
+        api.api({"q": "berlin", "include": [bad]})
+    with pytest.raises(BadRequest, match="Invalid category pattern"):
+        api.api({"q": "berlin", "exclude": [bad]})
+    with pytest.raises(BadRequest, match="Invalid category pattern"):
+        api.reverse({"repo": "r", "path": "p", "include": [bad]})
+
+
+@pytest.mark.parametrize("bad", ["bad", "NaN", "0.0", "-10.0", 0, -10])
+def test_reverse_bad_radius_400(api, bad):
+    """ApiIntegrationTest.testReverseBadRadius: non-numeric and
+    non-positive radii are rejected."""
+    with pytest.raises(BadRequest):
+        api.reverse({"repo": "r", "path": "p", "radius": bad})
+
+
+# ------------------------------------------------------------- metrics
+
+def test_metrics_404_when_disabled(engine):
+    """ApiMetricsTest.testMetricsEndpointReturns404WhenDisabled: the
+    endpoint only exists under -metrics-enable."""
+    with pytest.raises(NotFound):
+        SearchAPI(engine).metrics()
+
+
+def test_latency_histogram(engine, corpus):
+    """ApiMetricsTest.testMetricsEndpointExposesHttpRequestLatencyHistogram:
+    after real requests, /metrics carries le-labelled buckets plus the
+    _count/_sum summary series histogram_quantile() needs."""
+    import re
+
+    from photon_spark.metrics import ServingMetrics
+
+    m = ServingMetrics(index=engine)
+    api2 = SearchAPI(engine, metrics=m)
+    api2.api({"q": "retry"})
+    row = corpus.iloc[0]
+    api2.reverse({"repo": row.repo, "path": row.path})
+    text = api2.metrics()
+    assert re.search(
+        r'photon_request_duration_seconds_bucket\{[^}]*le="', text
+    )
+    for ep in ("api", "reverse"):
+        assert f'photon_request_duration_seconds_count{{endpoint="{ep}"}} 1' in text
+        assert f'photon_request_duration_seconds_sum{{endpoint="{ep}"}}' in text
+        # +Inf bucket equals the request count
+        assert (
+            f'photon_request_duration_seconds_bucket{{endpoint="{ep}",le="+Inf"}} 1'
+            in text
+        )
+
+
+# ---------------------------------------------------- default language
+
+def test_default_language_resolution(engine):
+    """ApiLanguageSelectionTest: -default-language wins over bare
+    'default' when neither param nor header resolves; an explicit
+    header still takes precedence; an unsupported default is rejected
+    at construction."""
+    from photon_spark.api import resolve_language
+
+    assert resolve_language({}, default_language="it") == "it"
+    assert (
+        resolve_language(
+            {"accept_language": "de-DE,de;q=0.9"}, default_language="it"
+        )
+        == "de"
+    )
+    # header with only-unsupported tags falls back to the default
+    assert resolve_language({"accept_language": "zz,yy"}, default_language="en") == "en"
+
+    api3 = SearchAPI(engine, default_language="it")
+    out = api3.api({"q": "retry"})
+    assert out["lang"] == "it"
+    # reverse carries language resolution too (BASE_URLS includes it)
+    with pytest.raises(BadRequest):
+        SearchAPI(engine, default_language="zz")
+
+
 # ------------------------------------------------- language import filter
 
 def test_language_import_filter(spark, corpus, tmp_path_factory):
