@@ -220,6 +220,42 @@ def resolve_language(
     return default_language if default_language else "default"
 
 
+class CorsPolicy:
+    """``-cors-any`` / ``-cors-origin`` graft (App.java:352-369;
+    ApiCorsTest): resolves the ``Access-Control-Allow-Origin``
+    response-header value for a request ``Origin``.
+
+    * unconfigured → always None (header absent, testNoCors)
+    * ``any`` → ``"*"`` for every origin (testCorsAny)
+    * a host list: an entry with an explicit scheme matches only that
+      URL; a bare host matches both ``http://host`` and
+      ``https://host`` (the reference adds two allow rules); the
+      echoed value is the REQUEST origin (testCorsOriginIsSetToSpecificDomain);
+      no match → None (testMismatchedCorsOriginsAreBlock)
+    """
+
+    def __init__(self, any_origin: bool = False, origins: list[str] | None = None):
+        self.any_origin = any_origin
+        allowed: set[str] = set()
+        for host in origins or []:
+            host = host.strip()
+            if not host:
+                continue
+            if "://" in host:
+                allowed.add(host)
+            else:
+                allowed.add(f"http://{host}")
+                allowed.add(f"https://{host}")
+        self.allowed = allowed
+
+    def allow_origin(self, request_origin: str | None) -> str | None:
+        if self.any_origin:
+            return "*"
+        if request_origin and request_origin in self.allowed:
+            return request_origin
+        return None
+
+
 class SearchAPI:
     """Bind an engine backend to the validated surface; optional
     :class:`photon_spark.metrics.ServingMetrics` records per-endpoint

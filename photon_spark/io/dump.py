@@ -1,64 +1,234 @@
 """JSON dump writer/reader — the graft of photon's dump format
 (reference: json/JsonDumper.java / json/JsonReader.java, format spec
-docs/json-dump-format-0.1.0.md: a header document + place documents,
-with an import-side country filter).
+docs/json-dump-format-0.1.0.md).
 
-Layout: ``<dump>/header.json`` (run metadata: format version, source
-description, row count, dump timestamp) + ``<dump>/docs/`` JSONL
-written by Spark (one JSON object per corpus row). ``read_dump``
-enforces the schema explicitly (no inference — the reference's
-mapping is static too) and applies the language filter (the country
-filter analog, JsonReader.java:63-70,116-118) — pushed into the scan.
+The dump is a stream of typed concatenated-JSON objects
+``{"type": ..., "content": ...}``:
+
+* the FIRST object must be a ``NominatimDumpFile`` header (format
+  version, generator, data timestamp, features),
+* an optional ``CountryInfo`` object carries the shared country
+  metadata (graft: the lang → display-name map, the S5 side input),
+* ``Place`` objects hold the data; their ``content`` is either one
+  place object or an ARRAY of place objects (JsonReaderTest.
+  testImportDocumentAsArray), and consumers MUST ignore unknown
+  types (spec §2).
+
+Spark layout: header + CountryInfo live in ``00_header.jsonl``
+(driver-written — the spec's "first object" has no distributed
+analog, so the stream prefix is its own file); ``docs/`` holds the
+Place objects as Spark-written JSONL. The reader validates the
+header on the driver and processes Places fully distributed
+(``get_json_object`` / ``from_json`` / ``explode`` — all Catalyst
+expressions, no Python in the row path), with
+
+* semver patch-level compatibility (spec §"Versioning": same
+  major.minor reads any lower patch),
+* place_id validation (≤60 chars of ``[A-Za-z0-9_-]``,
+  JsonReader.java place-id checks) enforced in-stream via
+  ``raise_error`` — the job fails on the first bad row instead of
+  silently importing it,
+* the import language filter (country-filter analog,
+  JsonReader.java:63-70,116-118): when active, rows of other
+  languages AND language-less rows are dropped
+  (testSimpleImportCountryFilterAgainstCoutrylessPlace).
 """
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
 import os
-import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-DUMP_FORMAT_VERSION = "0.1.0"  # mirrors docs/json-dump-format-0.1.0.md
+DUMP_FORMAT_VERSION = "0.1.0"  # docs/json-dump-format-0.1.0.md
+GENERATOR = "photon_spark"
 
 CORPUS_DDL = (
     "repo string, path string, commit string, lang string, "
     "content string, importance double"
 )
 
+# place object schema inside a Place's content array (graft mapping:
+# country_code = lang — the countrycode analog; repo/path/commit/
+# content are generator-custom fields, allowed alongside the spec's
+# SHOULD fields; extra stays a string map like the reference)
+_PLACE_DDL = (
+    "place_id string, object_type string, importance double, "
+    "country_code string, name map<string,string>, "
+    "categories array<string>, extra map<string,string>, "
+    "repo string, path string, commit string, content string"
+)
 
-def dump_corpus(df: DataFrame, out_dir: str, description: str = "") -> dict:
-    """Write the corpus as a JSON dump; returns the header."""
+_HEADER_FILE = "00_header.jsonl"
+
+
+def dump_corpus(
+    df: DataFrame,
+    out_dir: str,
+    description: str = "",
+    lang_names: dict[str, str] | None = None,
+) -> dict:
+    """Write the corpus as a typed JSON dump; returns the header
+    content (JsonDumper.java analog)."""
     if "importance" not in df.columns:
         df = df.withColumn("importance", F.lit(0.0))
-    cols = ["repo", "path", "commit", "lang", "content", "importance"]
-    df.select(*cols).write.mode("overwrite").json(os.path.join(out_dir, "docs"))
+    place = F.to_json(
+        F.array(
+            F.struct(
+                # hex sha2 prefix satisfies the place_id charset/length
+                F.substring(
+                    F.sha2(F.concat_ws("\x1f", "repo", "path", "commit"), 256),
+                    1, 40,
+                ).alias("place_id"),
+                F.lit("F").alias("object_type"),
+                F.col("importance"),
+                F.col("lang").alias("country_code"),
+                F.create_map(
+                    F.lit("default"), F.element_at(F.split("path", "/"), -1)
+                ).alias("name"),
+                "repo", "path", "commit", "content",
+            )
+        )
+    )
+    (
+        df.select(
+            F.concat(
+                F.lit('{"type":"Place","content":'), place, F.lit("}")
+            ).alias("value")
+        )
+        .write.mode("overwrite")
+        .text(os.path.join(out_dir, "docs"))
+    )
     n = df.count()
     header = {
-        "type": "header",
-        "format_version": DUMP_FORMAT_VERSION,
+        "version": DUMP_FORMAT_VERSION,
+        "generator": GENERATOR,
         "description": description,
         "n_rows": n,
-        "dumped_at": time.time(),
+        "data_timestamp": _dt.datetime.now(_dt.timezone.utc).isoformat(),
+        "features": {"sorted_by_country": False, "has_addresslines": False},
     }
-    with open(os.path.join(out_dir, "header.json"), "w") as f:
-        json.dump(header, f, indent=2)
+    with open(os.path.join(out_dir, _HEADER_FILE), "w") as f:
+        f.write(json.dumps({"type": "NominatimDumpFile", "content": header}) + "\n")
+        if lang_names:
+            f.write(
+                json.dumps(
+                    {
+                        "type": "CountryInfo",
+                        "content": [
+                            {"country_code": k, "name": {"default": v}}
+                            for k, v in sorted(lang_names.items())
+                        ],
+                    }
+                )
+                + "\n"
+            )
     return header
+
+
+def read_dump_header(dump_dir: str) -> tuple[dict, dict[str, str]]:
+    """Driver-side stream prefix: validate the NominatimDumpFile
+    object, collect the LAST CountryInfo (a repeated CountryInfo
+    completely replaces earlier ones, spec §4). Unknown types are
+    ignored. Returns (header content, lang → display-name map)."""
+    path = os.path.join(dump_dir, _HEADER_FILE)
+    if not os.path.exists(path):
+        raise ValueError(f"not a dump: missing {_HEADER_FILE} in {dump_dir}")
+    header: dict | None = None
+    lang_names: dict[str, str] = {}
+    with open(path) as f:
+        for i, line in enumerate(f):
+            line = line.strip()
+            if not line:
+                continue
+            obj = json.loads(line)
+            typ = obj.get("type")
+            if i == 0 and typ != "NominatimDumpFile":
+                raise ValueError(
+                    "first object in a dump must be NominatimDumpFile"
+                )
+            if typ == "NominatimDumpFile":
+                if header is not None:
+                    raise ValueError("repeated NominatimDumpFile header")
+                header = obj.get("content") or {}
+            elif typ == "CountryInfo":
+                lang_names = {
+                    c["country_code"]: (c.get("name") or {}).get("default", "")
+                    for c in obj.get("content") or []
+                }
+            # any other type: MUST ignore (spec §2)
+    if header is None:
+        raise ValueError("dump has no NominatimDumpFile header")
+    got = str(header.get("version", ""))
+    want_major_minor = DUMP_FORMAT_VERSION.rsplit(".", 1)[0]
+    parts = got.split(".")
+    ok = (
+        len(parts) == 3
+        and ".".join(parts[:2]) == want_major_minor
+        and parts[2].isdigit()
+        and int(parts[2]) <= int(DUMP_FORMAT_VERSION.rsplit(".", 1)[1])
+    )
+    if not ok:
+        raise ValueError(
+            f"unsupported dump format version {got!r} "
+            f"(reader supports {want_major_minor}.x up to {DUMP_FORMAT_VERSION})"
+        )
+    return header, lang_names
 
 
 def read_dump(
     spark: SparkSession, dump_dir: str, langs: list[str] | None = None
 ) -> DataFrame:
-    """Read a dump back (header-validated, fixed schema, optional
-    language filter — the country-filter analog)."""
-    with open(os.path.join(dump_dir, "header.json")) as f:
-        header = json.load(f)
-    if header.get("format_version") != DUMP_FORMAT_VERSION:
-        raise ValueError(
-            f"dump format {header.get('format_version')} != {DUMP_FORMAT_VERSION}"
-        )
-    df = spark.read.schema(CORPUS_DDL).json(os.path.join(dump_dir, "docs"))
+    """Read a dump back as the corpus shape (header-validated,
+    distributed typed-stream parse, optional language filter)."""
+    read_dump_header(dump_dir)  # raises on bad/missing/incompatible
+    raw = spark.read.text(os.path.join(dump_dir, "docs"))
+    typed = raw.select(
+        F.get_json_object("value", "$.type").alias("type"),
+        F.get_json_object("value", "$.content").alias("content"),
+    ).filter(F.col("type") == "Place")  # unknown types ignored
+    # content may be one object or an array of objects
+    arr = F.from_json(F.col("content"), f"array<struct<{_PLACE_DDL}>>")
+    single = F.from_json(F.col("content"), f"struct<{_PLACE_DDL}>")
+    places = typed.select(
+        F.explode(
+            F.when(arr.isNotNull(), arr).otherwise(F.array(single))
+        ).alias("p")
+    ).select("p.*")
+    # in-stream place_id validation (JsonReader: IOException on bad
+    # id). The check is fused into a SURVIVING output column — a
+    # standalone validated place_id column would be pruned by Catalyst
+    # (and the raise_error with it) since the corpus shape drops it.
+    bad = (
+        F.col("place_id").isNull()
+        | (F.length("place_id") > 60)
+        | ~F.col("place_id").rlike("^[A-Za-z0-9_-]+$")
+    )
+    checked_repo = F.when(
+        bad,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "place_id must only consist of letters, digits, "
+                    "_ or - and not exceed 60 chars: "
+                ),
+                F.coalesce(F.col("place_id"), F.lit("<null>")),
+            )
+        ),
+    ).otherwise(F.col("repo"))
+    out = places.select(
+        checked_repo.alias("repo"),
+        "path", "commit",
+        F.col("country_code").alias("lang"),
+        "content",
+        F.coalesce("importance", F.lit(0.0)).alias("importance"),
+    )
     if langs:
-        df = df.filter(F.lower(F.col("lang")).isin([l.lower() for l in langs]))
-    return df
+        # country filter: language-less places are dropped too
+        out = out.filter(
+            F.lower(F.col("lang")).isin([l.lower() for l in langs])
+        )
+    return out

@@ -190,6 +190,28 @@ def test_default_language_resolution(engine):
         SearchAPI(engine, default_language="zz")
 
 
+# ---------------------------------------------------------------- CORS
+
+def test_cors_policy():
+    """ApiCorsTest rows: unconfigured → no header; -cors-any → '*';
+    -cors-origin host list matches both schemes and echoes the request
+    origin; mismatches are blocked."""
+    from photon_spark.api import CorsPolicy
+
+    assert CorsPolicy().allow_origin("http://example.com") is None  # testNoCors
+    assert CorsPolicy(any_origin=True).allow_origin("http://example.com") == "*"
+
+    one = CorsPolicy(origins=["www.poole.ch"])
+    for scheme in ("http", "https"):  # testCorsOriginIsSetToSpecificDomain
+        assert one.allow_origin(f"{scheme}://www.poole.ch") == f"{scheme}://www.poole.ch"
+
+    multi = CorsPolicy(origins=["www.poole.ch", "alt.poole.ch"])
+    for origin in ("http://www.poole.ch", "https://alt.poole.ch"):
+        assert multi.allow_origin(origin) == origin  # ...MatchingDomain
+    assert multi.allow_origin("http://www.randomsite.com") is None  # ...Block
+    assert multi.allow_origin(None) is None
+
+
 # ------------------------------------------------- language import filter
 
 def test_language_import_filter(spark, corpus, tmp_path_factory):

@@ -53,28 +53,122 @@ def test_stream_updates_exactly_once(spark, corpus, tmp_path_factory):
 def test_dump_round_trip(spark, corpus, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("dump"))
     src = spark.createDataFrame(corpus.head(60))
-    header = dump_corpus(src, out, description="test dump")
+    header = dump_corpus(
+        src, out, description="test dump", lang_names={"python": "Python"}
+    )
     assert header["n_rows"] == 60
-    assert os.path.exists(os.path.join(out, "header.json"))
+    assert header["version"] == "0.1.0"
+    assert os.path.exists(os.path.join(out, "00_header.jsonl"))
 
     back = read_dump(spark, out)
     a = sorted(tuple(r) for r in src.select("repo", "path", "commit", "lang", "content").collect())
     b = sorted(tuple(r) for r in back.select("repo", "path", "commit", "lang", "content").collect())
     assert a == b
 
+    # CountryInfo round-trips the lang display-name side input (S5)
+    from photon_spark.io.dump import read_dump_header
+
+    h, lang_names = read_dump_header(out)
+    assert h["generator"] == "photon_spark"
+    assert lang_names == {"python": "Python"}
+
     only_py = read_dump(spark, out, langs=["python"])
     assert only_py.filter(F.col("lang") != "python").count() == 0
     assert only_py.count() == src.filter(F.col("lang") == "python").count()
 
 
-def test_dump_version_check(spark, corpus, tmp_path_factory):
+def _edit_header(out, fn):
     import json
 
+    hp = os.path.join(out, "00_header.jsonl")
+    lines = [json.loads(l) for l in open(hp) if l.strip()]
+    lines = fn(lines)
+    with open(hp, "w") as f:
+        for obj in lines:
+            f.write(json.dumps(obj) + "\n")
+
+
+def test_dump_version_check(spark, corpus, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("dump_bad"))
     dump_corpus(spark.createDataFrame(corpus.head(5)), out)
-    hp = os.path.join(out, "header.json")
-    h = json.load(open(hp))
-    h["format_version"] = "9.9.9"
-    json.dump(h, open(hp, "w"))
-    with pytest.raises(ValueError, match="format"):
+
+    def _set(ver):
+        def _fn(lines):
+            lines[0]["content"]["version"] = ver
+            return lines
+        return _fn
+
+    _edit_header(out, _set("9.9.9"))
+    with pytest.raises(ValueError, match="version"):
         read_dump(spark, out)
+    # semver patch-level compat: 0.1.x with x ≤ ours reads fine,
+    # higher patch or different minor does not (spec "Versioning")
+    _edit_header(out, _set("0.1.0"))
+    assert read_dump(spark, out).count() == 5
+    _edit_header(out, _set("0.1.1"))
+    with pytest.raises(ValueError, match="version"):
+        read_dump(spark, out)
+    _edit_header(out, _set("0.2.0"))
+    with pytest.raises(ValueError, match="version"):
+        read_dump(spark, out)
+
+
+def test_dump_typed_stream_semantics(spark, tmp_path_factory):
+    """JsonReaderTest grafts: content-as-array vs single object,
+    unknown types ignored, countryless rows dropped under a language
+    filter but kept without one, bad place_id fails the read."""
+    import json
+
+    out = str(tmp_path_factory.mktemp("dump_typed"))
+    os.makedirs(os.path.join(out, "docs"))
+    with open(os.path.join(out, "00_header.jsonl"), "w") as f:
+        f.write(json.dumps({
+            "type": "NominatimDumpFile",
+            "content": {"version": "0.1.0", "generator": "x"},
+        }) + "\n")
+
+    def place(pid, lang, path="src/a.py"):
+        return {
+            "place_id": pid, "object_type": "F", "importance": 0.5,
+            "country_code": lang, "repo": "org/r", "path": path,
+            "commit": "c" * 40, "content": "pass",
+        }
+
+    with open(os.path.join(out, "docs", "part-0.jsonl"), "w") as f:
+        # array content with TWO places (testImportDocumentAsArray)
+        f.write(json.dumps({
+            "type": "Place",
+            "content": [place("A1", "python"), place("A2", "java", "src/b.java")],
+        }) + "\n")
+        # single-object content (testSimpleImportDefault)
+        f.write(json.dumps({
+            "type": "Place", "content": place("B1", "go", "src/c.go"),
+        }) + "\n")
+        # language-less place (testSimpleImportCoutrylessPlace)
+        f.write(json.dumps({
+            "type": "Place", "content": place("C1", None, "src/d.md"),
+        }) + "\n")
+        # unknown type MUST be ignored (spec §2)
+        f.write(json.dumps({
+            "type": "myGen:Stats", "content": {"whatever": 1},
+        }) + "\n")
+
+    allrows = read_dump(spark, out)
+    assert allrows.count() == 4
+    assert allrows.filter(F.col("lang").isNull()).count() == 1
+
+    # filter drops other languages AND the countryless row
+    filtered = read_dump(spark, out, langs=["python", "java"])
+    assert sorted(r["path"] for r in filtered.collect()) == [
+        "src/a.py", "src/b.java"
+    ]
+
+    # invalid place_id → job failure (testPlaceIDInvalidCharacters)
+    with open(os.path.join(out, "docs", "part-0.jsonl"), "a") as f:
+        f.write(json.dumps({
+            "type": "Place", "content": place("a b@", "python"),
+        }) + "\n")
+    with pytest.raises(Exception, match="must only consist|USER_RAISED"):
+        # collect, not count: count() prunes every column and the
+        # in-stream check with it
+        read_dump(spark, out).collect()
