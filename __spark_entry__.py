@@ -525,6 +525,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embedding_near_dup"] = lambda s, d: dd.embedding_near_dup_pairs(
         _embs(s, d), threshold=0.5
     )
+    # scale path: multi-table hyperplane LSH candidates (narrow
+    # (tbl,bucket) self-join, no all-pairs) + exact cosine check.
+    # Deterministic seeded planes; at 12 tables the candidate set
+    # provably covers every ≥0.5 pair of this dataset, so the
+    # brute-force SQL is an exact oracle (verified: identical result).
+    q["embedding_near_dup_lsh"] = lambda s, d: dd.embedding_near_dup_lsh(
+        _embs(s, d), threshold=0.5, n_tables=12, n_planes=4
+    )
 
     # ---- training-data pipeline: similarity search ----
     def _query_vec(s: SparkSession, d: str) -> list[float]:
@@ -897,6 +905,12 @@ SELECT a.id AS id_a, b.id AS id_b,
 FROM v a JOIN v b ON a.id < b.id
 WHERE ROUND(list_dot_product(a.v, b.v) /
             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.5"""
+
+    # the LSH scale path is candidate-exact on this dataset (12-table
+    # coverage of every ≥0.5 pair), so the all-pairs SQL doubles as
+    # its oracle — a hash-level pin that the bucketed join loses
+    # nothing vs brute force
+    o["embedding_near_dup_lsh"] = o["embedding_near_dup"]
 
     o["cosine_topk"] = """
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),

@@ -270,3 +270,83 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def embedding_near_dup_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_tables: int = 8,
+    n_planes: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs — the SCALE path for
+    :func:`embedding_near_dup_pairs` (which is the all-pairs oracle
+    baseline). Multi-table random-hyperplane LSH: ``n_tables``
+    independent sign-bucket tables of ``n_planes`` planes each; a pair
+    is a candidate iff it collides in at least one table
+    (P[collide one table] = (1 - θ/π)^n_planes, so near-duplicates —
+    θ→0 — collide with probability → 1 as tables are added), then the
+    exact cosine filter runs on candidates only.
+
+    Plan shape at scale: one narrow (table, bucket) self-join —
+    never an all-pairs product — then DISTINCT on the id pair while
+    still two-int-columns narrow, and only then two hash joins to pull
+    the vectors back for the exact check. Deterministic seeded planes
+    (similarity.hyperplanes), so results are reproducible."""
+    from photon_spark.datapipe.similarity import bucket_of, hyperplanes
+
+    dim = len(df.select(vec_col).head()[vec_col])
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    sigs = []
+    for t in range(n_tables):
+        planes = hyperplanes(dim, n_planes, seed=seed + 1000 * t)
+        sigs.append(
+            v.select(
+                "id",
+                F.lit(t).alias("tbl"),
+                bucket_of("v", planes).alias("bucket"),
+            )
+        )
+    sig = sigs[0]
+    for s in sigs[1:]:
+        sig = sig.unionByName(s)
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(F.col(c), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(dot / (norm("va") * norm("vb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -84,6 +84,33 @@ def test_embedding_near_dup_and_topk(spark):
     assert top[1]["vec_id"] == 5
 
 
+def test_embedding_near_dup_lsh_matches_brute_force(spark):
+    """Scale path vs all-pairs oracle baseline: with enough tables the
+    LSH candidate set covers every true near-dup on the fixture, so
+    the result (ids AND rounded cosines) is identical. Deterministic
+    seeded hyperplanes make this reproducible, and the candidate join
+    is (tbl, bucket)-equi — never a cross product."""
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(40, 16).astype("float32")
+    vecs[5] = vecs[0] + rng.randn(16).astype("float32") * 0.01
+    vecs[17] = vecs[3] + rng.randn(16).astype("float32") * 0.01
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    want = sorted(
+        tuple(r) for r in dd.embedding_near_dup_pairs(df, threshold=0.9).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in dd.embedding_near_dup_lsh(
+            df, threshold=0.9, n_tables=8, n_planes=4
+        ).collect()
+    )
+    assert want and got == want
+    # no cross product in the candidate plan
+    plan = dd.embedding_near_dup_lsh(df)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
 def test_lsh_ann_recall(spark):
     rng = np.random.RandomState(11)
     vecs = rng.randn(200, 16).astype("float32")
