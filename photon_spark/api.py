@@ -148,10 +148,18 @@ def format_results(hits: list[dict]) -> dict[str, Any]:
     geometry becomes the file coordinate — repo/path/commit)."""
     features = []
     for h in hits:
+        props_opt = {}
+        # country-property analog: the lang display name (S5 side
+        # input). Emitted only when present — GeoJsonFormatter omits
+        # absent optional properties rather than writing nulls
+        # (GeoJsonFormatterTest containsEntry presence checks).
+        if h.get("lang_name"):
+            props_opt["lang_name"] = h["lang_name"]
         features.append(
             {
                 "type": "Feature",
                 "properties": {
+                    **props_opt,
                     "doc_id": h.get("doc_id"),
                     "repo": h.get("repo"),
                     "path": h.get("path"),

@@ -190,6 +190,37 @@ def test_default_language_resolution(engine):
         SearchAPI(engine, default_language="zz")
 
 
+# --------------------------------------------------- result formatting
+
+def test_lang_name_in_results(spark, tmp_path_factory):
+    """GeoJsonFormatter 'country' property analog: the lang display
+    name (S5 side input) appears in result properties when configured,
+    and the key is OMITTED (not null) otherwise — the reference
+    formatter skips absent optional properties."""
+    import pandas as pd
+
+    from photon_spark.index.build import build_index
+
+    pdf = pd.DataFrame(
+        [("org/x", "src/RetryThing.py", "a1" * 20, "python", "x", 0.5)],
+        columns=["repo", "path", "commit", "lang", "content", "importance"],
+    )
+    out = str(tmp_path_factory.mktemp("lnm")) + "/idx"
+    build_index(
+        spark, spark.createDataFrame(pdf), out,
+        lang_names={"python": "Python"},
+    )
+    api2 = SearchAPI(Index(spark, out, cache=False))
+    props = api2.api({"q": "retry"})["features"][0]["properties"]
+    assert props["lang_name"] == "Python"
+
+    out2 = str(tmp_path_factory.mktemp("lnm2")) + "/idx"
+    build_index(spark, spark.createDataFrame(pdf), out2)
+    api3 = SearchAPI(Index(spark, out2, cache=False))
+    props = api3.api({"q": "retry"})["features"][0]["properties"]
+    assert "lang_name" not in props
+
+
 # ---------------------------------------------------------------- CORS
 
 def test_cors_policy():
