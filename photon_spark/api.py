@@ -48,7 +48,7 @@ class BadRequest(ValueError):
     """Maps to HTTP 400 (reference returns BadRequestResponse)."""
 
 
-def _limit(params: dict) -> int:
+def _limit(params: dict, max_results: int = MAX_RESULTS) -> int:
     raw = params.get("limit", DEFAULT_LIMIT)
     try:
         limit = int(raw)
@@ -56,7 +56,7 @@ def _limit(params: dict) -> int:
         raise BadRequest(f"invalid limit: {raw!r}")
     if limit < 1:
         raise BadRequest("limit must be >= 1")
-    return min(limit, MAX_RESULTS)  # silently capped, RequestFactoryBase
+    return min(limit, max_results)  # silently capped, RequestFactoryBase
 
 
 def _validate_categories(vals: list, param: str) -> None:
@@ -71,7 +71,7 @@ def _validate_categories(vals: list, param: str) -> None:
             raise BadRequest(f"Invalid category pattern in '{param}'.")
 
 
-def validate_search(params: dict) -> dict:
+def validate_search(params: dict, max_results: int = MAX_RESULTS) -> dict:
     """Whitelist + shape checks for /api-analog requests."""
     unknown = set(params) - _SEARCH_PARAMS
     if unknown:
@@ -114,7 +114,7 @@ def validate_search(params: dict) -> dict:
             )
     return {
         "q": q,
-        "k": _limit(params),
+        "k": _limit(params, max_results),
         "filters": filters or None,
         "include": list(include),
         "exclude": list(exclude),
@@ -127,7 +127,9 @@ def validate_search(params: dict) -> dict:
     }
 
 
-def validate_structured(params: dict) -> tuple[StructuredQuery, int]:
+def validate_structured(
+    params: dict, max_results: int = MAX_RESULTS
+) -> tuple[StructuredQuery, int]:
     unknown = set(params) - _STRUCTURED_PARAMS
     if unknown:
         raise BadRequest(f"unknown parameters: {sorted(unknown)}")
@@ -140,7 +142,7 @@ def validate_structured(params: dict) -> tuple[StructuredQuery, int]:
     )
     if not sq.any_field():
         raise BadRequest("structured search needs at least one field")
-    return sq, _limit(params)
+    return sq, _limit(params, max_results)
 
 
 def format_results(hits: list[dict]) -> dict[str, Any]:
@@ -271,10 +273,15 @@ class SearchAPI:
 
     def __init__(
         self, backend, metrics=None, reverse_only=False,
-        default_language=None,
+        default_language=None, max_results=MAX_RESULTS,
+        max_reverse_results=MAX_RESULTS,
     ):
         self.backend = backend
         self._metrics = metrics
+        # -max-results / -max-reverse-results (ApiServerConfig.java:
+        # 42-50, both default 50): the silent limit caps, per endpoint
+        self.max_results = int(max_results)
+        self.max_reverse_results = int(max_reverse_results)
         # -reverse-only serving mode: only /reverse and /status stay
         # wired (App.java; ApiReverseOnlyTest.testSearchDisabled)
         self.reverse_only = reverse_only
@@ -309,7 +316,7 @@ class SearchAPI:
         self._check_search_enabled("api")
 
         def _run():
-            v = validate_search(params)
+            v = validate_search(params, self.max_results)
             hits = self.backend.search(
                 v["q"], k=v["k"], filters=v["filters"],
                 include=v["include"], exclude=v["exclude"], osm_tag=v["osm_tag"],
@@ -341,7 +348,7 @@ class SearchAPI:
         self._check_search_enabled("structured")
 
         def _run():
-            sq, k = validate_structured(params)
+            sq, k = validate_structured(params, self.max_results)
             return format_results(self.backend.structured_search(sq, k=k))
 
         return self._timed("structured", _run)
@@ -387,7 +394,11 @@ class SearchAPI:
                     )
             hits = self.backend.reverse(
                 params.get("repo") or "", params.get("path") or "",
-                k=_limit({"limit": params.get("limit", 1)}), radius=radius,
+                k=_limit(
+                    {"limit": params.get("limit", 1)},
+                    self.max_reverse_results,
+                ),
+                radius=radius,
                 osm_tag=list(params.get("osm_tag") or []) or None,
                 query_string=params.get("query_string_filter"),
                 layers=layers or None,

@@ -1,0 +1,77 @@
+"""spark-submit job: JSON dump export / import (the ``-export-file`` /
+``-import-file`` CLI analog; reference config options in
+ImportFilterConfig / App.java wire JsonDumper for export and
+JsonReader for import).
+
+Export (corpus parquet → typed JSON dump, spec 0.1.0):
+
+    spark-submit --py-files photon_spark.zip photon_spark/jobs/dump.py \\
+        export --input <parquet> --output <dump-dir> \\
+        [--languages en,de] [--description "..."]
+
+Import (typed JSON dump → index build):
+
+    spark-submit --py-files photon_spark.zip photon_spark/jobs/dump.py \\
+        import --input <dump-dir> --output <index-dir> \\
+        [--languages en,de]
+
+Import honors the dump's CountryInfo object (the language
+display-name side input) and applies ``--languages`` as the
+country-filter analog at the scan. Prints one JSON line of metrics.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("mode", choices=["export", "import"])
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--languages", default=None, help="comma list; import restriction (O7)")
+    p.add_argument("--description", default="")
+    p.add_argument("--partitions", type=int, default=None)
+    p.add_argument("--master", default=None)
+    args = p.parse_args(argv)
+
+    from photon_spark.session import get_spark
+
+    langs = [x for x in (args.languages or "").split(",") if x] or None
+    spark = get_spark(master=args.master, shuffle_partitions=args.partitions)
+    try:
+        if args.mode == "export":
+            from photon_spark.index.build import apply_language_filter
+            from photon_spark.io.dump import dump_corpus
+
+            src = apply_language_filter(spark.read.parquet(args.input), langs)
+            header = dump_corpus(src, args.output, description=args.description)
+            print(json.dumps({"mode": "export", **header}))
+        else:
+            from photon_spark.index.checkpoint import build_index_resumable
+            from photon_spark.io.dump import read_dump, read_dump_header
+
+            _, lang_names = read_dump_header(args.input)
+            src = read_dump(spark, args.input, langs=langs)
+            meta = build_index_resumable(
+                spark, src, args.output,
+                languages=langs, lang_names=lang_names or None,
+            )
+            print(json.dumps({"mode": "import", **{
+                k: meta.get(k)
+                for k in ("n_input_files", "n_docs", "build_seconds",
+                          "files_per_sec", "languages")
+            }}))
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -190,6 +190,20 @@ def test_default_language_resolution(engine):
         SearchAPI(engine, default_language="zz")
 
 
+# ------------------------------------------------- configurable limits
+
+def test_max_results_config(engine, corpus):
+    """-max-results / -max-reverse-results (ApiServerConfig.java:42-50):
+    per-endpoint silent caps on the limit param."""
+    capped = SearchAPI(engine, max_results=3, max_reverse_results=2)
+    assert len(capped.api({"q": "parse config value", "limit": 50})["features"]) <= 3
+    row = corpus.iloc[0]
+    rv = capped.reverse({"repo": row.repo, "path": row.path, "limit": 50})
+    assert len(rv["features"]) <= 2
+    # default stays at the reference's 50
+    assert SearchAPI(engine).max_results == 50
+
+
 # --------------------------------------------------- result formatting
 
 def test_lang_name_in_results(spark, tmp_path_factory):

@@ -172,3 +172,43 @@ def test_dump_typed_stream_semantics(spark, tmp_path_factory):
         # collect, not count: count() prunes every column and the
         # in-stream check with it
         read_dump(spark, out).collect()
+
+
+def test_dump_job_cli_round_trip(spark, corpus, tmp_path_factory):
+    """jobs/dump.py — the -export-file / -import-file CLI analog:
+    parquet → typed dump → index build, each as its own spark-submit
+    style process; import honors the language restriction."""
+    import json as _json
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    base = tmp_path_factory.mktemp("dumpjob")
+    src_pq = str(base / "src.parquet")
+    dump_dir = str(base / "dump")
+    idx_dir = str(base / "idx")
+    spark.createDataFrame(corpus.head(40)).write.parquet(src_pq)
+
+    def run(*args):
+        out = subprocess.run(
+            [sys.executable, "photon_spark/jobs/dump.py", *args,
+             "--master", "local[2]", "--partitions", "4"],
+            cwd=root, capture_output=True, text=True, timeout=300,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        return _json.loads(
+            [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        )
+
+    h = run("export", "--input", src_pq, "--output", dump_dir)
+    assert h["mode"] == "export" and h["n_rows"] == 40
+
+    m = run("import", "--input", dump_dir, "--output", idx_dir,
+            "--languages", "python,java")
+    assert m["mode"] == "import" and m["languages"] == ["java", "python"]
+
+    from photon_spark.query.executor import Index
+
+    idx = Index(spark, idx_dir, cache=False)
+    langs = {r["lang"] for r in idx.docs().select("lang").distinct().collect()}
+    assert langs <= {"python", "java"} and idx.n_docs > 0
