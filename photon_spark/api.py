@@ -48,6 +48,14 @@ class BadRequest(ValueError):
     """Maps to HTTP 400 (reference returns BadRequestResponse)."""
 
 
+class QueryTimeout(RuntimeError):
+    """``-query-timeout`` exceeded (the reference passes the timeout to
+    the OpenSearch client and surfaces the search failure as a 5xx);
+    the in-flight Spark jobs are cancelled, not abandoned."""
+
+    code = 504
+
+
 def _limit(params: dict, max_results: int = MAX_RESULTS) -> int:
     raw = params.get("limit", DEFAULT_LIMIT)
     try:
@@ -274,7 +282,7 @@ class SearchAPI:
     def __init__(
         self, backend, metrics=None, reverse_only=False,
         default_language=None, max_results=MAX_RESULTS,
-        max_reverse_results=MAX_RESULTS,
+        max_reverse_results=MAX_RESULTS, query_timeout_s=None,
     ):
         self.backend = backend
         self._metrics = metrics
@@ -293,6 +301,11 @@ class SearchAPI:
                 f"supported: {SUPPORTED_LANGUAGES}"
             )
         self.default_language = default_language
+        # -query-timeout (seconds, None = unlimited): endpoint work runs
+        # under a Spark job group; on expiry the group is CANCELLED so
+        # executor slots free immediately instead of finishing a dead
+        # request's scan
+        self.query_timeout_s = query_timeout_s
 
     def _check_search_enabled(self, endpoint: str) -> None:
         if self.reverse_only:
@@ -303,7 +316,7 @@ class SearchAPI:
 
         t0 = _time.monotonic()
         try:
-            out = fn()
+            out = self._with_timeout(endpoint, fn)
         except Exception:
             if self._metrics is not None:
                 self._metrics.record(endpoint, _time.monotonic() - t0, error=True)
@@ -311,6 +324,46 @@ class SearchAPI:
         if self._metrics is not None:
             self._metrics.record(endpoint, _time.monotonic() - t0)
         return out
+
+    def _with_timeout(self, endpoint: str, fn):
+        """Run ``fn`` under the configured query timeout: the work
+        executes in a worker thread that FIRST claims a Spark job
+        group (job groups are thread-local), so an expiry can
+        ``cancelJobGroup`` and the engine's in-flight stages die with
+        the request. No timeout configured → plain call."""
+        if not self.query_timeout_s:
+            return fn()
+        sc = getattr(getattr(self.backend, "spark", None), "sparkContext", None)
+        import threading
+
+        group = f"photon-api-{endpoint}-{id(fn)}-{threading.get_ident()}"
+        result: list = []
+        error: list = []
+
+        def _run():
+            try:
+                if sc is not None:
+                    sc.setJobGroup(group, f"/{endpoint} request", True)
+                result.append(fn())
+            except Exception as e:  # surfaced below (incl. cancellation)
+                error.append(e)
+            finally:
+                if sc is not None:
+                    sc.setLocalProperty("spark.jobGroup.id", None)
+
+        t = threading.Thread(target=_run, daemon=True)
+        t.start()
+        t.join(self.query_timeout_s)
+        if t.is_alive():
+            if sc is not None:
+                sc.cancelJobGroup(group)
+            t.join(5.0)
+            raise QueryTimeout(
+                f"/{endpoint} exceeded query timeout of {self.query_timeout_s}s"
+            )
+        if error:
+            raise error[0]
+        return result[0]
 
     def api(self, params: dict) -> dict:
         self._check_search_enabled("api")

@@ -190,6 +190,37 @@ def test_default_language_resolution(engine):
         SearchAPI(engine, default_language="zz")
 
 
+# --------------------------------------------------------- query timeout
+
+def test_query_timeout(engine):
+    """-query-timeout analog: a request past the budget raises
+    QueryTimeout AND cancels its Spark job group (the worker claims the
+    group before launching, so cancellation reaches in-flight stages);
+    a generous budget leaves results unaffected."""
+    from photon_spark.api import QueryTimeout
+
+    fast = SearchAPI(engine, query_timeout_s=60.0)
+    assert fast.api({"q": "retry"})["features"]
+
+    slow = SearchAPI(engine, query_timeout_s=0.001)
+    with pytest.raises(QueryTimeout, match="timeout"):
+        slow.api({"q": "parse config value"})
+    assert QueryTimeout.code == 504
+
+    # the timeout error is an error in the metrics surface
+    from photon_spark.metrics import ServingMetrics
+
+    m = ServingMetrics(index=engine)
+    slow2 = SearchAPI(engine, metrics=m, query_timeout_s=0.001)
+    with pytest.raises(QueryTimeout):
+        slow2.api({"q": "parse config value"})
+    snap = m.snapshot()
+    assert snap["errors"].get("api") == 1
+
+    # the engine stays healthy after a cancellation
+    assert fast.api({"q": "retry"})["features"]
+
+
 # ------------------------------------------------- configurable limits
 
 def test_max_results_config(engine, corpus):
