@@ -582,6 +582,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_metadata"] = _mm_metadata
 
+    # ORACLED: frame-sampling kernel metadata — the mapInPandas
+    # fan-out (one row per sampled frame) must reproduce the pure
+    # arithmetic the DuckDB twin derives from the synthetic payload
+    # sizes (n_frames = 1 + n_bytes % 300, stride-10 indices); the
+    # frame payloads themselves stay stub-only like decode
+    q["multimodal_frame_sample"] = lambda s, d: mm.extract_sampled_frames(
+        mm.synth_media(s, n=64), every_n=10, fake=True
+    ).select("media_id", "n_frames", "frame_idx")
+
     # ---- engine-native full search (rows-only; pytest rank-identity) ----
     q["engine_search_full"] = lambda s, d: _engine_search_df(s, d, "table merge stream", k=10)
     q["engine_search_short"] = lambda s, d: _engine_search_df(s, d, "tab", k=10)
@@ -1078,6 +1087,23 @@ SELECT media_id,
        octet_length(unhex(payload_hex)) AS n_bytes,
        payload_hex
 FROM blobs"""
+
+    # frame-sampling twin: videos are media_id % 3 = 2; synthetic
+    # payloads are 32·(4 + id mod 7) bytes so the stub frame count is
+    # closed-form; stride-10 sampling = range arithmetic
+    o["multimodal_frame_sample"] = """
+WITH idx AS (SELECT unnest(range(0, 64)) AS media_id),
+v AS (
+  SELECT media_id,
+         CAST(1 + (32 * (4 + media_id % 7)) % 300 AS INTEGER) AS n_frames
+  FROM idx WHERE media_id % 3 = 2
+),
+f AS (
+  SELECT media_id, n_frames,
+         unnest(range(0, n_frames, 10)) AS frame_idx
+  FROM v
+)
+SELECT media_id, n_frames, CAST(frame_idx AS INTEGER) AS frame_idx FROM f"""
 
     # ---- flagship engine-native search oracles ----------------------
     # The STRICT full-query plan (VERDICT r2 #1) is closed-form over

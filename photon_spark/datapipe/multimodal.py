@@ -175,7 +175,54 @@ def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
     feats = df.filter(F.col("kind") == "video")
     return feats.select(
         "media_id",
+        "n_frames",
         F.explode(
             F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
         ).alias("frame_idx"),
     )
+
+
+FRAME_SCHEMA = "media_id long, n_frames int, frame_idx int, payload binary"
+
+
+def extract_sampled_frames(
+    df: DataFrame, every_n: int = 10, fake: bool = True
+) -> DataFrame:
+    """Frame extraction over video payloads: one output row per
+    sampled frame (every ``every_n``-th), payload = the frame bytes.
+    The video decode is the same declared STUB as ``decode_image``
+    (no video library in this container — the fake path derives a
+    deterministic per-frame payload from md5(blob ‖ frame index)); the
+    Spark plumbing is the deployment shape: video-only filter BEFORE
+    the kernel, Arrow-batched ``mapInPandas``, row fan-out inside the
+    kernel (a 300-frame video emits 30 rows from one input row), and
+    the sampling arithmetic identical to the pure-column
+    :func:`frame_sample` plan (pinned by the oracled
+    ``multimodal_frame_sample`` metadata entry)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "media_id": [], "n_frames": [], "frame_idx": [], "payload": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                blob = bytes(payload)
+                # stub frame count — same formula as extract_features
+                n = 1 + len(blob) % 300
+                for idx in range(0, n, every_n):
+                    if fake:
+                        frame = hashlib.md5(
+                            blob + idx.to_bytes(4, "big")
+                        ).digest()
+                    else:  # pragma: no cover - needs a video library
+                        raise NotImplementedError(
+                            "video decoding requires a media library "
+                            "(absent in this container); pass fake=True"
+                        )
+                    rows["media_id"].append(mid)
+                    rows["n_frames"].append(n)
+                    rows["frame_idx"].append(idx)
+                    rows["payload"].append(bytearray(frame))
+            yield pd.DataFrame(rows)
+
+    return df.filter(F.col("kind") == "video").mapInPandas(kernel, FRAME_SCHEMA)

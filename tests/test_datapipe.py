@@ -164,6 +164,24 @@ def test_multimodal_plumbing(spark):
     assert all(f["frame_idx"] % 50 == 0 for f in frames)
 
 
+def test_frame_extraction_matches_plan(spark):
+    """extract_sampled_frames (mapInPandas fan-out kernel) emits
+    exactly the rows the pure-column frame_sample plan predicts, with
+    a deterministic distinct payload per frame."""
+    media = mm.synth_media(spark, n=12)
+    fdf = mm.extract_features(media, fake=True)
+    plan = {
+        (r["media_id"], r["n_frames"], r["frame_idx"])
+        for r in mm.frame_sample(fdf, every_n=10).collect()
+    }
+    got_rows = mm.extract_sampled_frames(media, every_n=10).collect()
+    got = {(r["media_id"], r["n_frames"], r["frame_idx"]) for r in got_rows}
+    assert plan and got == plan
+    one_id = got_rows[0]["media_id"]
+    one = [r for r in got_rows if r["media_id"] == one_id]
+    assert len({bytes(r["payload"]) for r in one}) == len(one)
+
+
 def test_ivf_ann(spark):
     rng = np.random.RandomState(5)
     centers = rng.randn(8, 16) * 4
