@@ -393,9 +393,14 @@ class Index:
         a non-ASCII lang filter must hit the folded indexed term, not
         silently miss.
 
-        One posting scan + one groupBy regardless of value count: each
-        posting row's key-group is derived from the ``key:`` term
-        prefix and a doc passes iff it hits every distinct group."""
+        One posting scan + ONE groupBy regardless of value count: the
+        known filter keys (``lang``, ``repo``) are single-valued per
+        doc, so a doc holds at most one posting per key-group and a
+        plain ``count`` equals the per-group distinct count — the
+        ``countDistinct`` formulation compiles to an Expand + two
+        Exchanges (double shuffle) that the invariant makes pure
+        waste. An unknown (potentially multi-valued) key falls back
+        to the distinct count for safety."""
         if not filters:
             return None
         from photon_spark.analysis.folding import fold
@@ -412,10 +417,15 @@ class Index:
             }
         )
         p = self.postings(FIELD_KEYWORD, terms)
+        single_valued = set(filters) <= {"lang", "repo"}
+        grp = F.substring_index("term", ":", 1)
+        nf = (
+            F.count(F.lit(1)) if single_valued else F.countDistinct(grp)
+        ).alias("nf")
         return (
-            p.withColumn("grp", F.substring_index("term", ":", 1))
+            p.withColumn("grp", grp)
             .groupBy("doc")
-            .agg(F.countDistinct("grp").alias("nf"))
+            .agg(nf)
             .filter(F.col("nf") == n_groups)
             .select("doc")
         )

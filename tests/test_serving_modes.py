@@ -76,6 +76,17 @@ def test_countrycode_filter_translation(api):
     assert len(upper["features"]) == len(one["features"])
 
 
+def test_filter_docs_single_shuffle_plan(engine):
+    """The lang/repo filter context is ONE pruned scan + ONE shuffle:
+    single-valued keys let a plain count stand in for the per-group
+    distinct count (countDistinct would compile to Expand + two
+    Exchanges)."""
+    fd = engine.filter_docs({"lang": ["python", "java"], "repo": ["org/r"]})
+    plan = fd._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "Expand" not in plan
+
+
 def test_validate_search_multi_value_passthrough():
     v = validate_search({"q": "x", "lang": ["python", "java"], "repo": "r1"})
     assert v["filters"] == {"lang": ["python", "java"], "repo": "r1"}
