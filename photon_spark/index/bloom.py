@@ -1,0 +1,149 @@
+"""Driver-side term-membership bloom filter — the Lucene
+``BloomFilteringPostingsFormat`` analog (Lucene wraps a postings
+format with a per-field bloom so absent-term lookups skip the terms
+dictionary entirely; photon's OpenSearch backend inherits it for the
+``_id`` field).
+
+Here the bloom answers ``definitely_absent(field, term)`` on the
+DRIVER, which lets the planner prove a pass empty before launching
+its evaluator job (plan.provably_empty): the strict pass of a typo
+query, or both passes of a fully out-of-vocabulary query, cost a
+dictionary-membership bit-test instead of a full postings-scan job.
+One-sided error by construction: a false positive only forfeits the
+shortcut (the evaluator then returns [] the slow way); a "definitely
+absent" answer is exact, so results never change.
+
+Build shape (scale notes): one ``mapInPandas`` pass over the
+dictionary's (field, term) pairs. The kernel accumulates ONE bitmap
+per PARTITION across its Arrow batches and emits a single packed-row
+per partition — the shuffle-free reduce is then an OR over
+``n_partitions`` bitmaps on the driver (coalesce bounds the row
+count). The artifact is ~``m/8`` bytes and must fit driver memory to
+be useful at all, so the build's driver cost is the same order as the
+artifact itself. At 10^9+ terms, size ``fp_rate`` up (Lucene defaults
+to ~10 bits/term ≈ 1% fp; 0.05 halves the footprint) or scope the
+bloom to the non-ngram fields.
+
+Consistency rule: the bloom must remain a SUPERSET of live dictionary
+terms. Deletes/compaction only remove terms (supersets stay valid);
+the updater must ADD its delta vocabulary via :func:`add_terms`
+before serving reads the new segments.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+
+import numpy as np
+
+BLOOM_FILE = "term_bloom.npz"
+
+
+def _hash_pair(field: str, term: str) -> tuple[int, int]:
+    d = hashlib.md5(f"{field}\x1f{term}".encode("utf-8", "surrogatepass")).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:16], "big") | 1  # odd → full-period stride
+    return h1, h2
+
+
+def _positions(field: str, term: str, m: int, k: int) -> list[int]:
+    h1, h2 = _hash_pair(field, term)
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def _params(n: int, fp_rate: float) -> tuple[int, int]:
+    n = max(1, n)
+    m = max(1024, int(-n * math.log(fp_rate) / (math.log(2) ** 2)))
+    k = max(1, round(m / n * math.log(2)))
+    return m, min(k, 16)
+
+
+class TermBloom:
+    """Loaded bloom artifact; bit-test only (no Spark)."""
+
+    def __init__(self, bits: np.ndarray, m: int, k: int, n: int):
+        self.bits = bits  # packed uint8, ceil(m/8) bytes
+        self.m = int(m)
+        self.k = int(k)
+        self.n = int(n)
+
+    def definitely_absent(self, field: str, term: str) -> bool:
+        for p in _positions(field, term, self.m, self.k):
+            if not (self.bits[p >> 3] >> (p & 7)) & 1:
+                return True
+        return False
+
+    def add(self, field: str, term: str) -> None:
+        for p in _positions(field, term, self.m, self.k):
+            self.bits[p >> 3] |= np.uint8(1 << (p & 7))
+
+    def save(self, index_dir: str) -> None:
+        tmp = os.path.join(index_dir, BLOOM_FILE + ".tmp")
+        with open(tmp, "wb") as f:
+            np.savez_compressed(f, bits=self.bits, m=self.m, k=self.k, n=self.n)
+        os.replace(tmp, os.path.join(index_dir, BLOOM_FILE))
+
+    @classmethod
+    def load(cls, index_dir: str) -> "TermBloom | None":
+        path = os.path.join(index_dir, BLOOM_FILE)
+        if not os.path.exists(path):
+            return None
+        with np.load(path) as z:
+            return cls(z["bits"].copy(), int(z["m"]), int(z["k"]), int(z["n"]))
+
+
+def build_bloom(
+    dictionary_df, out_dir: str, n_terms: int | None = None,
+    fp_rate: float = 0.01, reduce_partitions: int = 32,
+) -> TermBloom:
+    """Distributed bloom build over the dictionary's (field, term)
+    pairs; writes ``term_bloom.npz`` into ``out_dir`` and returns the
+    loaded filter. ``n_terms`` sizes the filter (counted if omitted —
+    one cheap agg over the dictionary)."""
+    import pandas as pd
+
+    if n_terms is None:
+        n_terms = dictionary_df.count()
+    m, k = _params(n_terms, fp_rate)
+    n_bytes = (m + 7) // 8
+
+    def kernel(batches):
+        # ONE bitmap per partition: the iterator spans every Arrow
+        # batch of the partition, so the task emits a single row
+        bits = np.zeros(n_bytes, dtype=np.uint8)
+        for pdf in batches:
+            for field, term in zip(pdf["field"], pdf["term"]):
+                h1, h2 = _hash_pair(str(field), str(term))
+                for i in range(k):
+                    p = (h1 + i * h2) % m
+                    bits[p >> 3] |= np.uint8(1 << (p & 7))
+        yield pd.DataFrame({"bits": [bits.tobytes()]})
+
+    parts = (
+        dictionary_df.select("field", "term")
+        .coalesce(reduce_partitions)
+        .mapInPandas(kernel, "bits binary")
+        .collect()
+    )
+    acc = np.zeros(n_bytes, dtype=np.uint8)
+    for row in parts:
+        acc |= np.frombuffer(row["bits"], dtype=np.uint8)
+    bloom = TermBloom(acc, m, k, n_terms)
+    bloom.save(out_dir)
+    return bloom
+
+
+def add_terms(index_dir: str, pairs) -> TermBloom | None:
+    """Updater hook: fold a delta vocabulary (iterable of
+    (field, term)) into the persisted bloom, atomically. Keeps the
+    superset invariant across CDC batches; no-op when no bloom was
+    built."""
+    bloom = TermBloom.load(index_dir)
+    if bloom is None:
+        return None
+    for field, term in pairs:
+        bloom.add(field, term)
+    bloom.save(index_dir)
+    return bloom

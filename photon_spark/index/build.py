@@ -48,7 +48,7 @@ from photon_spark.index.codec import encode_blocks_bulk
 # 2.3: user categories column (O8) + extra map in docs
 # 2.3.0-2: O8 dot-path validation (malformed categories dropped at
 #          ingestion; comma-joined values split)
-INDEX_FORMAT_VERSION = "2.3.0-2"
+INDEX_FORMAT_VERSION = "2.4.0"  # 2.4: term_bloom.npz membership artifact
 
 DEFAULT_BLOCK_SIZE = 128
 DEFAULT_N_BUCKETS = 64
@@ -716,21 +716,35 @@ def build_index(
             os.path.join(out_dir, "postings")
         )
 
-    if deletions:
-        from concurrent.futures import ThreadPoolExecutor
+    def _write_bloom() -> None:
+        # term-membership bloom (BloomFilteringPostingsFormat analog):
+        # reads the just-written dictionary, one mapInPandas pass
+        from photon_spark.index.bloom import build_bloom
 
+        build_bloom(
+            spark.read.parquet(os.path.join(out_dir, "dictionary")),
+            out_dir,
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    if deletions:
         from photon_spark.index.deletions import build_deletion_index
 
-        with ThreadPoolExecutor(max_workers=2) as ex:
+        with ThreadPoolExecutor(max_workers=3) as ex:
             futs = [
                 ex.submit(_write_postings),
                 ex.submit(build_deletion_index, spark, out_dir),
+                ex.submit(_write_bloom),
             ]
             for f in futs:
                 f.result()
         stage_s["postings+deletions"] = round(time.time() - t_stage, 3)
     else:
-        _write_postings()
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            futs = [ex.submit(_write_postings), ex.submit(_write_bloom)]
+            for f in futs:
+                f.result()
         stage_s["postings"] = round(time.time() - t_stage, 3)
 
     tokens.unpersist()

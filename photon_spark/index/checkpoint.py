@@ -286,6 +286,19 @@ def build_index_resumable(
         n_var = build_deletion_index(spark, out_dir)
         st.mark("deletions", {"n_variants": n_var, "wall_s": time.time() - t0})
 
+    # ---- stage: term bloom (membership shortcut, checkpointed) ------
+    if st.done("bloom") is None:
+        from photon_spark.index.bloom import build_bloom
+
+        t0 = time.time()
+        bloom = build_bloom(
+            spark.read.parquet(os.path.join(out_dir, "dictionary")), out_dir
+        )
+        st.mark(
+            "bloom",
+            {"n_terms": bloom.n, "m_bits": bloom.m, "wall_s": time.time() - t0},
+        )
+
     # ---- stage: finalize (meta + lineage + metrics tables) ----------
     elapsed = time.time() - t_start
     # per-group row counts in TWO metadata-only jobs (not per-group)

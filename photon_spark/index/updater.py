@@ -300,6 +300,22 @@ def apply_updates(
             .partitionBy("field")
             .parquet(os.path.join(index_dir, "postings_delta", f"seg={seg}"))
         )
+        # keep the term bloom a SUPERSET of live terms (index/bloom.py
+        # consistency rule): fold the delta vocabulary in before the
+        # new segment becomes readable. O(delta vocab) driver work —
+        # the same order as the dict_delta collect-free write above is
+        # distributed, but the bloom itself is a driver artifact.
+        from photon_spark.index.bloom import add_terms
+
+        add_terms(
+            index_dir,
+            (
+                (r["field"], r["term"])
+                for r in spark.read.parquet(
+                    os.path.join(index_dir, "dictionary_delta", f"seg={seg}")
+                ).select("field", "term").collect()
+            ),
+        )
 
     # tombstones: ordinals that died in this batch (affected
     # identities whose ord is no longer live). O(batch) rows — the
@@ -481,6 +497,16 @@ def merge_segments(spark: SparkSession, index_dir: str) -> dict:
         from photon_spark.index.deletions import build_deletion_index
 
         build_deletion_index(spark, index_dir)
+    # rebuild the term bloom from the exact merged dictionary: the
+    # superset invariant held throughout, but merged-away terms are
+    # accumulated false positives until re-sized here
+    from photon_spark.index.bloom import BLOOM_FILE, build_bloom
+
+    if os.path.exists(os.path.join(index_dir, BLOOM_FILE)):
+        build_bloom(
+            spark.read.parquet(os.path.join(index_dir, "dictionary")),
+            index_dir,
+        )
     return {"merged_segments": n_segs, "n_docs": meta["n_docs"]}
 
 

@@ -152,6 +152,12 @@ class OracleIndex:
             if min_len <= len(t) <= max_len and t.startswith(prefix)
         )
 
+    def definitely_absent(self, field: str, term: str) -> bool:
+        """Exact twin of Index.definitely_absent (the engine's bloom
+        has one-sided error; here membership is exact, which is a
+        valid instance of the same contract)."""
+        return term not in self.postings.get(field, {})
+
     def fuzzy_candidates(
         self, field: str, token: str, edits: int, prefix_len: int
     ) -> list[str]:

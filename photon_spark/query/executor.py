@@ -122,6 +122,9 @@ class Index:
         # ordinal space bound (dense segment docIDs; grows with delta
         # segments, never reused)
         self.next_ord: int = self.meta.get("next_ord", self.meta["n_docs"])
+        # term-membership bloom (BloomFilteringPostingsFormat analog;
+        # index/bloom.py): lazy-loaded, None when the index predates it
+        self._bloom = ...  # sentinel: not loaded yet
         pcols = [
             "field", "term", "min_doc", "max_doc", "n", "max_tf",
             "doc_bytes", "tf_bytes",
@@ -377,6 +380,22 @@ class Index:
 
     def docs(self) -> DataFrame:
         return self._docs_df
+
+    # ---------------- term membership (bloom) ----------------
+
+    def definitely_absent(self, field: str, term: str) -> bool:
+        """Driver-side dictionary-membership test with one-sided
+        error (index/bloom.py): True means the term provably has no
+        postings, so a plan requiring it can skip its evaluator job
+        (plan.provably_empty). False = present OR bloom false-positive
+        OR no bloom built — every one of which safely runs the job."""
+        if self._bloom is ...:
+            from photon_spark.index.bloom import TermBloom
+
+            self._bloom = TermBloom.load(self.dir)
+        if self._bloom is None:
+            return False
+        return self._bloom.definitely_absent(field, term)
 
     # ---------------- filter context ----------------
 

@@ -90,6 +90,74 @@ class Exists:
 PlanNode = Match | DisMax | Bool | FnMul | Exists
 
 
+def _has_live_expansion(node: "PlanNode", absent) -> bool:
+    """True if ANY Match expansion in the tree might have postings.
+    Candidates materialize only from scoring rows (positive Exists
+    markers and FnMul filter terms never create rows on their own),
+    so a tree with no live expansion is runtime-empty no matter what
+    the presence logic says."""
+    if isinstance(node, Match):
+        return any(
+            t
+            for c in node.clauses
+            for t, _ in c.expansions
+            if absent is None or not absent(node.field, t)
+        )
+    if isinstance(node, DisMax):
+        return any(_has_live_expansion(c, absent) for c in node.children)
+    if isinstance(node, FnMul):
+        return _has_live_expansion(node.query, absent)
+    if isinstance(node, Bool):
+        return any(
+            _has_live_expansion(c, absent) for c in node.must + node.should
+        )
+    return False  # Exists
+
+
+def _node_empty(node: "PlanNode", absent) -> bool:
+    """Provably-zero-candidates check per node (see
+    SearchPlan.provably_empty). Mirrors evaluator presence semantics:
+    a Match scores rows only for expansions with postings, so an AND
+    match with a no-postings clause can never reach nm == n_clauses,
+    and an OR/msm match whose every expansion lacks postings produces
+    no rows at all. ``absent(field, term) -> bool`` is the
+    one-sided-error membership test (bloom on the engine, exact dict
+    on the oracle); expansions it cannot rule out count as present.
+    Exists nodes are satisfiable without scoring rows — never
+    provably empty here."""
+
+    def clause_empty(field: str, c: Clause) -> bool:
+        if not c.expansions:
+            return True
+        if absent is None:
+            return False
+        return all(absent(field, t) for t, _ in c.expansions)
+
+    if isinstance(node, Match):
+        if not node.clauses:
+            # zero clauses ⇒ zero required matches: trivially
+            # SATISFIED (the lenient planner emits such nodes when a
+            # branch contributes no constraints), never empty
+            return False
+        if node.operator == "and":
+            return any(clause_empty(node.field, c) for c in node.clauses)
+        return all(clause_empty(node.field, c) for c in node.clauses)
+    if isinstance(node, DisMax):
+        return all(_node_empty(c, absent) for c in node.children)
+    if isinstance(node, FnMul):
+        return _node_empty(node.query, absent)
+    if isinstance(node, Bool):
+        scoring_must = [m for m in node.must if not isinstance(m, Exists)]
+        if scoring_must:
+            return any(_node_empty(m, absent) for m in scoring_must)
+        if any(isinstance(m, Exists) and not m.negate for m in node.must):
+            return False  # a positive exists may surface docs itself
+        if node.should:
+            return all(_node_empty(s, absent) for s in node.should)
+        return False
+    return False  # Exists
+
+
 @dataclass
 class SearchPlan:
     """Root: bool tree + function-score add-ons + filter context."""
@@ -118,6 +186,22 @@ class SearchPlan:
     # ``type`` must be one of these (file | chunk | other)
     layers: list[str] = field(default_factory=list)
     kind: str = "full"  # short | full | match_all
+
+    def provably_empty(self, absent=None) -> bool:
+        """True when grounding + dictionary membership prove zero
+        candidates — e.g. an AND match whose clause has no expansion
+        with postings — so the evaluator job can be skipped outright
+        (the strict pass of a typo query, or both passes of a fully
+        out-of-vocabulary one). ``absent(field, term)`` is a
+        one-sided-error membership test (Index.definitely_absent —
+        the build-time term bloom; OracleIndex — exact). Conservative:
+        anything not provably empty returns False, and without
+        ``absent`` only structurally-empty clauses count."""
+        if self.kind == "match_all":
+            return False
+        return _node_empty(self.root, absent) or not _has_live_expansion(
+            self.root, absent
+        )
 
     def match_nodes(self) -> list[Match]:
         out: list[Match] = []

@@ -49,15 +49,24 @@ def run_search(
     )
     # lazy two-pass (P6): the strict pass usually hits, and compiling
     # the lenient plan costs real fuzzy-dictionary lookups — measured
-    # slower to speculate both in one job than to retry on empty
-    cands = backend.candidates(plan, ext)
+    # slower to speculate both in one job than to retry on empty.
+    # provably_empty short-circuits the evaluator job when grounding
+    # already proves zero candidates (a typo query's strict pass, or
+    # both passes of a fully out-of-vocabulary query) — the evaluator
+    # would return [] anyway, at the cost of a full Spark job.
+    absent = getattr(backend, "definitely_absent", None)
+    cands = (
+        [] if plan.provably_empty(absent) else backend.candidates(plan, ext)
+    )
     if not cands:
         plan = compile_query(
             q, backend, lenient=True, filters=filters,
             include=include, exclude=exclude, osm_tag=osm_tag,
             layers=layers, suggest=suggest,
         )
-        cands = backend.candidates(plan, ext)
+        cands = (
+            [] if plan.provably_empty(absent) else backend.candidates(plan, ext)
+        )
     hits = rescore_candidates(q, cands)
     if dedupe:
         from photon_spark.query.rerank import dedupe_street_hits
@@ -82,8 +91,11 @@ def run_structured(backend, sq, k: int = 15, dedupe: bool = True) -> list[dict]:
     if sq.ext or sq.directory:
         passes.append(dict(lenient=True, drop_fine=True))
     cands: list[dict] = []
+    absent = getattr(backend, "definitely_absent", None)
     for kw in passes:
         plan = compile_structured(sq, backend, **kw)
+        if plan.provably_empty(absent):
+            continue
         cands = backend.candidates(plan, ext)
         if cands:
             break

@@ -48,3 +48,97 @@ def test_scoring_join_is_broadcast(index):
     df = index._eval_plan(plan)
     s = _formatted(df)
     assert "BroadcastHashJoin" in s or "BroadcastExchange" in s
+
+
+def test_provably_empty_short_circuit(spark, index_dir, oracle):
+    """Membership-level empty proof (index/bloom.py + plan.
+    provably_empty): the strict pass of a typo query and both passes
+    of an OOV query skip their evaluator job — the evaluator would
+    return [] anyway. The engine proves absence through the
+    build-time term bloom, the oracle exactly; both are instances of
+    the same one-sided contract."""
+    from photon_spark.query.compiler import compile_query
+    from photon_spark.query.executor import Index
+
+    engine = Index(spark, index_dir)
+    for backend in (engine, oracle):
+        absent = backend.definitely_absent
+        assert compile_query(
+            "nonexistentterm42xyz", backend, lenient=False
+        ).provably_empty(absent)
+        assert compile_query(
+            "nonexistentterm42xyz", backend, lenient=True
+        ).provably_empty(absent)
+        # multiword typo: the full plan's strict AND/msm must grounds
+        # to no-postings terms → provably empty; the lenient retry
+        # fuzzes "retyr" → "retry" (in-vocabulary) → NOT empty
+        assert compile_query("bulk retyr", backend, lenient=False).provably_empty(absent)
+        assert not compile_query("bulk retyr", backend, lenient=True).provably_empty(absent)
+        # single-word typo: photon short queries carry AUTO fuzziness
+        # in the fullword should even on the strict pass — NOT empty
+        assert not compile_query("mugglen", backend, lenient=False).provably_empty(absent)
+        # in-vocabulary queries are never claimed empty
+        for q in ("retry", "bulk retry"):
+            assert not compile_query(q, backend, lenient=False).provably_empty(absent)
+    # the proof must agree with the evaluator when it fires: the
+    # possessive "tiffany's" grounds only in the `all` field (not
+    # name/parent/ext), so the strict pass's root-must dis_max has no
+    # postings anywhere — claimed empty AND the oracle evaluator
+    # really returns zero candidates (one-sided soundness end-to-end)
+    p = compile_query("tiffany's", oracle, lenient=False)
+    assert p.provably_empty(oracle.definitely_absent)
+    assert oracle.candidates(p, 15) == []
+    # match-all (include-only search) is never claimed empty
+    from photon_spark.query.plan import Bool, SearchPlan
+
+    assert not SearchPlan(root=Bool(0), kind="match_all").provably_empty(
+        engine.definitely_absent
+    )
+
+
+def test_bloom_one_sided(spark, index_dir):
+    """The bloom never claims an indexed term absent; unseen junk is
+    (almost always) ruled out; an index without a bloom degrades to
+    never-absent."""
+    from photon_spark.index.bloom import TermBloom
+
+    bloom = TermBloom.load(index_dir)
+    assert bloom is not None and bloom.n > 0
+    import pyarrow.dataset as ds
+
+    terms = ds.dataset(
+        index_dir + "/dictionary", partitioning="hive"
+    ).to_table(columns=["field", "term"]).to_pylist()[:500]
+    for r in terms:
+        assert not bloom.definitely_absent(r["field"], r["term"])
+    junk_hits = sum(
+        not bloom.definitely_absent("all", f"zz_junk_{i}_qqx") for i in range(200)
+    )
+    assert junk_hits <= 10  # fp_rate 1% with deterministic slack
+
+
+def test_bloom_updated_on_delta(spark, corpus, tmp_path_factory):
+    """A CDC batch introducing NEW vocabulary folds it into the bloom
+    (the superset invariant) — otherwise the shortcut would wrongly
+    prove searches for the new doc empty."""
+    import shutil
+
+    from photon_spark.index.build import build_index
+    from photon_spark.index.updater import UPDATES_DDL, apply_updates
+    from photon_spark.query.executor import Index
+
+    out = str(tmp_path_factory.mktemp("bloom_upd")) + "/idx"
+    build_index(spark, spark.createDataFrame(corpus.head(40)), out)
+    idx0 = Index(spark, out, cache=False)
+    assert idx0.definitely_absent("all", "zzbrandnewword")
+
+    batch = spark.createDataFrame(
+        [("upsert", "org/new", "a/zzbrandnewword_util.py", "9" * 40,
+          "python", "def f(): pass", 1)],
+        UPDATES_DDL,
+    )
+    apply_updates(spark, out, batch)
+    idx1 = Index(spark, out, cache=False)
+    assert not idx1.definitely_absent("all", "zzbrandnewword")
+    hits = idx1.search("zzbrandnewword", k=5)
+    assert hits and hits[0]["path"] == "a/zzbrandnewword_util.py"
