@@ -282,6 +282,14 @@ def batch_search(
             layers=spec.get("layers"), suggest=spec.get("suggest", False),
         )
 
+    # provably-empty plans (plan.provably_empty: term-bloom/dict
+    # membership proves zero candidates) are left out of the batch:
+    # they'd contribute only dead expansion rows to the shared scan,
+    # and a workload of all-typo queries would otherwise still pay
+    # the strict job. Identical results — the evaluator returns no
+    # rows for them anyway (same argument as search_flow.run_search).
+    absent = getattr(index, "definitely_absent", None)
+
     plans: dict[int, SearchPlan] = {}
     seq: dict[int, list[dict]] = {}
     for qi, spec in enumerate(norm):
@@ -289,6 +297,8 @@ def batch_search(
         if plan.kind == "match_all":
             seq[qi] = index.candidates(plan, ext)
             continue
+        if plan.provably_empty(absent):
+            continue  # no strict entry → picked up by the lenient retry
         _offset_ids(plan.root, (qi + 1) * _ID_STRIDE)
         plans[qi] = plan
     cands = _batch_candidates(index, plans, ext) if plans else {}
@@ -304,10 +314,12 @@ def batch_search(
         lplans: dict[int, SearchPlan] = {}
         for qi, spec in retry.items():
             plan = _compile(spec, lenient=True)
+            if plan.provably_empty(absent):
+                continue  # fully out-of-vocabulary: stays empty
             _offset_ids(plan.root, (qi + 1) * _ID_STRIDE)
             lplans[qi] = plan
-        lcands = _batch_candidates(index, lplans, ext)
-        cands.update(lcands)
+        if lplans:
+            cands.update(_batch_candidates(index, lplans, ext))
 
     out: dict[str, list[dict]] = {}
     for qi, spec in enumerate(norm):

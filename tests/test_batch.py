@@ -37,6 +37,36 @@ def test_batch_two_jobs_only(index):
     assert out["zzz_a"] == [] and out["zzz_b"] == []
 
 
+def test_batch_skips_provably_empty_plans(index, monkeypatch):
+    """Provably-empty plans never reach the shared evaluator job: an
+    all-OOV batch runs ZERO _batch_candidates calls (the bloom/dict
+    membership proof replaces both jobs); a mixed batch still answers
+    every query identically to per-query search."""
+    import photon_spark.query.batch as B
+
+    calls = []
+    real = B._batch_candidates
+
+    def counting(index_, plans, ext):
+        calls.append(len(plans))
+        return real(index_, plans, ext)
+
+    monkeypatch.setattr(B, "_batch_candidates", counting)
+    out = batch_search(index, ["zzq_oov_1 zzq_oov_2", "qqz_oov_3"], k=5)
+    assert calls == []  # neither the strict nor the lenient job ran
+    assert all(v == [] for v in out.values())
+
+    calls.clear()
+    out = batch_search(index, ["merge stream table", "zzq_oov_1"], k=5)
+    assert calls == [1]  # one strict job with ONLY the live plan
+    assert out["merge stream table"]  # non-empty
+    single = index.search("merge stream table", k=5)
+    assert [(h["doc"], round(h["score"], 9)) for h in out["merge stream table"]] == [
+        (h["doc"], round(h["score"], 9)) for h in single
+    ]
+    assert out["zzq_oov_1"] == []
+
+
 def test_candidates_multi_honors_filter_context(spark, index):
     """Per-plan kw filters / include/exclude / tag filters inside the
     batch evaluator must match sequential candidates() exactly."""
