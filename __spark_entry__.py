@@ -508,6 +508,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lang_id"] = lambda s, d: ts.lang_id(_docs(s, d))
     q["fingerprint"] = lambda s, d: ts.fingerprint(_docs(s, d))
     q["winnow_fingerprints"] = lambda s, d: ts.winnow_fingerprints(_docs(s, d))
+    q["repetition_signals"] = lambda s, d: ts.repetition_signals(_docs(s, d))
+
+    def _decontaminate(s, d):
+        # deterministic eval slice: every 97th doc is the "benchmark";
+        # the remaining docs are the training side (decontam.py)
+        from photon_spark.datapipe import decontam as dc
+
+        docs = _docs(s, d)
+        return dc.decontaminate(
+            docs.filter(F.col("doc_id") % 97 != 0),
+            docs.filter(F.col("doc_id") % 97 == 0),
+            n=5,
+        )
+
+    q["decontaminate"] = _decontaminate
 
     # ---- training-data pipeline: dedup ----
     q["exact_dedup"] = lambda s, d: dd.exact_dedup(_docs(s, d))
@@ -850,6 +865,57 @@ WITH base AS (
   FROM grams WHERE len(hs) >= 4
 )
 SELECT DISTINCT doc_id, unnest(mins) AS fp FROM wmins"""
+
+    o["repetition_signals"] = f"""
+WITH base AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+), g2 AS (
+  SELECT doc_id, unnest([array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))]) AS gram
+  FROM base WHERE len(toks) >= 2
+), c2 AS (
+  SELECT doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY doc_id, gram
+), a2 AS (
+  SELECT doc_id, SUM(c) AS n2, SUM(c) - COUNT(*) AS dup2, MAX(c) AS top2
+  FROM c2 GROUP BY doc_id
+), g5 AS (
+  SELECT doc_id, unnest([array_to_string(toks[i:i+4], ' ') for i in range(1, len(toks) - 3)]) AS gram
+  FROM base WHERE len(toks) >= 5
+), c5 AS (
+  SELECT doc_id, gram, COUNT(*) AS c FROM g5 GROUP BY doc_id, gram
+), a5 AS (
+  SELECT doc_id, SUM(c) AS n5, SUM(c) - COUNT(*) AS dup5
+  FROM c5 GROUP BY doc_id
+)
+SELECT a2.doc_id,
+       CAST(n2 AS BIGINT) AS n_2grams,
+       ROUND(dup2::DOUBLE / n2, 6) AS dup_2gram_frac,
+       ROUND(top2::DOUBLE / n2, 6) AS top_2gram_frac,
+       CAST(COALESCE(n5, 0) AS BIGINT) AS n_5grams,
+       COALESCE(ROUND(dup5::DOUBLE / n5, 6), 0.0) AS dup_5gram_frac
+FROM a2 LEFT JOIN a5 ON a2.doc_id = a5.doc_id"""
+
+    o["decontaminate"] = f"""
+WITH base AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(list_distinct([array_to_string(toks[i:i+4], ' ') for i in range(1, len(toks) - 3)])) AS gram
+  FROM base WHERE len(toks) >= 5
+), ev AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0
+), tr AS (
+  SELECT * FROM grams WHERE doc_id % 97 <> 0
+), agg AS (
+  SELECT tr.doc_id, COUNT(*) AS n_grams, COUNT(ev.gram) AS n_hit
+  FROM tr LEFT JOIN ev ON tr.gram = ev.gram
+  GROUP BY tr.doc_id
+)
+SELECT doc_id,
+       CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(n_hit AS BIGINT) AS n_hit,
+       ROUND(n_hit::DOUBLE / n_grams, 6) AS contamination_frac,
+       n_hit > 0 AS contaminated
+FROM agg"""
 
     # ---- dedup ----
     o["exact_dedup"] = """

@@ -116,6 +116,17 @@ def main() -> None:
         timed("datapipe_simhash", lambda: dd.simhash(docs, bits=16).count())
         timed("datapipe_winnow", lambda: ts.winnow_fingerprints(docs).count())
 
+        from photon_spark.datapipe import decontam as dc
+
+        timed(
+            "datapipe_decontaminate",
+            lambda: dc.decontaminate(
+                docs.filter(F.col("doc_id") % 97 != 0),
+                docs.filter(F.col("doc_id") % 97 == 0),
+                n=5,
+            ).count(),
+        )
+
         qvec = [float(x) for x in embs.filter(F.col("vec_id") == 0).head()["embedding"]]
         timed("datapipe_cosine_topk", lambda: sim.brute_force_topk(embs, qvec, k=10).collect())
 

@@ -1,0 +1,70 @@
+"""Benchmark decontamination: flag training documents that share
+word n-grams with an evaluation set.
+
+The standard LLM-pipeline shape (GPT-3 appendix C / PaLM style): a
+training doc is contaminated when any of its word n-grams also occurs
+in any eval document. We report per-doc overlap statistics rather
+than just a flag so downstream policy (drop / trim / keep) stays a
+filter over this output.
+
+Scale notes (100 TB): the eval side is benchmark-sized (thousands of
+docs — megabytes of shingles), so its distinct-gram set is
+BROADCAST; the train side is one narrow projection + explode +
+left-semi broadcast join + one map-side-combinable groupBy(doc).
+No shuffle ever carries the corpus text, only (doc_id, gram) rows,
+and the join adds no shuffle at all. This mirrors the posting-build
+plan shape in index/build.py rather than photon itself — the
+reference has no training-data analog (geocoder), so this operator
+is pinned by the DuckDB oracle, not a reference file.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from photon_spark.datapipe.dedup import shingles
+
+
+def decontaminate(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Per-train-doc n-gram overlap vs the eval set.
+
+    Returns (id_col, n_grams, n_hit, contamination_frac, contaminated)
+    — one row per train doc that has at least one n-gram (docs
+    shorter than ``n`` tokens have no gram evidence either way and
+    are omitted, matching the oracle). ``n_grams``/``n_hit`` count
+    DISTINCT grams, so contamination_frac is set overlap, insensitive
+    to repetition inside the train doc.
+    """
+    train_grams = shingles(train_df, id_col, text_col, k=n)
+    eval_grams = (
+        shingles(eval_df, id_col, text_col, k=n).select("gram").distinct()
+    )
+    hit = (
+        train_grams.join(F.broadcast(eval_grams), "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hit"))
+    )
+    totals = train_grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    return (
+        totals.join(hit, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_grams"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+        )
+        .withColumn(
+            "contamination_frac",
+            F.round(
+                F.col("n_hit").cast("double") / F.col("n_grams").cast("double"),
+                6,
+            ),
+        )
+        .withColumn("contaminated", F.col("n_hit") > 0)
+    )

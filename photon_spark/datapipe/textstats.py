@@ -165,3 +165,80 @@ def winnow_fingerprints(
         F.col("pos") <= F.col("n") - k - window + 1
     )
     return mins.select(F.col(id_col), F.col("wmin").alias("fp")).distinct()
+
+
+def _grams_with_multiplicity(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, gram) rows WITH multiplicity — repetition needs counts,
+    unlike dedup.shingles' distinct sets. Docs shorter than n tokens
+    contribute no rows."""
+    toks = tokens_col(text_col)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(F.col(id_col), F.explode(grams).alias("gram"))
+
+
+def repetition_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_short: int = 2,
+    n_long: int = 5,
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. '21 §A1.1,
+    token-fraction variant): per doc,
+
+    * ``dup_2gram_frac``  — fraction of 2-gram occurrences beyond the
+      first occurrence of each distinct 2-gram (0 = no repetition),
+    * ``top_2gram_frac``  — occurrences of the single most frequent
+      2-gram / total 2-grams (ties break identically on both engines
+      since only the max COUNT is used),
+    * ``dup_5gram_frac``  — same duplicate fraction over 5-grams.
+
+    Curation filters drop docs past thresholds (Gopher: top_2gram
+    > 0.20, dup_5gram > 0.15 among others); thresholds stay with the
+    caller. Plan shape: per n, explode → groupBy(id, gram) count →
+    groupBy(id) agg — both aggs map-side combinable, shuffle keys are
+    (doc, gram) so hot docs spread across their gram space; no
+    windows, no driver collection.
+    """
+
+    def per_n(n: int, tag: str) -> DataFrame:
+        counted = (
+            _grams_with_multiplicity(df, id_col, text_col, n)
+            .groupBy(id_col, "gram")
+            .agg(F.count("*").alias("c"))
+        )
+        return counted.groupBy(id_col).agg(
+            F.sum("c").alias(f"n_{tag}grams"),
+            (F.sum("c") - F.count("*")).alias(f"_dup_{tag}"),
+            F.max("c").alias(f"_top_{tag}"),
+        )
+    
+    def frac(num, den):
+        return F.round(num.cast("double") / den.cast("double"), 6)
+
+    short = per_n(n_short, str(n_short))
+    long_ = per_n(n_long, str(n_long))
+    st, lt = str(n_short), str(n_long)
+    return (
+        short.join(long_, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col(f"n_{st}grams"),
+            frac(F.col(f"_dup_{st}"), F.col(f"n_{st}grams")).alias(
+                f"dup_{st}gram_frac"
+            ),
+            frac(F.col(f"_top_{st}"), F.col(f"n_{st}grams")).alias(
+                f"top_{st}gram_frac"
+            ),
+            F.coalesce(F.col(f"n_{lt}grams"), F.lit(0)).alias(f"n_{lt}grams"),
+            F.coalesce(
+                frac(F.col(f"_dup_{lt}"), F.col(f"n_{lt}grams")), F.lit(0.0)
+            ).alias(f"dup_{lt}gram_frac"),
+        )
+    )

@@ -254,3 +254,66 @@ def test_resize_images_plumbing(spark):
         ar_out = r["out_width"] / r["out_height"]
         assert abs(ar_in - ar_out) / ar_in < 0.25  # int rounding tolerance
         assert len(r["payload"]) == r["out_width"] * r["out_height"]
+
+
+def test_repetition_signals(spark):
+    """Gopher-style repetition fractions on hand-computable docs."""
+    rows = [
+        (0, "a b a b a b"),          # 2-grams: ab,ba,ab,ba,ab -> 5 total, 2 distinct
+        (1, "w x y z q r"),          # all 2-grams unique
+        (2, "hello"),                # 1 token: no 2-grams -> omitted
+        (3, "c c c c c c c"),        # maximal repetition
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in ts.repetition_signals(df).collect()}
+    assert set(out) == {0, 1, 3}  # doc 2 has no gram evidence
+    d0 = out[0]
+    assert d0["n_2grams"] == 5 and d0["dup_2gram_frac"] == round(3 / 5, 6)
+    assert d0["top_2gram_frac"] == round(3 / 5, 6)  # "a b" x3
+    # 6 tokens -> 2 5-grams ("a b a b a" / "b a b a b"), both unique
+    assert d0["n_5grams"] == 2 and d0["dup_5gram_frac"] == 0.0
+    d1 = out[1]
+    assert d1["dup_2gram_frac"] == 0.0 and d1["top_2gram_frac"] == round(1 / 5, 6)
+    d3 = out[3]  # "c c" x6, one distinct -> dup 5/6, top 6/6
+    assert d3["n_2grams"] == 6 and d3["dup_2gram_frac"] == round(5 / 6, 6)
+    assert d3["top_2gram_frac"] == 1.0
+    assert d3["n_5grams"] == 3 and d3["dup_5gram_frac"] == round(2 / 3, 6)
+
+
+def test_decontaminate(spark):
+    """A train doc sharing a 5-gram with the eval set is flagged;
+    unrelated and too-short docs are not."""
+    from photon_spark.datapipe import decontam as dc
+
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    tr = spark.createDataFrame(
+        [
+            # contains eval 5-gram "beta gamma delta epsilon zeta"
+            (0, "intro beta gamma delta epsilon zeta outro"),
+            (1, "totally unrelated words that never overlap anything"),
+            (2, "alpha beta gamma delta"),  # < 5 tokens of overlap, 4 tokens
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in dc.decontaminate(tr, ev, n=5).collect()}
+    assert set(out) == {0, 1}  # doc 2 (<5 tokens) has no grams -> omitted
+    # of doc 0's three 5-grams only "beta gamma delta epsilon zeta"
+    # occurs in the eval set
+    assert out[0]["contaminated"] and out[0]["n_hit"] == 1
+    assert out[0]["n_grams"] == 3
+    assert out[0]["contamination_frac"] == round(1 / 3, 6)
+    assert not out[1]["contaminated"] and out[1]["n_hit"] == 0
+
+
+def test_decontaminate_join_is_broadcast(spark):
+    """The eval-gram join must stay broadcast (scale contract:
+    benchmark-sized eval set, no shuffle join on the corpus side)."""
+    from photon_spark.datapipe import decontam as dc
+
+    ev = spark.createDataFrame([(0, "a b c d e f")], "doc_id long, text string")
+    tr = spark.createDataFrame([(1, "a b c d e f g")], "doc_id long, text string")
+    plan = dc.decontaminate(tr, ev)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
