@@ -2,7 +2,13 @@
 PhotonDoc.java:248-307): explicit address tags overlay the derived
 address parts; displaced and surplus values drop into the searchable
 context instead of vanishing; unknown keys and unsupported language
-suffixes drop silently."""
+suffixes drop silently.
+
+Covers PhotonDocTest.java end-to-end: testCompleteAddressOverwritesStreet /
+testCompleteAddressCreatesStreetIfNonExistantBefore are the overlay
+rows below; testAddCountryCode's case normalization maps to the lang
+(countrycode-analog) lowercase fold pinned in
+test_serving_modes.test_import_language_restriction."""
 
 import pandas as pd
 import pytest

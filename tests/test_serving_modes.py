@@ -174,6 +174,28 @@ def test_latency_histogram(engine, corpus):
         )
 
 
+def test_histogram_scoped_to_request_timer(engine):
+    """MetricsConfigTest.testUnrelatedTimerDoesNotExposeHistogramBuckets:
+    percentile buckets must stay scoped to the request-duration series.
+    The index gauges (docs/terms/size) and every other emitted series
+    must NOT carry `_bucket` suffixes or `le` labels — enabling
+    histograms globally would add high-cardinality bucket series to
+    unrelated meters. (The disabled-registry access of
+    MetricsConfigTest.testNoInit maps to the /metrics 404 pinned in
+    test_metrics_404_when_disabled — our registry IS the endpoint.)"""
+    from photon_spark.metrics import ServingMetrics
+
+    m = ServingMetrics(index=engine)
+    api2 = SearchAPI(engine, metrics=m)
+    api2.api({"q": "retry"})
+    for line in api2.metrics().splitlines():
+        if line.startswith("#") or not line.strip():
+            continue
+        name = line.split("{")[0].split(" ")[0]
+        if "_bucket" in name or 'le="' in line:
+            assert name == "photon_request_duration_seconds_bucket", line
+
+
 # ---------------------------------------------------- default language
 
 def test_default_language_resolution(engine):
