@@ -524,6 +524,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["decontaminate"] = _decontaminate
 
+    # ---- training-set assembly (datapipe/sampling.py) ----
+    def _sampling(s, d, which):
+        from photon_spark.datapipe import sampling as sa
+
+        docs = _docs(s, d)
+        if which == "split":
+            return sa.hash_split(docs, val_frac=0.05)
+        if which == "mix":
+            return sa.sample_by_rate(
+                docs, {"en": 0.5, "zh": 0.2}, stratum_col="lang",
+                default_rate=1.0,
+            ).select("doc_id", "lang")
+        return sa.pack_sequences(docs, block_tokens=256, n_buckets=8)
+
+    q["hash_split"] = lambda s, d: _sampling(s, d, "split")
+    q["sample_by_rate"] = lambda s, d: _sampling(s, d, "mix")
+    q["pack_sequences"] = lambda s, d: _sampling(s, d, "pack")
+
     # ---- training-data pipeline: dedup ----
     q["exact_dedup"] = lambda s, d: dd.exact_dedup(_docs(s, d))
     q["minhash_signatures"] = lambda s, d: (
@@ -916,6 +934,35 @@ SELECT doc_id,
        ROUND(n_hit::DOUBLE / n_grams, 6) AS contamination_frac,
        n_hit > 0 AS contaminated
 FROM agg"""
+
+    split_h = _sql_h60("'split:' || CAST(doc_id AS VARCHAR)")
+    o["hash_split"] = f"""
+SELECT doc_id,
+       CASE WHEN {split_h} % 10000 < 500 THEN 'val' ELSE 'train' END AS split
+FROM documents"""
+
+    mix_h = _sql_h60("'mix:' || CAST(doc_id AS VARCHAR)")
+    o["sample_by_rate"] = f"""
+SELECT doc_id, lang FROM documents
+WHERE {mix_h} % 10000 <
+      CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 2000 ELSE 10000 END"""
+
+    pack_h = _sql_h60("CAST(doc_id AS VARCHAR)")
+    o["pack_sequences"] = f"""
+WITH base AS (
+  SELECT doc_id, {pack_h} % 8 AS bucket,
+         CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents WHERE len({_SQL_TOKS}) > 0
+), cum AS (
+  SELECT *, COALESCE(SUM(n_tokens) OVER (
+      PARTITION BY bucket ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
+  FROM base
+)
+SELECT doc_id, bucket, n_tokens,
+       bucket * 1000000000 + CAST(FLOOR(tok_before / 256.0) AS BIGINT) AS block_id,
+       tok_before % 256 AS "offset"
+FROM cum"""
 
     # ---- dedup ----
     o["exact_dedup"] = """

@@ -1,0 +1,126 @@
+"""Training-set assembly operators: deterministic splits, per-stratum
+sampling, and sequence packing.
+
+These are the last mile of an LLM data pipeline — after dedup /
+decontamination / quality filtering, the surviving documents are
+(a) split into train/validation, (b) mixed by source with explicit
+rates, and (c) packed into fixed-token-budget training blocks.
+All three are pure column arithmetic over md5 hashes, so the DuckDB
+oracle reproduces every assignment bit-for-bit (no RNG: Spark's
+``sample``/``sampleBy`` are seed-stable but not cross-engine
+reproducible, and resampling on retry would double-serve documents).
+
+Scale notes (100 TB):
+* hash_split / sample_by_rate: narrow per-row maps, no shuffle.
+* pack_sequences: packing needs a running token total, i.e. an
+  ordered window. A single global window would serialize the corpus
+  through one task, so docs are first hash-bucketed (``n_buckets``
+  ~ O(corpus/executor-memory)) and packed WITHIN buckets — the window
+  partitions by bucket, giving n_buckets-way parallel packing with
+  per-bucket deterministic order. Block ids are globally unique via
+  (bucket, local block) encoding. This is the standard practice:
+  training shards are packed independently; only intra-shard order
+  matters for the token-budget invariant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from photon_spark.datapipe.dedup import _md5_h60
+from photon_spark.datapipe.textstats import tokens_col
+
+# hash-space size for rate arithmetic: rates are exact multiples of
+# 1/10000, which both engines compute identically in int space
+_RATE_DENOM = 10_000
+
+
+def _rate_bucket(id_col: str, salt: str):
+    """Deterministic per-doc draw in [0, _RATE_DENOM): md5 of the
+    salted id, 60 bits, mod the denominator. The salt decorrelates
+    independent decisions (split vs sampling) on the same ids."""
+    return _md5_h60(
+        F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))
+    ) % _RATE_DENOM
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    val_frac: float = 0.05,
+    salt: str = "split",
+) -> DataFrame:
+    """Assign each doc to 'train' or 'val' by hashed id — stable
+    under reruns, insertions, and repartitioning (membership depends
+    only on the id, never on position or sampling state)."""
+    thresh = int(round(val_frac * _RATE_DENOM))
+    return df.select(
+        F.col(id_col),
+        F.when(_rate_bucket(id_col, salt) < thresh, F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
+def sample_by_rate(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling (the data-mixing step:
+    'keep 30% of lang=X, all of lang=Y'). Keeps a doc iff its hash
+    draw falls under its stratum's rate; strata missing from
+    ``rates`` get ``default_rate``. Narrow map — no shuffle, exact
+    reproducibility instead of sampleBy's best-effort."""
+    rate_col = F.lit(int(round(default_rate * _RATE_DENOM)))
+    for k in sorted(rates):
+        rate_col = F.when(
+            F.col(stratum_col) == k,
+            F.lit(int(round(rates[k] * _RATE_DENOM))),
+        ).otherwise(rate_col)
+    return df.filter(_rate_bucket(id_col, salt) < rate_col)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_tokens: int = 256,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Pack documents into fixed-token-budget training blocks.
+
+    Docs are hash-bucketed, ordered by id within their bucket, and a
+    doc is assigned to the block its preceding cumulative token count
+    falls in: ``block = floor(tokens_before / block_tokens)`` — the
+    streaming-writer rule (a block may overrun by at most one doc's
+    tail, exactly like a packer that splits the straddling doc across
+    the boundary). Output: one row per doc with its bucket-unique
+    ``block_id``, ``offset`` (token offset inside the block) and
+    ``n_tokens`` — everything a shard writer needs to emit blocks.
+    """
+    n_toks = F.size(tokens_col(text_col))
+    base = df.select(
+        F.col(id_col),
+        (_md5_h60(F.col(id_col).cast("string")) % n_buckets).alias("bucket"),
+        n_toks.cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return base.select(
+        F.col(id_col),
+        "bucket",
+        "n_tokens",
+        (F.col("bucket") * F.lit(1_000_000_000)
+         + F.floor(before / F.lit(block_tokens))).alias("block_id"),
+        (before % F.lit(block_tokens)).alias("offset"),
+    )

@@ -317,3 +317,61 @@ def test_decontaminate_join_is_broadcast(spark):
     tr = spark.createDataFrame([(1, "a b c d e f g")], "doc_id long, text string")
     plan = dc.decontaminate(tr, ev)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_hash_split_deterministic(spark, docs):
+    from photon_spark.datapipe import sampling as sa
+
+    a = {r["doc_id"]: r["split"] for r in sa.hash_split(docs, val_frac=0.3).collect()}
+    b = {r["doc_id"]: r["split"] for r in sa.hash_split(docs.repartition(5), val_frac=0.3).collect()}
+    assert a == b  # membership depends only on the id
+    assert set(a.values()) <= {"train", "val"}
+    # val_frac=0 -> all train; val_frac=1 -> all val
+    all_tr = sa.hash_split(docs, val_frac=0.0).collect()
+    assert all(r["split"] == "train" for r in all_tr)
+    all_val = sa.hash_split(docs, val_frac=1.0).collect()
+    assert all(r["split"] == "val" for r in all_val)
+
+
+def test_sample_by_rate(spark, docs):
+    from photon_spark.datapipe import sampling as sa
+
+    # rate 1.0 keeps every row of the stratum; 0.0 drops it
+    kept = sa.sample_by_rate(
+        docs, {"en": 1.0, "de": 0.0, "es": 0.0}, stratum_col="lang",
+        default_rate=0.0,
+    ).collect()
+    assert {r["lang"] for r in kept} == {"en"}
+    assert len(kept) == docs.filter(F.col("lang") == "en").count()
+    # deterministic under rerun
+    k2 = sa.sample_by_rate(
+        docs, {"en": 1.0, "de": 0.0, "es": 0.0}, stratum_col="lang",
+        default_rate=0.0,
+    ).collect()
+    assert sorted(r["doc_id"] for r in kept) == sorted(r["doc_id"] for r in k2)
+
+
+def test_pack_sequences(spark):
+    from photon_spark.datapipe import sampling as sa
+
+    rows = [(i, " ".join(["tok"] * 10)) for i in range(40)]  # 10 tokens each
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sa.pack_sequences(df, block_tokens=25, n_buckets=2).collect()
+    assert len(out) == 40
+    by_bucket: dict = {}
+    for r in sorted(out, key=lambda r: (r["bucket"], r["doc_id"])):
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    assert set(by_bucket) <= {0, 1}
+    for bucket, rs in by_bucket.items():
+        before = 0
+        for r in rs:  # already doc_id-ordered within bucket
+            assert r["n_tokens"] == 10
+            assert r["block_id"] == bucket * 1_000_000_000 + before // 25
+            assert r["offset"] == before % 25
+            before += 10
+    # block ids from different buckets never collide
+    ids = [r["block_id"] for r in out]
+    assert all(
+        (i // 1_000_000_000) == b
+        for i, b in ((r["block_id"], r["bucket"]) for r in out)
+    )
