@@ -538,6 +538,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).select("doc_id", "lang")
         return sa.pack_sequences(docs, block_tokens=256, n_buckets=8)
 
+    def _pii(s, d):
+        from photon_spark.datapipe import pii
+
+        return pii.pii_scrub(_docs(s, d))
+
+    q["pii_scrub"] = _pii
     q["hash_split"] = lambda s, d: _sampling(s, d, "split")
     q["sample_by_rate"] = lambda s, d: _sampling(s, d, "mix")
     q["pack_sequences"] = lambda s, d: _sampling(s, d, "pack")
@@ -934,6 +940,22 @@ SELECT doc_id,
        ROUND(n_hit::DOUBLE / n_grams, 6) AS contamination_frac,
        n_hit > 0 AS contaminated
 FROM agg"""
+
+    from photon_spark.datapipe.pii import PII_STAGES
+
+    _pii_counts = []
+    _pii_expr = "text"
+    for _nm, _pat, _rep in PII_STAGES:
+        # DuckDB single-quoted strings are escape-free: backslashes
+        # pass through to RE2 verbatim; only quotes need doubling
+        _pat_sql = _pat.replace("'", "''")
+        _pii_counts.append(
+            f"CAST(len(regexp_extract_all({_pii_expr}, '{_pat_sql}')) AS BIGINT) AS n_{_nm}"
+        )
+        _pii_expr = f"regexp_replace({_pii_expr}, '{_pat_sql}', '{_rep}', 'g')"
+    o["pii_scrub"] = f"""
+SELECT doc_id, {", ".join(_pii_counts)}, {_pii_expr} AS scrubbed
+FROM documents"""
 
     split_h = _sql_h60("'split:' || CAST(doc_id AS VARCHAR)")
     o["hash_split"] = f"""

@@ -1,0 +1,46 @@
+"""PII scrubbing: redact emails / IPv4 addresses / long digit runs
+from document text, with per-doc counts.
+
+The standard pre-training hygiene pass. Regexes are deliberately
+restricted to syntax that Java regex (Spark) and RE2 (DuckDB)
+evaluate identically — char classes, bounded repetition, ``\\b``,
+non-capturing groups; no backrefs or lookaround — so the DuckDB
+oracle reproduces the scrub byte-for-byte. Replacement order is
+fixed (emails, then IPs, then digit runs) and each stage runs on the
+previous stage's output, identically on both engines.
+
+Scale: one narrow projection, three chained ``regexp_replace``
+column expressions — whole-stage-codegen JVM work, no shuffle, no
+Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ordered (name, pattern, replacement) stages
+PII_STAGES: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    # 13-19 digit runs: card/account-number shaped
+    ("longnum", r"\b[0-9]{13,19}\b", "<NUM>"),
+]
+
+
+def pii_scrub(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc PII redaction: returns (id, n_email, n_ipv4,
+    n_longnum, scrubbed) where counts are matches found at each
+    stage (on that stage's input) and ``scrubbed`` is the text after
+    all replacements."""
+    cols = [F.col(id_col)]
+    cur = F.col(text_col)
+    for name, pat, repl in PII_STAGES:
+        cols.append(
+            F.regexp_count(cur, F.lit(pat)).cast("long").alias(f"n_{name}")
+        )
+        cur = F.regexp_replace(cur, pat, repl)
+    cols.append(cur.alias("scrubbed"))
+    return df.select(*cols)

@@ -375,3 +375,30 @@ def test_pack_sequences(spark):
         (i // 1_000_000_000) == b
         for i, b in ((r["block_id"], r["bucket"]) for r in out)
     )
+
+
+def test_pii_scrub(spark):
+    """Emails, IPv4s, and card-shaped digit runs are redacted with
+    per-stage counts; clean text passes through untouched. The same
+    stages drive the DuckDB oracle (pii.PII_STAGES is the single
+    source of truth for both engines)."""
+    from photon_spark.datapipe import pii
+
+    rows = [
+        (0, "contact bob.smith+x@example.co.uk or 10.0.0.1 now"),
+        (1, "card 4111111111111111 expires soon; code 123 stays"),
+        (2, "plain text with no identifiers at all"),
+        (3, "two mails a@b.io c@d.org one ip 192.168.0.255"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in pii.pii_scrub(df).collect()}
+    assert out[0]["n_email"] == 1 and out[0]["n_ipv4"] == 1
+    assert out[0]["scrubbed"] == "contact <EMAIL> or <IP> now"
+    assert out[1]["n_longnum"] == 1 and "4111111111111111" not in out[1]["scrubbed"]
+    assert "code 123 stays" in out[1]["scrubbed"]  # short digits survive
+    assert out[2] == {
+        "doc_id": 2, "n_email": 0, "n_ipv4": 0, "n_longnum": 0,
+        "scrubbed": "plain text with no identifiers at all",
+    }
+    assert out[3]["n_email"] == 2 and out[3]["n_ipv4"] == 1
+    assert out[3]["scrubbed"] == "two mails <EMAIL> <EMAIL> one ip <IP>"
