@@ -142,3 +142,37 @@ def test_bloom_updated_on_delta(spark, corpus, tmp_path_factory):
     assert not idx1.definitely_absent("all", "zzbrandnewword")
     hits = idx1.search("zzbrandnewword", k=5)
     assert hits and hits[0]["path"] == "a/zzbrandnewword_util.py"
+
+
+def test_bloom_resized_on_merge(spark, corpus, tmp_path_factory):
+    """merge_segments rebuilds the bloom from the exact merged
+    dictionary: vocabulary that existed only in deleted docs stops
+    being a false positive (it was a harmless superset entry until
+    compaction), while live vocabulary stays present."""
+    from photon_spark.index.build import build_index
+    from photon_spark.index.updater import UPDATES_DDL, apply_updates, merge_segments
+    from photon_spark.query.executor import Index
+
+    out = str(tmp_path_factory.mktemp("bloom_merge")) + "/idx"
+    build_index(spark, spark.createDataFrame(corpus.head(30)), out)
+    batch = spark.createDataFrame(
+        [("upsert", "org/tmp", "a/zzephemeralword_mod.py", "8" * 40,
+          "python", "def zzephemeralword(): pass", 1)],
+        UPDATES_DDL,
+    )
+    apply_updates(spark, out, batch)
+    assert not Index(spark, out, cache=False).definitely_absent(
+        "all", "zzephemeralword"
+    )
+    delete = spark.createDataFrame(
+        [("delete", "org/tmp", "a/zzephemeralword_mod.py", "8" * 40,
+          "python", None, 2)],
+        UPDATES_DDL,
+    )
+    apply_updates(spark, out, delete)
+    merge_segments(spark, out)
+    idx = Index(spark, out, cache=False)
+    # merged-away vocab is provably absent again; live vocab is not
+    assert idx.definitely_absent("all", "zzephemeralword")
+    assert not idx.definitely_absent("all", "retry")
+    assert idx.search("zzephemeralword", k=5) == []
