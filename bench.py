@@ -94,6 +94,14 @@ def main() -> None:
             "engine_search_suggest",
             lambda: idx.search("table merge", k=10, suggest=True),
         )
+        # fully out-of-vocabulary query: both passes are proven empty
+        # by the term bloom (plan.provably_empty), so this measures
+        # the no-evaluator-job floor — compare against the other
+        # engine_search_* entries to see the shortcut's win
+        timed(
+            "engine_search_oov",
+            lambda: idx.search("zzqqxnonexistent99 wwvvxunseen", k=10),
+        )
         probe = idx.docs().orderBy("ord").head()
         timed(
             "engine_reverse",
