@@ -544,6 +544,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pii.pii_scrub(_docs(s, d))
 
     q["pii_scrub"] = _pii
+
+    def _curate(s, d):
+        # composed curation verdict over the train slice, decontamed
+        # against the same deterministic eval slice as `decontaminate`
+        from photon_spark.datapipe import curate as cu
+
+        docs = _docs(s, d)
+        return cu.curate(
+            docs.filter(F.col("doc_id") % 97 != 0),
+            docs.filter(F.col("doc_id") % 97 == 0),
+        )
+
+    q["curate"] = _curate
     q["hash_split"] = lambda s, d: _sampling(s, d, "split")
     q["sample_by_rate"] = lambda s, d: _sampling(s, d, "mix")
     q["pack_sequences"] = lambda s, d: _sampling(s, d, "pack")
@@ -940,6 +953,64 @@ SELECT doc_id,
        ROUND(n_hit::DOUBLE / n_grams, 6) AS contamination_frac,
        n_hit > 0 AS contaminated
 FROM agg"""
+
+    o["curate"] = f"""
+WITH train AS (
+  SELECT doc_id, text, {_SQL_TOKS} AS toks, sha256(text) AS sha
+  FROM documents WHERE doc_id % 97 <> 0
+), keeper AS (
+  SELECT sha, MIN(doc_id) AS keep_id FROM train GROUP BY sha
+), qual AS (
+  SELECT doc_id,
+    ROUND(LEAST(len(toks)::DOUBLE / 50.0, 1.0) * 0.4
+      + (CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, x -> x IN ({stop})))::DOUBLE / len(toks)
+              ELSE 0.0 END) * 0.3
+      + (CASE WHEN length(text) > 0
+              THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text)
+              ELSE 0.0 END) * 0.3, 6) AS quality
+  FROM train
+), g2 AS (
+  SELECT doc_id, unnest([array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))]) AS gram
+  FROM train WHERE len(toks) >= 2
+), c2 AS (
+  SELECT doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY doc_id, gram
+), a2 AS (
+  SELECT doc_id, ROUND(MAX(c)::DOUBLE / SUM(c), 6) AS top2 FROM c2 GROUP BY doc_id
+), g5 AS (
+  SELECT doc_id, unnest([array_to_string(toks[i:i+4], ' ') for i in range(1, len(toks) - 3)]) AS gram
+  FROM train WHERE len(toks) >= 5
+), c5 AS (
+  SELECT doc_id, gram, COUNT(*) AS c FROM g5 GROUP BY doc_id, gram
+), a5 AS (
+  SELECT doc_id, ROUND((SUM(c) - COUNT(*))::DOUBLE / SUM(c), 6) AS dup5 FROM c5 GROUP BY doc_id
+), allgrams AS (
+  SELECT doc_id,
+         unnest(list_distinct([array_to_string({_SQL_TOKS}[i:i+4], ' ') for i in range(1, len({_SQL_TOKS}) - 3)])) AS gram
+  FROM documents WHERE len({_SQL_TOKS}) >= 5
+), ev AS (
+  SELECT DISTINCT gram FROM allgrams WHERE doc_id % 97 = 0
+), cont AS (
+  SELECT a.doc_id, COUNT(e.gram) > 0 AS contaminated
+  FROM allgrams a LEFT JOIN ev e ON a.gram = e.gram
+  WHERE a.doc_id % 97 <> 0
+  GROUP BY a.doc_id
+)
+SELECT t.doc_id,
+       t.doc_id <> k.keep_id AS exact_dup,
+       COALESCE(q.quality, 0.0) < 0.45 AS low_quality,
+       (COALESCE(a2.top2, 0.0) > 0.08 OR COALESCE(a5.dup5, 0.0) > 0.10) AS repetitive,
+       COALESCE(cont.contaminated, FALSE) AS contaminated,
+       NOT (t.doc_id <> k.keep_id
+            OR COALESCE(q.quality, 0.0) < 0.45
+            OR COALESCE(a2.top2, 0.0) > 0.08 OR COALESCE(a5.dup5, 0.0) > 0.10
+            OR COALESCE(cont.contaminated, FALSE)) AS keep
+FROM train t
+JOIN keeper k ON t.sha = k.sha
+LEFT JOIN qual q ON t.doc_id = q.doc_id
+LEFT JOIN a2 ON t.doc_id = a2.doc_id
+LEFT JOIN a5 ON t.doc_id = a5.doc_id
+LEFT JOIN cont ON t.doc_id = cont.doc_id"""
 
     from photon_spark.datapipe.pii import PII_STAGES
 

@@ -1,0 +1,74 @@
+"""Composed curation verdict: the standard pre-training filter chain
+as ONE call.
+
+``curate`` runs the pipeline a data team would wire by hand — exact
+dedup (keep the lowest id per content hash), quality floor,
+repetition caps (Gopher-style), and optional benchmark
+decontamination — and returns one row per doc with each stage's
+boolean verdict plus the final ``keep``. Downstream, training-set
+assembly (``datapipe/sampling.py``) runs on ``keep = true``.
+
+Scale notes (100 TB): every signal is per-doc, so composition is a
+chain of doc_id-co-keyed left joins (AQE coalesces them after the
+first shuffle); the dedup keeper is one groupBy(sha) + join; the
+decontamination side is the broadcast-eval join from ``decontam.py``.
+No stage widens rows with text — the corpus body is read once per
+signal scan and never shuffled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from photon_spark.datapipe.decontam import decontaminate
+from photon_spark.datapipe.textstats import quality_score, repetition_signals
+
+
+def curate(
+    df: DataFrame,
+    eval_df: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.45,
+    max_top2gram_frac: float = 0.08,
+    max_dup5gram_frac: float = 0.10,
+    decontam_n: int = 5,
+) -> DataFrame:
+    """Per-doc verdicts: (id, exact_dup, low_quality, repetitive,
+    contaminated, keep). A doc with no n-gram evidence (too short for
+    repetition/decontamination) is not flagged by those stages."""
+    ids = df.select(
+        F.col(id_col), F.sha2(F.col(text_col), 256).alias("sha")
+    )
+    keeper = ids.groupBy("sha").agg(F.min(id_col).alias("keep_id"))
+    base = ids.join(keeper, "sha").select(
+        F.col(id_col), (F.col(id_col) != F.col("keep_id")).alias("exact_dup")
+    )
+    q = quality_score(df, id_col, text_col).select(id_col, "quality")
+    r = repetition_signals(df, id_col, text_col).select(
+        id_col, "top_2gram_frac", "dup_5gram_frac"
+    )
+    out = base.join(q, id_col, "left").join(r, id_col, "left")
+    low_quality = F.coalesce(F.col("quality"), F.lit(0.0)) < min_quality
+    repetitive = (
+        F.coalesce(F.col("top_2gram_frac"), F.lit(0.0)) > max_top2gram_frac
+    ) | (F.coalesce(F.col("dup_5gram_frac"), F.lit(0.0)) > max_dup5gram_frac)
+    if eval_df is not None:
+        c = decontaminate(df, eval_df, id_col, text_col, n=decontam_n).select(
+            id_col, "contaminated"
+        )
+        out = out.join(c, id_col, "left")
+        contaminated = F.coalesce(F.col("contaminated"), F.lit(False))
+    else:
+        contaminated = F.lit(False)
+    return out.select(
+        F.col(id_col),
+        F.col("exact_dup"),
+        low_quality.alias("low_quality"),
+        repetitive.alias("repetitive"),
+        contaminated.alias("contaminated"),
+        (
+            ~(F.col("exact_dup") | low_quality | repetitive | contaminated)
+        ).alias("keep"),
+    )

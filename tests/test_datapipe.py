@@ -402,3 +402,39 @@ def test_pii_scrub(spark):
     }
     assert out[3]["n_email"] == 2 and out[3]["n_ipv4"] == 1
     assert out[3]["scrubbed"] == "two mails <EMAIL> <EMAIL> one ip <IP>"
+
+
+def test_curate_composed_verdicts(spark):
+    """curate(): each stage flags its planted doc; a clean doc keeps.
+    Verdict composition = OR of stage flags."""
+    from photon_spark.datapipe.curate import curate
+
+    clean = "the quick brown fox jumps over the lazy dog and then it runs away home"
+    rows = [
+        (0, clean),
+        (1, clean),                       # exact dup of 0 -> dropped
+        (2, "a b " * 30),                 # repetitive: one 2-gram dominates
+        (3, "zz xq vw kj pq mn"),         # no stopwords, short -> low quality
+        (4, "the alpha beta gamma delta epsilon and the end of it here now"),
+        (5, clean + " completely fresh extra tail words here"),  # near dup, kept
+    ]
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # thresholds sized to the fixture (defaults target the 100+-token
+    # synthetic corpus; these 15-token docs all sit near the floor)
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in curate(
+            df, ev, min_quality=0.3, max_top2gram_frac=0.2
+        ).collect()
+    }
+    assert out[1]["exact_dup"] and not out[1]["keep"]
+    assert not out[0]["exact_dup"]        # keeper of the sha group
+    assert out[2]["repetitive"] and not out[2]["keep"]
+    assert out[3]["low_quality"] and not out[3]["keep"]
+    assert out[4]["contaminated"] and not out[4]["keep"]
+    assert out[0]["keep"] and out[5]["keep"]
+    for flag in ("exact_dup", "low_quality", "repetitive", "contaminated"):
+        assert not out[0][flag], flag
