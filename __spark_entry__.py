@@ -1047,14 +1047,19 @@ WITH base AS (
          CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens
   FROM documents WHERE len({_SQL_TOKS}) > 0
 ), cum AS (
-  SELECT *, COALESCE(SUM(n_tokens) OVER (
+  -- CAST: DuckDB SUM(...) OVER returns HUGEINT, which survives into
+  -- derived columns and renders as float64 through an Arrow/pandas
+  -- fetch ("39.000000" vs Spark's "39") — the driver hashes strings,
+  -- so every oracle column must stay in the BIGINT/DOUBLE/VARCHAR set
+  SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
       PARTITION BY bucket ORDER BY doc_id
-      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS tok_before
   FROM base
 )
 SELECT doc_id, bucket, n_tokens,
        bucket * 1000000000 + CAST(FLOOR(tok_before / 256.0) AS BIGINT) AS block_id,
-       tok_before % 256 AS "offset"
+       CAST(tok_before % 256 AS BIGINT) AS "offset"
 FROM cum"""
 
     # ---- dedup ----

@@ -213,7 +213,7 @@ def resolve_language(
     n/a)."""
     header = params.get("accept_language")
     if header:
-        weighted = []
+        weighted: list[tuple[float, int, str]] | None = []
         for i, part in enumerate(str(header).split(",")):
             bits = part.strip().split(";")
             tag = bits[0].strip().lower().split("-")[0]
@@ -225,12 +225,16 @@ def resolve_language(
                         q = float(b[2:])
                     except ValueError:
                         # malformed weight ⇒ the whole header is
-                        # invalid (LanguageRange.parse throws and the
-                        # reference ignores the header,
+                        # invalid and IGNORED; resolution falls
+                        # through to the configured default language
+                        # (LanguageRange.parse throws, the reference
+                        # catches and returns defaultLanguage —
                         # RequestFactoryBase.java:88-98)
-                        return "default"
+                        weighted = None
+            if weighted is None:
+                break
             weighted.append((-q, i, tag))
-        for _, _, tag in sorted(weighted):
+        for _, _, tag in sorted(weighted or []):
             # '*' is the wildcard range — Locale.lookupTag skips it
             # (it never selects a concrete supported language)
             if tag != "*" and tag in supported:

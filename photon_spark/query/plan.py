@@ -90,30 +90,6 @@ class Exists:
 PlanNode = Match | DisMax | Bool | FnMul | Exists
 
 
-def _has_live_expansion(node: "PlanNode", absent) -> bool:
-    """True if ANY Match expansion in the tree might have postings.
-    Candidates materialize only from scoring rows (positive Exists
-    markers and FnMul filter terms never create rows on their own),
-    so a tree with no live expansion is runtime-empty no matter what
-    the presence logic says."""
-    if isinstance(node, Match):
-        return any(
-            t
-            for c in node.clauses
-            for t, _ in c.expansions
-            if absent is None or not absent(node.field, t)
-        )
-    if isinstance(node, DisMax):
-        return any(_has_live_expansion(c, absent) for c in node.children)
-    if isinstance(node, FnMul):
-        return _has_live_expansion(node.query, absent)
-    if isinstance(node, Bool):
-        return any(
-            _has_live_expansion(c, absent) for c in node.must + node.should
-        )
-    return False  # Exists
-
-
 def _node_empty(node: "PlanNode", absent) -> bool:
     """Provably-zero-candidates check per node (see
     SearchPlan.provably_empty). Mirrors evaluator presence semantics:
@@ -135,10 +111,13 @@ def _node_empty(node: "PlanNode", absent) -> bool:
 
     if isinstance(node, Match):
         if not node.clauses:
-            # zero clauses ⇒ zero required matches: trivially
-            # SATISFIED (the lenient planner emits such nodes when a
-            # branch contributes no constraints), never empty
-            return False
+            # zero clauses (the lenient planner emits these when
+            # fuzzy grounding finds no expansion for ANY token) ⇒ the
+            # evaluators never emit a leaf row for the node ⇒ its
+            # m-column is NULL for every doc ⇒ present is false
+            # everywhere (executor._compile_tree / oracle._tree both
+            # require m.isNotNull()): provably empty
+            return True
         if node.operator == "and":
             return any(clause_empty(node.field, c) for c in node.clauses)
         return all(clause_empty(node.field, c) for c in node.clauses)
@@ -196,12 +175,21 @@ class SearchPlan:
         one-sided-error membership test (Index.definitely_absent —
         the build-time term bloom; OracleIndex — exact). Conservative:
         anything not provably empty returns False, and without
-        ``absent`` only structurally-empty clauses count."""
+        ``absent`` only structurally-empty clauses count.
+
+        Soundness note: an earlier revision additionally declared a
+        plan empty when no Match expansion survived the bloom — but
+        positive Exists markers DO materialize candidate rows in the
+        evaluator (executor._expansion_rows emits kw presence rows),
+        so e.g. a bare-ext structured query with an OOV ext token
+        still serves no-extension docs through the negated
+        Exists(has_ext:1) branch (reference: AddressQueryBuilder's
+        mustNot(exists housenumber)). ``_node_empty`` alone mirrors
+        evaluator presence exactly; the extra check violated the
+        bloom's one-sided-error contract and was removed."""
         if self.kind == "match_all":
             return False
-        return _node_empty(self.root, absent) or not _has_live_expansion(
-            self.root, absent
-        )
+        return _node_empty(self.root, absent)
 
     def match_nodes(self) -> list[Match]:
         out: list[Match] = []

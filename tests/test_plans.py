@@ -94,6 +94,19 @@ def test_provably_empty_short_circuit(spark, index_dir, oracle):
     assert not SearchPlan(root=Bool(0), kind="match_all").provably_empty(
         engine.definitely_absent
     )
+    # a bare-ext structured query with an OOV ext token can still
+    # serve docs through the negated Exists(has_ext:1) should-branch
+    # (reference: AddressQueryBuilder's mustNot(exists housenumber),
+    # candidates materialized by the has_parent:1 marker rows) — the
+    # bloom shortcut must never claim it empty even though every
+    # Match expansion is absent (ADVICE r3: the one-sided contract)
+    from photon_spark.query.compiler import StructuredQuery, compile_structured
+
+    for backend in (engine, oracle):
+        bare = compile_structured(
+            StructuredQuery(ext="zzqqxreallynotaterm"), backend
+        )
+        assert not bare.provably_empty(backend.definitely_absent)
 
 
 def test_bloom_one_sided(spark, index_dir):

@@ -77,6 +77,13 @@ def test_accept_language():
     assert resolve_language({"accept_language": "*;q=0.9,de;q=0.5"}) == "de"
     # malformed q-weight ⇒ LanguageRange.parse throws ⇒ header ignored
     assert resolve_language({"accept_language": "de;q=abc"}) == "default"
+    # ...and a configured -default-language still wins over the bare
+    # "default" when the header is malformed (the reference's catch
+    # returns defaultLanguage, RequestFactoryBase.java:88-98)
+    assert (
+        resolve_language({"accept_language": "de;q=abc"}, default_language="fr")
+        == "fr"
+    )
     # unsupported-only list with weights ⇒ default
     assert resolve_language({"accept_language": "zz;q=1.0,yy;q=0.5"}) == "default"
     # case-insensitive tags, region subtags stripped

@@ -30,6 +30,10 @@ CASES = [
     # testDistrictAsCity analog: a directory token passed in the
     # city-level field still matches (repo grounds in the `all` zone)
     StructuredQuery(repo="core"),
+    # bare OOV ext: served through the negated Exists(has_ext:1)
+    # branch (mustNot(exists housenumber) analog) — must NOT be
+    # short-circuited by the bloom (ADVICE r3 regression pin)
+    StructuredQuery(ext="zzqqxreallynotaterm"),
 ]
 
 

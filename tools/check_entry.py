@@ -76,6 +76,23 @@ def main() -> int:
         try:
             rel = con.sql(oracles[name])
             ocols = [c for c in rel.columns]
+            # The driver fetches oracle results through Arrow/pandas,
+            # where DuckDB's wider types degrade silently: HUGEINT
+            # (e.g. any SUM(...) OVER window) and DECIMAL become
+            # float64, so "39" renders as "39.000000" and the value
+            # hash mismatches even though fetchall() (python ints)
+            # stays exact. Gate the type surface here so the leak is
+            # caught at build time (VERDICT r3 #1: pack_sequences).
+            allowed = {"BIGINT", "INTEGER", "DOUBLE", "VARCHAR", "BOOLEAN"}
+            bad = [
+                f"{c}:{t}"
+                for c, t in zip(rel.columns, rel.types)
+                if str(t) not in allowed
+            ]
+            if bad:
+                print(f"FAIL  {name}: oracle column type outside {sorted(allowed)}: {bad}")
+                failures += 1
+                continue
             orows = rel.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
