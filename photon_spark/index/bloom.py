@@ -13,9 +13,20 @@ One-sided error by construction: a false positive only forfeits the
 shortcut (the evaluator then returns [] the slow way); a "definitely
 absent" answer is exact, so results never change.
 
+Hashing is pandas' vectorized SipHash (``pd.util.hash_array``, a C
+kernel) with two distinct keys — one call per Arrow batch hashes the
+whole (field, term) column at C speed, and the SAME function serves
+the driver's per-query bit-test, so build and probe can never drift.
+(A JVM-side ``xxhash64`` would also vectorize the build, but has no
+Python twin in this environment for the driver probe.) All position
+arithmetic is uint64 with wraparound, shared by every path. The
+artifact is rebuilt with the index, so the hash choice carries no
+compatibility constraint — but changing it bumps
+``INDEX_FORMAT_VERSION`` (a stale bloom gives two-sided errors).
+
 Build shape (scale notes): one ``mapInPandas`` pass over the
 dictionary's (field, term) pairs. The kernel accumulates ONE bitmap
-per PARTITION across its Arrow batches and emits a single packed-row
+per PARTITION across its Arrow batches and emits a single packed row
 per partition — the shuffle-free reduce is then an OR over
 ``n_partitions`` bitmaps on the driver (coalesce bounds the row
 count). The artifact is ~``m/8`` bytes and must fit driver memory to
@@ -26,13 +37,15 @@ bloom to the non-ngram fields.
 
 Consistency rule: the bloom must remain a SUPERSET of live dictionary
 terms. Deletes/compaction only remove terms (supersets stay valid);
-the updater must ADD its delta vocabulary via :func:`add_terms`
-before serving reads the new segments.
+the updater must fold its delta vocabulary in BEFORE the delta
+segments become readable (:func:`add_terms` for trickle batches,
+:func:`fold_distributed` past ~50k terms — the build kernel re-run at
+the existing (m, k) and OR-ed into the loaded bitmap, no driver term
+loop).
 """
 
 from __future__ import annotations
 
-import hashlib
 import math
 import os
 
@@ -40,17 +53,45 @@ import numpy as np
 
 BLOOM_FILE = "term_bloom.npz"
 
+# artifact hash-scheme id, stored in the npz: a bloom probed with a
+# different scheme than it was built with gives TWO-sided errors, so
+# load() rejects mismatches (shortcut disabled — still correct, the
+# evaluator just runs). 1 = md5 double-hash (≤ index 2.4);
+# 2 = SipHash pair via pd.util.hash_array (index 2.5+).
+BLOOM_SCHEME = 2
 
-def _hash_pair(field: str, term: str) -> tuple[int, int]:
-    d = hashlib.md5(f"{field}\x1f{term}".encode("utf-8", "surrogatepass")).digest()
-    h1 = int.from_bytes(d[:8], "big")
-    h2 = int.from_bytes(d[8:16], "big") | 1  # odd → full-period stride
+# pd.util.hash_array keys must be exactly 16 characters; two distinct
+# keys give the two independent hashes of the double-hashing scheme
+_HASH_KEY_1 = "photon.bloom.h1!"
+_HASH_KEY_2 = "photon.bloom.h2!"
+
+
+def _hash_arrays(fields, terms) -> tuple[np.ndarray, np.ndarray]:
+    """(h1, h2) uint64 arrays for (field, term) pairs. Vectorized C
+    SipHash over the joined key; h2 forced odd (full-period stride
+    for the (h1 + i·h2) mod m double-hash probe)."""
+    import pandas as pd
+
+    joined = (
+        pd.Series(fields, dtype="object")
+        .str.cat(pd.Series(terms, dtype="object"), sep="\x1f")
+        .to_numpy(dtype=object)
+    )
+    h1 = pd.util.hash_array(joined, hash_key=_HASH_KEY_1)
+    h2 = pd.util.hash_array(joined, hash_key=_HASH_KEY_2) | np.uint64(1)
     return h1, h2
 
 
-def _positions(field: str, term: str, m: int, k: int) -> list[int]:
-    h1, h2 = _hash_pair(field, term)
-    return [(h1 + i * h2) % m for i in range(k)]
+def _positions_arrays(
+    h1: np.ndarray, h2: np.ndarray, m: int, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """All probe positions for a batch: (byte_index int64 array,
+    bit_mask uint8 array), each of length len(h1)·k. uint64 wraparound
+    on h1 + i·h2 is deliberate and shared by every caller."""
+    m64 = np.uint64(m)
+    strides = np.arange(k, dtype=np.uint64)[:, None] * h2[None, :]
+    p = ((h1[None, :] + strides) % m64).astype(np.int64).ravel()
+    return p >> 3, np.left_shift(np.uint8(1), (p & 7).astype(np.uint8))
 
 
 def _params(n: int, fp_rate: float) -> tuple[int, int]:
@@ -70,19 +111,36 @@ class TermBloom:
         self.n = int(n)
 
     def definitely_absent(self, field: str, term: str) -> bool:
-        for p in _positions(field, term, self.m, self.k):
-            if not (self.bits[p >> 3] >> (p & 7)) & 1:
-                return True
-        return False
+        h1, h2 = _hash_arrays(
+            np.array([field], dtype=object), np.array([term], dtype=object)
+        )
+        byte_idx, masks = _positions_arrays(h1, h2, self.m, self.k)
+        return bool(np.any((self.bits[byte_idx] & masks) == 0))
 
     def add(self, field: str, term: str) -> None:
-        for p in _positions(field, term, self.m, self.k):
-            self.bits[p >> 3] |= np.uint8(1 << (p & 7))
+        self.add_many(
+            np.array([field], dtype=object), np.array([term], dtype=object)
+        )
+
+    def add_many(self, fields, terms) -> None:
+        """Vectorized bulk insert — one hash call + one scatter for
+        the whole batch (no per-term Python loop)."""
+        if len(fields) == 0:
+            return
+        h1, h2 = _hash_arrays(fields, terms)
+        byte_idx, masks = _positions_arrays(h1, h2, self.m, self.k)
+        np.bitwise_or.at(self.bits, byte_idx, masks)
+
+    def or_bits(self, other_bits: np.ndarray) -> None:
+        self.bits |= other_bits
 
     def save(self, index_dir: str) -> None:
         tmp = os.path.join(index_dir, BLOOM_FILE + ".tmp")
         with open(tmp, "wb") as f:
-            np.savez_compressed(f, bits=self.bits, m=self.m, k=self.k, n=self.n)
+            np.savez_compressed(
+                f, bits=self.bits, m=self.m, k=self.k, n=self.n,
+                scheme=BLOOM_SCHEME,
+            )
         os.replace(tmp, os.path.join(index_dir, BLOOM_FILE))
 
     @classmethod
@@ -91,7 +149,48 @@ class TermBloom:
         if not os.path.exists(path):
             return None
         with np.load(path) as z:
+            if "scheme" not in z or int(z["scheme"]) != BLOOM_SCHEME:
+                return None  # built under another hash scheme
             return cls(z["bits"].copy(), int(z["m"]), int(z["k"]), int(z["n"]))
+
+
+def _make_kernel(m: int, k: int):
+    """Per-partition bitmap accumulator at fixed (m, k) — shared by
+    the initial build and the updater's distributed delta fold."""
+    import pandas as pd
+
+    n_bytes = (m + 7) // 8
+
+    def kernel(batches):
+        # ONE bitmap per partition: the iterator spans every Arrow
+        # batch of the partition, so the task emits a single row
+        bits = np.zeros(n_bytes, dtype=np.uint8)
+        for pdf in batches:
+            if len(pdf):
+                h1, h2 = _hash_arrays(
+                    pdf["field"].to_numpy(dtype=object),
+                    pdf["term"].to_numpy(dtype=object),
+                )
+                byte_idx, masks = _positions_arrays(h1, h2, m, k)
+                np.bitwise_or.at(bits, byte_idx, masks)
+        yield pd.DataFrame({"bits": [bits.tobytes()]})
+
+    return kernel
+
+
+def _distributed_bits(
+    dictionary_df, m: int, k: int, reduce_partitions: int
+) -> np.ndarray:
+    parts = (
+        dictionary_df.select("field", "term")
+        .coalesce(reduce_partitions)
+        .mapInPandas(_make_kernel(m, k), "bits binary")
+        .collect()
+    )
+    acc = np.zeros((m + 7) // 8, dtype=np.uint8)
+    for row in parts:
+        acc |= np.frombuffer(row["bits"], dtype=np.uint8)
+    return acc
 
 
 def build_bloom(
@@ -102,35 +201,12 @@ def build_bloom(
     pairs; writes ``term_bloom.npz`` into ``out_dir`` and returns the
     loaded filter. ``n_terms`` sizes the filter (counted if omitted —
     one cheap agg over the dictionary)."""
-    import pandas as pd
-
     if n_terms is None:
         n_terms = dictionary_df.count()
     m, k = _params(n_terms, fp_rate)
-    n_bytes = (m + 7) // 8
-
-    def kernel(batches):
-        # ONE bitmap per partition: the iterator spans every Arrow
-        # batch of the partition, so the task emits a single row
-        bits = np.zeros(n_bytes, dtype=np.uint8)
-        for pdf in batches:
-            for field, term in zip(pdf["field"], pdf["term"]):
-                h1, h2 = _hash_pair(str(field), str(term))
-                for i in range(k):
-                    p = (h1 + i * h2) % m
-                    bits[p >> 3] |= np.uint8(1 << (p & 7))
-        yield pd.DataFrame({"bits": [bits.tobytes()]})
-
-    parts = (
-        dictionary_df.select("field", "term")
-        .coalesce(reduce_partitions)
-        .mapInPandas(kernel, "bits binary")
-        .collect()
+    bloom = TermBloom(
+        _distributed_bits(dictionary_df, m, k, reduce_partitions), m, k, n_terms
     )
-    acc = np.zeros(n_bytes, dtype=np.uint8)
-    for row in parts:
-        acc |= np.frombuffer(row["bits"], dtype=np.uint8)
-    bloom = TermBloom(acc, m, k, n_terms)
     bloom.save(out_dir)
     return bloom
 
@@ -139,11 +215,33 @@ def add_terms(index_dir: str, pairs) -> TermBloom | None:
     """Updater hook: fold a delta vocabulary (iterable of
     (field, term)) into the persisted bloom, atomically. Keeps the
     superset invariant across CDC batches; no-op when no bloom was
-    built."""
+    built. Vectorized — one hash + scatter for the whole batch."""
     bloom = TermBloom.load(index_dir)
     if bloom is None:
         return None
-    for field, term in pairs:
-        bloom.add(field, term)
+    pairs = list(pairs)
+    if pairs:
+        bloom.add_many(
+            np.array([p[0] for p in pairs], dtype=object),
+            np.array([p[1] for p in pairs], dtype=object),
+        )
+    bloom.save(index_dir)
+    return bloom
+
+
+def fold_distributed(
+    dictionary_df, index_dir: str, reduce_partitions: int = 32
+) -> TermBloom | None:
+    """Large-batch updater hook: run the build kernel over the delta
+    dictionary at the EXISTING (m, k) and OR the resulting bitmap into
+    the loaded bloom — no (field, term) rows ever reach the driver,
+    only ``reduce_partitions`` packed bitmaps. Use past ~50k delta
+    terms (a backfill batch); ``add_terms`` suffices for CDC trickle."""
+    bloom = TermBloom.load(index_dir)
+    if bloom is None:
+        return None
+    bloom.or_bits(
+        _distributed_bits(dictionary_df, bloom.m, bloom.k, reduce_partitions)
+    )
     bloom.save(index_dir)
     return bloom

@@ -48,7 +48,9 @@ from photon_spark.index.codec import encode_blocks_bulk
 # 2.3: user categories column (O8) + extra map in docs
 # 2.3.0-2: O8 dot-path validation (malformed categories dropped at
 #          ingestion; comma-joined values split)
-INDEX_FORMAT_VERSION = "2.4.0"  # 2.4: term_bloom.npz membership artifact
+# 2.4: term_bloom.npz membership artifact; 2.5: bloom hash switched to
+# vectorized SipHash pairs (stale 2.4 blooms would answer two-sided)
+INDEX_FORMAT_VERSION = "2.5.0"
 
 DEFAULT_BLOCK_SIZE = 128
 DEFAULT_N_BUCKETS = 64

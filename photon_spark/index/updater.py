@@ -55,6 +55,12 @@ from photon_spark.index.build import (
     doc_int_expr,
 )
 
+# delta-vocabulary size above which the bloom fold runs distributed
+# (build kernel at the existing (m, k), OR-ed bitmaps) instead of a
+# driver-side vectorized scatter — a backfill batch's millions of new
+# terms must not serialize through the driver
+BLOOM_FOLD_DISTRIBUTED_MIN = 50_000
+
 UPDATES_DDL = (
     "op string, repo string, path string, commit string, lang string, "
     "content string, ts long"
@@ -286,9 +292,16 @@ def apply_updates(
             "bucket",
             (F.crc32(F.encode(F.col("term"), "utf-8")) % meta["n_buckets"]).cast("int"),
         )
-        dict_delta.write.mode("overwrite").partitionBy("field").parquet(
-            os.path.join(index_dir, "dictionary_delta", f"seg={seg}")
-        )
+        # STAGE the delta segment out of the discovered layout, fold
+        # the term bloom, then publish — an Index constructed at any
+        # point sees either (old bloom, old segments) or (folded
+        # bloom, new segments), never delta postings the bloom
+        # predates (a stale bloom would answer a transient false
+        # "definitely absent" and wrongly skip a plan).
+        staging = os.path.join(index_dir, f".staging_seg{seg}")
+        dict_stage = os.path.join(staging, "dictionary_delta")
+        post_stage = os.path.join(staging, "postings_delta")
+        dict_delta.write.mode("overwrite").partitionBy("field").parquet(dict_stage)
         (
             tokens.repartitionByRange(max(1, parts // 4), "field", "term", "doc")
             .sortWithinPartitions("field", "term", "doc")
@@ -298,24 +311,36 @@ def apply_updates(
             )
             .write.mode("overwrite")
             .partitionBy("field")
-            .parquet(os.path.join(index_dir, "postings_delta", f"seg={seg}"))
+            .parquet(post_stage)
         )
         # keep the term bloom a SUPERSET of live terms (index/bloom.py
-        # consistency rule): fold the delta vocabulary in before the
-        # new segment becomes readable. O(delta vocab) driver work —
-        # the same order as the dict_delta collect-free write above is
-        # distributed, but the bloom itself is a driver artifact.
-        from photon_spark.index.bloom import add_terms
+        # consistency rule). Trickle batches fold via one vectorized
+        # driver scatter; past the threshold (a backfill batch) the
+        # build kernel re-runs distributed at the existing (m, k) and
+        # only ~32 packed bitmaps reach the driver — the delta
+        # vocabulary itself never does.
+        from photon_spark.index.bloom import add_terms, fold_distributed
 
-        add_terms(
-            index_dir,
-            (
-                (r["field"], r["term"])
-                for r in spark.read.parquet(
-                    os.path.join(index_dir, "dictionary_delta", f"seg={seg}")
-                ).select("field", "term").collect()
-            ),
-        )
+        delta_vocab = spark.read.parquet(dict_stage).select("field", "term")
+        if delta_vocab.count() >= BLOOM_FOLD_DISTRIBUTED_MIN:
+            fold_distributed(delta_vocab, index_dir)
+        else:
+            add_terms(
+                index_dir,
+                [(r["field"], r["term"]) for r in delta_vocab.collect()],
+            )
+        # publish: rename the staged segment dirs into the discovered
+        # layout (same filesystem — atomic per directory; Iceberg
+        # commit-swap in production)
+        for stage_dir, live_root in (
+            (dict_stage, "dictionary_delta"),
+            (post_stage, "postings_delta"),
+        ):
+            os.makedirs(os.path.join(index_dir, live_root), exist_ok=True)
+            os.rename(
+                stage_dir, os.path.join(index_dir, live_root, f"seg={seg}")
+            )
+        shutil.rmtree(staging, ignore_errors=True)
 
     # tombstones: ordinals that died in this batch (affected
     # identities whose ord is no longer live). O(batch) rows — the

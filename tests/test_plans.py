@@ -157,6 +157,70 @@ def test_bloom_updated_on_delta(spark, corpus, tmp_path_factory):
     assert hits and hits[0]["path"] == "a/zzbrandnewword_util.py"
 
 
+def test_bloom_kernel_driver_agreement(spark):
+    """The distributed build kernel and the driver-side add_many use
+    the same vectorized hash path — identical bitmaps for identical
+    vocabularies (build-vs-probe drift would be a two-sided error)."""
+    import numpy as np
+
+    from photon_spark.index.bloom import TermBloom, _params, build_bloom
+
+    pairs = [("name", f"term{i}") for i in range(300)] + [
+        ("all", "naïve-ünïcode"), ("ext", "py")
+    ]
+    df = spark.createDataFrame(pairs, "field string, term string")
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        built = build_bloom(df, d, n_terms=len(pairs))
+        m, k = _params(len(pairs), 0.01)
+        local = TermBloom(
+            np.zeros((m + 7) // 8, dtype=np.uint8), m, k, len(pairs)
+        )
+        local.add_many(
+            np.array([p[0] for p in pairs], dtype=object),
+            np.array([p[1] for p in pairs], dtype=object),
+        )
+        assert np.array_equal(built.bits, local.bits)
+        for f_, t in pairs:
+            assert not built.definitely_absent(f_, t)
+
+
+def test_bloom_distributed_fold(spark, corpus, tmp_path_factory, monkeypatch):
+    """A large delta batch folds the bloom DISTRIBUTED (build kernel
+    at the existing (m, k), OR-ed bitmaps) — no per-term driver adds —
+    and the superset invariant holds (VERDICT r3 #3)."""
+    import photon_spark.index.bloom as bloom_mod
+    import photon_spark.index.updater as upd
+    from photon_spark.index.build import build_index
+    from photon_spark.index.updater import UPDATES_DDL, apply_updates
+    from photon_spark.query.executor import Index
+
+    out = str(tmp_path_factory.mktemp("bloom_dist")) + "/idx"
+    build_index(spark, spark.createDataFrame(corpus.head(30)), out)
+    # force the distributed path and ban the driver-side fold
+    monkeypatch.setattr(upd, "BLOOM_FOLD_DISTRIBUTED_MIN", 1)
+
+    def _banned(*a, **kw):
+        raise AssertionError("driver-side add_terms must not run")
+
+    monkeypatch.setattr(bloom_mod, "add_terms", _banned)
+    body = " ".join(f"zzdistword{i}" for i in range(120))
+    batch = spark.createDataFrame(
+        [("upsert", "org/dist", "a/zzdistmarker_mod.py", "7" * 40,
+          "python", f"def g(): pass  # {body}", 1)],
+        UPDATES_DDL,
+    )
+    apply_updates(spark, out, batch)
+    idx = Index(spark, out, cache=False)
+    # body vocab folded (all-field terms — membership only; the full
+    # plan's scoring fields don't cover `all`), name vocab searchable
+    assert not idx.definitely_absent("all", "zzdistword7")
+    assert not idx.definitely_absent("name", "zzdistmarker")
+    hits = idx.search("zzdistmarker", k=5)
+    assert hits and hits[0]["path"] == "a/zzdistmarker_mod.py"
+
+
 def test_bloom_resized_on_merge(spark, corpus, tmp_path_factory):
     """merge_segments rebuilds the bloom from the exact merged
     dictionary: vocabulary that existed only in deleted docs stops
