@@ -103,8 +103,16 @@ def bucket_of(vec_col: str, planes: list[list[float]]) -> Column:
 
 
 def _probe_buckets(
-    query_vec: list[float], planes: list[list[float]], multiprobe: int
+    query_vec: list[float], planes: list[list[float]], multiprobe
 ) -> list[int]:
+    """Buckets to scan for a query. ``multiprobe="all"`` probes every
+    bucket — the exactness-parameterized config (the candidate set is
+    the whole table, so LSH top-k provably equals brute-force top-k;
+    the driver-gate config, like a Lucene test config that makes BM25
+    exact). Integer multiprobe is the production shape: the query's
+    bucket plus its 1-bit neighbors."""
+    if multiprobe == "all":
+        return list(range(1 << len(planes)))
     qb = 0
     for i, plane in enumerate(planes):
         if sum(a * b for a, b in zip(query_vec, plane)) > 0:
@@ -301,11 +309,13 @@ def ivf_topk_indexed(
     index_dir: str,
     query_vec: list[float],
     k: int = 10,
-    n_probe: int = 4,
+    n_probe: int | None = 4,
 ) -> DataFrame:
     """ANN top-k against a materialized :func:`ivf_index` table: the
     ``cid IN (...)`` predicate is a PARTITION filter — only the
-    probed clusters' files are read."""
+    probed clusters' files are read. ``n_probe=None`` probes every
+    cluster: the exactness-parameterized config (exhaustive scan ⇒
+    provably equals brute-force top-k; the driver-gate config)."""
     with open(os.path.join(index_dir, "_meta.json")) as f:
         cents = json.load(f)["centroids"]
     return ivf_topk(spark.read.parquet(index_dir), cents, query_vec, k, n_probe)
@@ -316,10 +326,13 @@ def ivf_topk(
     centroids: list[list[float]],
     query_vec: list[float],
     k: int = 10,
-    n_probe: int = 4,
+    n_probe: int | None = 4,
 ) -> DataFrame:
     """ANN top-k over an ivf_assign output: probe the ``n_probe``
-    centroids nearest the query, scan only their clusters."""
+    centroids nearest the query, scan only their clusters
+    (``None`` ⇒ all clusters — exhaustive, provably exact)."""
+    if n_probe is None:
+        n_probe = len(centroids)
     scores = [
         (i, sum(a * b for a, b in zip(c, query_vec)))
         for i, c in enumerate(centroids)

@@ -124,6 +124,35 @@ def test_lsh_ann_recall(spark):
     assert recall >= 0.5
 
 
+def test_ann_exactness_parameterized(spark):
+    """The exactness-parameterized configs (LSH multiprobe='all', IVF
+    n_probe=None) provably collapse to brute force — the driver-gate
+    configs that make the exhaustive cosine SQL an exact oracle."""
+    rng = np.random.RandomState(13)
+    vecs = rng.randn(150, 16).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(150)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [float(x) for x in vecs[7]]
+    exact = [tuple(r) for r in sim.brute_force_topk(df, q, k=10).collect()]
+
+    lsh_all = [
+        tuple(r)
+        for r in sim.lsh_ann_topk(
+            df, q, k=10, n_planes=4, multiprobe="all"
+        ).collect()
+    ]
+    assert lsh_all == exact
+
+    from photon_spark.datapipe.similarity import ivf_assign, ivf_topk, ivf_train
+
+    cents = ivf_train(df, n_clusters=8, n_iters=2)
+    ivf_all = [
+        tuple(r)
+        for r in ivf_topk(ivf_assign(df, cents), cents, q, k=10, n_probe=None).collect()
+    ]
+    assert ivf_all == exact
+
+
 def test_quality_and_langid(spark, docs):
     quality = {r["doc_id"]: r for r in ts.quality_score(docs).collect()}
     assert quality[0]["stopword_ratio"] > 0

@@ -1,0 +1,135 @@
+"""Property-based cross-engine fuzz of the datapipe oracles.
+
+The driver's correctness gate runs on fixture parquet only, so
+engine/oracle CONVENTION drift on data the fixtures lack is its blind
+spot — exactly how the r3 ``pack_sequences`` failure slipped through
+(a DuckDB HUGEINT that only renders wrong through an Arrow fetch).
+Here hypothesis generates adversarial documents — unicode whitespace
+(vertical tab, NBSP), empty and whitespace-only texts, huge tokens,
+punctuation runs, exact duplicates — writes them as a documents table,
+and asserts the entry's Spark result equals its DuckDB oracle
+row-for-row, using the same float normalization as the gate's hasher.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+import __spark_entry__ as ent
+
+# the entries whose conventions (tokenization, hashing, windowing,
+# regex) are most exposed to odd text; ANN/engine entries run over
+# derived fixtures and are covered by their own identity pins
+FUZZ_ENTRIES = [
+    "token_counts",
+    "quality_score",
+    "lang_id",
+    "fingerprint",
+    "pii_scrub",
+    "hash_split",
+    "sample_by_rate",
+    "pack_sequences",
+    "exact_dedup",
+    "simhash",
+]
+
+_TOKENS = st.sampled_from(
+    [
+        "", "a", "ab", "the", "und", "le",          # stopword-ish
+        "x" * 80,                                    # huge token
+        "éüß", "ĐđŊ", "'s", "don't",               # folding edges
+        "192.168.0.1", "a@b.co",                    # PII-shaped
+        "...", "!!!", "@@",                          # punctuation runs
+        "0", "42",
+    ]
+)
+_SEPS = st.sampled_from([" ", "  ", "\t", "\n", "\x0b", " ", " . "])
+
+
+@st.composite
+def _doc_text(draw):
+    n = draw(st.integers(min_value=0, max_value=12))
+    toks = [draw(_TOKENS) for _ in range(n)]
+    seps = [draw(_SEPS) for _ in range(max(0, n - 1))]
+    out = ""
+    for i, t in enumerate(toks):
+        out += t
+        if i < len(seps):
+            out += seps[i]
+    return out
+
+
+@st.composite
+def _corpus(draw):
+    texts = draw(st.lists(_doc_text(), min_size=1, max_size=10))
+    # inject exact duplicates (dedup/fingerprint edge)
+    if len(texts) > 1 and draw(st.booleans()):
+        texts.append(texts[0])
+    langs = [
+        draw(st.sampled_from(["en", "de", "fr", "zh", None])) for _ in texts
+    ]
+    return texts, langs
+
+
+def _run_pair(spark, tmpdir: str, texts, langs):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": langs,
+            "source": [f"src{i % 3}" for i in range(len(texts))],
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    # all-None object columns infer as pyarrow null type, which is a
+    # fixture artifact (the real table is string) — pin the dtypes
+    pdf = pdf.astype({"text": "string", "lang": "string", "source": "string"})
+    path = os.path.join(tmpdir, "documents.parquet")
+    pdf.to_parquet(path)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+
+    qs, oracles = ent.queries(), ent.oracle_sql()
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from check_entry import value_hash
+
+    for name in FUZZ_ENTRIES:
+        sdf = qs[name](spark, tmpdir)
+        srows = [tuple(r) for r in sdf.collect()]
+        rel = con.sql(oracles[name])
+        orows = rel.fetchall()
+        assert len(srows) == len(orows), (
+            f"{name}: rows {len(srows)} vs {len(orows)} on {texts!r}"
+        )
+        assert sorted(sdf.columns) == sorted(rel.columns), name
+        sh = value_hash(srows, sdf.columns)
+        oh = value_hash(orows, list(rel.columns))
+        if sh != oh:
+            sset = {tuple(str(x) for x in r) for r in srows}
+            oset = {tuple(str(x) for x in r) for r in orows}
+            raise AssertionError(
+                f"{name} hash mismatch on {texts!r}: "
+                f"spark-only={sorted(sset - oset)[:3]} "
+                f"duck-only={sorted(oset - sset)[:3]}"
+            )
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(data=_corpus())
+def test_datapipe_entries_match_oracle_on_adversarial_docs(
+    spark, tmp_path_factory, data
+):
+    texts, langs = data
+    tmpdir = str(tmp_path_factory.mktemp("fuzz"))
+    _run_pair(spark, tmpdir, texts, langs)
