@@ -758,6 +758,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sample_by_rate"] = lambda s, d: _sampling(s, d, "mix")
     q["pack_sequences"] = lambda s, d: _sampling(s, d, "pack")
 
+    def _dataset_stats(s, d):
+        # the dataset-card job: per (split, lang) doc/token/dup/distinct
+        # aggregates — the release report after assembly
+        from photon_spark.datapipe import sampling as sa
+
+        return sa.dataset_stats(_docs(s, d), val_frac=0.05)
+
+    q["dataset_stats"] = _dataset_stats
+
     # ---- training-data pipeline: dedup ----
     q["exact_dedup"] = lambda s, d: dd.exact_dedup(_docs(s, d))
     q["minhash_signatures"] = lambda s, d: (
@@ -1271,6 +1280,28 @@ SELECT doc_id, bucket, n_tokens,
        bucket * 1000000000 + CAST(FLOOR(tok_before / 256.0) AS BIGINT) AS block_id,
        CAST(tok_before % 256 AS BIGINT) AS "offset"
 FROM cum"""
+
+    # dataset-card aggregates: split via the same salted-hash draw as
+    # hash_split, dup membership = exact-text class size > 1 (corpus
+    # global, so cross-split leakage is visible). CASTs keep SUM out
+    # of HUGEINT (see pack_sequences note).
+    o["dataset_stats"] = f"""
+WITH base AS (
+  SELECT doc_id, lang AS stratum,
+         CASE WHEN {split_h} % 10000 < 500 THEN 'val' ELSE 'train' END AS split,
+         CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens,
+         sha256(text) AS th
+  FROM documents
+), dup AS (
+  SELECT th, COUNT(*) AS class_size FROM base GROUP BY th
+)
+SELECT split, stratum,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN class_size > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       COUNT(DISTINCT th) AS n_distinct_texts
+FROM base JOIN dup USING (th)
+GROUP BY split, stratum"""
 
     # ---- dedup ----
     o["exact_dedup"] = """

@@ -142,6 +142,27 @@ def main() -> None:
         ]
         timed("engine_batch10_search", lambda: batch_search(idx, fixture_queries, k=10))
 
+        # top-k query p50 latency (the BASELINE.json headline metric):
+        # the fixture set served as INDIVIDUAL requests — one warm pass
+        # (postings/dictionary caches populated), then one measured
+        # pass; p50/p95 over the measured per-query latencies. Kept out
+        # of the headline sum so round-over-round totals stay
+        # comparable.
+        for q in fixture_queries:
+            idx.search(q, k=10)
+        lat = []
+        for q in fixture_queries:
+            t0 = time.time()
+            idx.search(q, k=10)
+            lat.append(round(time.time() - t0, 3))
+        lat_sorted = sorted(lat)
+        query_latency = {
+            "p50_sec": lat_sorted[len(lat) // 2],
+            "p95_sec": lat_sorted[min(len(lat) - 1, int(len(lat) * 0.95))],
+            "n_queries": len(lat),
+            "samples": lat,
+        }
+
         timed(
             "datapipe_minhash_lsh",
             lambda: dd.minhash_lsh_pairs(docs, n_hashes=16, bands=4, threshold=0.3).count(),
@@ -162,6 +183,13 @@ def main() -> None:
 
         qvec = [float(x) for x in embs.filter(F.col("vec_id") == 0).head()["embedding"]]
         timed("datapipe_cosine_topk", lambda: sim.brute_force_topk(embs, qvec, k=10).collect())
+
+        from photon_spark.datapipe.sampling import dataset_stats
+
+        timed(
+            "datapipe_dataset_stats",
+            lambda: dataset_stats(docs, val_frac=0.05).collect(),
+        )
 
         # serving-critical updater path: one CDC batch (upsert-modify +
         # delete, batch-proportional) through apply_updates + the
@@ -195,6 +223,7 @@ def main() -> None:
                     "value": total,
                     "unit": "sec",
                     "queries": timings,
+                    "query_latency": query_latency,
                     "repeats": repeats,
                     "query_samples": samples,
                     "sf": sf,

@@ -124,3 +124,55 @@ def pack_sequences(
          + F.floor(before / F.lit(block_tokens))).alias("block_id"),
         (before % F.lit(block_tokens)).alias("offset"),
     )
+
+
+def dataset_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stratum_col: str = "lang",
+    val_frac: float = 0.05,
+    salt: str = "split",
+) -> DataFrame:
+    """Dataset-card aggregates per (split, stratum): doc count, token
+    totals, exact-duplicate members, and distinct-text count — the
+    release report a training pipeline emits after assembly (what HF
+    dataset cards / C4 release stats tabulate).
+
+    A doc is a ``dup`` member when its exact text occurs more than
+    once in the WHOLE corpus (cross-split leakage shows up here: a
+    val doc whose text also sits in train counts in both groups).
+
+    Scale (100 TB): the text key is first collapsed to sha256 (narrow
+    map — 32-byte keys shuffle, text never does), duplicate classes
+    come from one map-combinable ``groupBy(hash)``, membership rejoins
+    co-keyed on the same hash, and the final ``groupBy(split,
+    stratum)`` has group-count ≈ #splits × #strata rows. The
+    distinct-text count is partial-aggregatable (count_distinct over
+    the 32-byte hash).
+    """
+    thresh = int(round(val_frac * _RATE_DENOM))
+    base = df.select(
+        F.col(id_col),
+        F.col(stratum_col).alias("stratum"),
+        F.when(_rate_bucket(id_col, salt) < thresh, F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+        F.size(tokens_col(text_col)).cast("long").alias("n_tokens"),
+        F.sha2(F.col(text_col), 256).alias("_th"),
+    )
+    dup_classes = base.groupBy("_th").agg(
+        F.count(F.lit(1)).alias("_class_size")
+    )
+    return (
+        base.join(dup_classes, "_th")
+        .groupBy("split", "stratum")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum(
+                F.when(F.col("_class_size") > 1, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_dup_docs"),
+            F.count_distinct(F.col("_th")).alias("n_distinct_texts"),
+        )
+    )

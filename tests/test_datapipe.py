@@ -153,6 +153,27 @@ def test_ann_exactness_parameterized(spark):
     assert ivf_all == exact
 
 
+def test_dataset_stats(spark):
+    """Dataset-card invariants: groups partition the corpus, dup
+    members count once per copy, distinct ≤ docs, leakage visible."""
+    from photon_spark.datapipe.sampling import dataset_stats
+
+    rows = [
+        (i, "shared leaked text" if i < 4 else f"unique text {i} body",
+         "en" if i % 2 == 0 else "de")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = dataset_stats(df, val_frac=0.5).collect()
+    assert sum(r["n_docs"] for r in out) == 40
+    assert sum(r["n_dup_docs"] for r in out) == 4  # every copy counts
+    for r in out:
+        assert r["n_distinct_texts"] <= r["n_docs"]
+        assert r["split"] in ("train", "val")
+    # token totals: every doc has >=3 whitespace tokens
+    assert all(r["total_tokens"] >= 3 * r["n_docs"] for r in out)
+
+
 def test_quality_and_langid(spark, docs):
     quality = {r["doc_id"]: r for r in ts.quality_score(docs).collect()}
     assert quality[0]["stopword_ratio"] > 0

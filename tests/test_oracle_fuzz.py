@@ -36,6 +36,18 @@ FUZZ_ENTRIES = [
     "pack_sequences",
     "exact_dedup",
     "simhash",
+    # index-build plane + the rest of the dedupe/curation family —
+    # all self-contained over the documents view
+    "tokenize_tf",
+    "dictionary_df_idf",
+    "winnow_fingerprints",
+    "repetition_signals",
+    "decontaminate",
+    "curate",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "dataset_stats",
 ]
 
 _TOKENS = st.sampled_from(
