@@ -706,6 +706,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fingerprint"] = lambda s, d: ts.fingerprint(_docs(s, d))
     q["winnow_fingerprints"] = lambda s, d: ts.winnow_fingerprints(_docs(s, d))
     q["repetition_signals"] = lambda s, d: ts.repetition_signals(_docs(s, d))
+    # corpus-self unigram LM score (CCNet-shape curation signal)
+    q["lm_score"] = lambda s, d: ts.lm_score(_docs(s, d))
+    # corpus-level boilerplate / tokenizer-prep report
+    q["top_ngrams"] = lambda s, d: ts.top_ngrams(_docs(s, d), n=2, k=100)
+    # C4-style corpus-wide exact line dedup (keep-first, reassembled)
+    q["line_dedup"] = lambda s, d: dd.line_dedup(_docs(s, d))
 
     def _decontaminate(s, d):
         # deterministic eval slice: every 97th doc is the "benchmark";
@@ -1149,6 +1155,54 @@ SELECT a2.doc_id,
        CAST(COALESCE(n5, 0) AS BIGINT) AS n_5grams,
        COALESCE(ROUND(dup5::DOUBLE / n5, 6), 0.0) AS dup_5gram_frac
 FROM a2 LEFT JOIN a5 ON a2.doc_id = a5.doc_id"""
+
+    # unigram LM mean log-prob: vocab from the corpus itself; docs
+    # with zero tokens contribute no row (unnest of [] is empty)
+    o["lm_score"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents
+), vocab AS (
+  SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+), tot AS (
+  SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM vocab
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(AVG(ln(cnt)) - ln((SELECT total FROM tot)), 6) AS mean_logprob
+FROM tok JOIN vocab USING (token)
+GROUP BY doc_id"""
+
+    # corpus top-k 2-grams; (cnt desc, gram asc) is a strict total
+    # order (gram unique post-groupBy) so the k-set is deterministic
+    o["top_ngrams"] = f"""
+WITH base AS (
+  SELECT {_SQL_TOKS} AS toks FROM documents
+), g AS (
+  SELECT unnest([array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))]) AS gram
+  FROM base WHERE len(toks) >= 2
+)
+SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM g GROUP BY gram
+ORDER BY cnt DESC, gram ASC
+LIMIT 100"""
+
+    # C4-style keep-first line dedup; the window twin of the engine's
+    # skew-safe groupBy(line).min(struct) + join shape
+    o["line_dedup"] = """
+WITH lines AS (
+  SELECT doc_id, unnest([{'pos': i - 1, 'line': l[i]} for i in range(1, len(l) + 1)], recursive := true)
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM documents)
+), flagged AS (
+  SELECT doc_id, pos, line,
+         (length(line) < 1)
+         OR (row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) = 1) AS kept
+  FROM lines
+)
+SELECT doc_id,
+       COALESCE(string_agg(CASE WHEN kept THEN line END, chr(10) ORDER BY pos), '') AS deduped_text,
+       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_kept,
+       CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_lines_dropped
+FROM flagged GROUP BY doc_id"""
 
     o["decontaminate"] = f"""
 WITH base AS (

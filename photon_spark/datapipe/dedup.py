@@ -350,3 +350,68 @@ def embedding_near_dup_lsh(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 1,
+) -> DataFrame:
+    """C4-style corpus-wide exact line deduplication (Raffel et al.
+    '20 §2.2 discard duplicate three-sentence spans; the unit here is
+    the line — the natural span of a code/text corpus). Every line
+    whose exact content occurs more than once in the WHOLE corpus is
+    kept only at its first occurrence (smallest ``(doc_id, pos)``)
+    and removed everywhere else; lines shorter than ``min_chars``
+    never participate (blank separators survive). Docs are returned
+    reassembled, with kept/dropped counts; a doc whose every line was
+    removed comes back with empty text, not dropped.
+
+    Scale (100 TB): lines explode narrow; the keeper per line value is
+    one map-combinable ``groupBy(line).agg(min(struct(doc, pos)))`` —
+    a line duplicated 10^8 times partial-aggregates to one candidate
+    per task before the shuffle (a window over the line key would put
+    all copies on one reducer; the agg+join shape is the skew-safe
+    twin). The join back is co-keyed on the line. Reassembly is one
+    ``groupBy(doc_id)`` with an in-memory array sort per doc — bounded
+    by doc size, not corpus size.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("pos", "line"),
+    )
+    keepers = lines.groupBy("line").agg(
+        F.min(F.struct(id_col, "pos")).alias("_keep")
+    )
+    flagged = lines.join(keepers, "line").select(
+        F.col(id_col),
+        "pos",
+        "line",
+        (
+            (F.length("line") < F.lit(min_chars))
+            | (
+                (F.col(id_col) == F.col(f"_keep.{id_col}"))
+                & (F.col("pos") == F.col("_keep.pos"))
+            )
+        ).alias("_kept"),
+    )
+    return flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_kept"), F.struct("pos", "line"))
+                    )
+                ),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias("deduped_text"),
+        F.sum(F.when(F.col("_kept"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_lines_kept"),
+        F.sum(F.when(F.col("_kept"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_lines_dropped"),
+    )

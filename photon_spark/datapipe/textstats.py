@@ -242,3 +242,65 @@ def repetition_signals(
             ).alias(f"dup_{lt}gram_frac"),
         )
     )
+
+
+def lm_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """CCNet-style unigram language-model score per doc: the mean
+    log-probability of the doc's tokens under the corpus's own
+    unigram distribution (Wenzek et al. '20 score low-perplexity
+    docs with a KenLM model; the unigram LM is the same shape with
+    the model learned from the corpus itself). Low scores = docs of
+    corpus-rare tokens (gibberish, encoding damage); curation drops
+    the tail. Docs with zero tokens contribute no row.
+
+    Scale (100 TB): pass 1 is one map-combinable ``groupBy(token)``
+    (vocab-sized output); pass 2 re-joins exploded tokens to the
+    vocab co-keyed on token — the vocab side is orders smaller than
+    the corpus, and AQE broadcast-joins it when it fits. The corpus
+    total is a 1-row aggregate broadcast into the scoring pass. No
+    windows, no driver-side vocabulary.
+    """
+    tok = doc_tokens(df, id_col, text_col)
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("double").alias("total"))
+    return (
+        tok.join(vocab, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(
+                F.avg(F.log("cnt")) - F.log(F.first("total")), 6
+            ).alias("mean_logprob"),
+        )
+    )
+
+
+def top_ngrams(
+    df: DataFrame,
+    n: int = 2,
+    k: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level top-k n-grams by occurrence count — the
+    contamination / boilerplate report (most-frequent spans are
+    headers, license blurbs, template residue) and the pair-count
+    input a BPE tokenizer trainer starts from. Deterministic total
+    order: count desc, gram asc.
+
+    Scale (100 TB): explode → one map-combinable ``groupBy(gram)``
+    (hot grams partial-aggregate map-side, so a gram occurring 10^9
+    times arrives at its reducer as one partial per task), then
+    ``orderBy(...).limit(k)`` which Spark executes as TakeOrdered —
+    per-partition top-k heaps, no global sort materialization.
+    """
+    grams = _grams_with_multiplicity(df, id_col, text_col, n)
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("gram").asc())
+        .limit(k)
+    )

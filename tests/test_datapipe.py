@@ -174,6 +174,67 @@ def test_dataset_stats(spark):
     assert all(r["total_tokens"] >= 3 * r["n_docs"] for r in out)
 
 
+def test_line_dedup(spark):
+    """C4 keep-first semantics: a line duplicated across docs survives
+    only at its smallest (doc_id, pos); short lines never participate;
+    a fully-deduped doc comes back empty, not dropped."""
+    from photon_spark.datapipe.dedup import line_dedup
+
+    rows = [
+        (1, "license header text\nunique body one\n\nshared tail line"),
+        (2, "license header text\nunique body two\nshared tail line"),
+        (3, "license header text"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in line_dedup(df).collect()}
+    assert out[1]["deduped_text"] == (
+        "license header text\nunique body one\n\nshared tail line"
+    )
+    assert out[1]["n_lines_dropped"] == 0
+    assert out[2]["deduped_text"] == "unique body two"
+    assert out[2]["n_lines_dropped"] == 2
+    assert out[3]["deduped_text"] == ""  # fully deduped, still present
+    assert out[3]["n_lines_kept"] == 0
+    assert out[4]["n_lines_kept"] == 1  # blank line bypasses dedup
+
+
+def test_lm_score(spark):
+    """Docs of corpus-common tokens outscore docs of corpus-rare
+    tokens; score = mean ln p(token) under the corpus unigram LM."""
+    import math
+
+    from photon_spark.datapipe.textstats import lm_score
+
+    rows = [(i, "common common common", "en") for i in range(5)] + [
+        (99, "zzyzx common", "en")
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r for r in lm_score(df).collect()}
+    total = 17.0  # 16 "common" + 1 "zzyzx"
+    assert out[0]["mean_logprob"] == round(math.log(16 / total), 6)
+    assert out[99]["mean_logprob"] == round(
+        (math.log(1 / total) + math.log(16 / total)) / 2, 6
+    )
+    assert out[99]["mean_logprob"] < out[0]["mean_logprob"]
+
+
+def test_top_ngrams(spark):
+    from photon_spark.datapipe.textstats import top_ngrams
+
+    rows = [
+        (1, "a b a b c"),
+        (2, "a b x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = top_ngrams(df, n=2, k=3).collect()
+    assert [(r["gram"], r["cnt"]) for r in out] == [
+        ("a b", 3),
+        ("b a", 1),  # count ties break on gram asc
+        ("b c", 1),
+    ]
+
+
 def test_quality_and_langid(spark, docs):
     quality = {r["doc_id"]: r for r in ts.quality_score(docs).collect()}
     assert quality[0]["stopword_ratio"] > 0

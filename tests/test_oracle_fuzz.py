@@ -48,6 +48,9 @@ FUZZ_ENTRIES = [
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "dataset_stats",
+    "lm_score",
+    "top_ngrams",
+    "line_dedup",
 ]
 
 _TOKENS = st.sampled_from(
