@@ -1,0 +1,127 @@
+"""Property-based rank-identity fuzz: engine vs pure-Python oracle.
+
+The fixed-query rank-identity suite (test_e2e_search.py) pins the
+reference's behavioral cases; its blind spot is query shapes the
+fixture list lacks — the same gap the datapipe fuzz (test_oracle_fuzz)
+covers for the curation plane. Here ONE adversarial corpus (generated
+code files + injected unicode/possessive/camelCase/duplicate rows) is
+indexed once, and hypothesis drives the QUERY side: words drawn from
+the corpus vocabulary, mutated with typos (drop/transpose/double a
+char), case flips, possessives, punctuation injection, and multi-word
+composition. Engine and oracle must return the same doc_id sequence
+with bit-identical float64 scores for every generated query — the
+reference's ESBaseTester bar, but adversarially sampled.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from photon_spark.index.build import build_index
+from photon_spark.oracle.oracle import OracleIndex
+from photon_spark.query.executor import Index
+
+# rows chosen to make analyzer edges reachable from short queries:
+# german folding, apostrophes, word-delimiter graph, camelCase,
+# digits-in-words, exact duplicates, near-empty content
+_NASTY = [
+    ("org0/fuzz", "docs/Müggeln_platz.md", "de", "Müggeln straße übergröße"),
+    ("org0/fuzz", "docs/tiffanys_shop.md", "en", "tiffany's shop-front o'brien"),
+    ("org1/fuzz", "src/SaintJean.java", "en", "Saint-Jean BulkRetryHelper737 parse"),
+    ("org1/fuzz", "src/camel_case.py", "en", "IndexWriter getFieldValue HTTPServer2"),
+    ("org2/fuzz", "src/dup_a.py", "en", "duplicate content twin body"),
+    ("org2/fuzz", "src/dup_b.py", "en", "duplicate content twin body"),
+    ("org2/fuzz", "src/short.txt", "en", "x"),
+    ("org0/fuzz", "src/nums.cfg", "en", "v1.2.3 build 42 x86_64"),
+]
+
+_VOCAB = [
+    "retry", "bulk", "license", "parse", "config", "müggeln",
+    "tiffany's", "saint-jean", "indexwriter", "duplicate", "twin",
+    "x86_64", "straße", "o'brien", "helper", "value",
+]
+
+
+@pytest.fixture(scope="module")
+def fuzz_pair(spark, tmp_path_factory):
+    from photon_spark.corpus import generate_code_files
+
+    pdf = generate_code_files(n_files=60, seed=7, min_lines=3, max_lines=8)
+    extra = pd.DataFrame(
+        [
+            {
+                "repo": r,
+                "path": p,
+                "commit": f"c{i:07x}",
+                "lang": lg,
+                "content": c,
+                "importance": 0.5,
+            }
+            for i, (r, p, lg, c) in enumerate(_NASTY)
+        ]
+    )
+    pdf = pd.concat([pdf, extra], ignore_index=True)
+    out = str(tmp_path_factory.mktemp("fuzzidx"))
+    build_index(spark, spark.createDataFrame(pdf), out)
+    return Index(spark, out), OracleIndex(pdf)
+
+
+@st.composite
+def _query(draw):
+    n = draw(st.integers(min_value=1, max_value=3))
+    words = []
+    for _ in range(n):
+        w = draw(st.sampled_from(_VOCAB))
+        mut = draw(
+            st.sampled_from(
+                ["none", "none", "drop", "transpose", "double", "upper", "plural"]
+            )
+        )
+        if mut == "drop" and len(w) > 3:
+            i = draw(st.integers(0, len(w) - 1))
+            w = w[:i] + w[i + 1 :]
+        elif mut == "transpose" and len(w) > 3:
+            i = draw(st.integers(0, len(w) - 2))
+            w = w[:i] + w[i + 1] + w[i] + w[i + 2 :]
+        elif mut == "double":
+            i = draw(st.integers(0, len(w) - 1))
+            w = w[:i] + w[i] + w[i:]
+        elif mut == "upper":
+            w = w.upper()
+        elif mut == "plural":
+            w = w + "s"
+        words.append(w)
+    sep = draw(st.sampled_from([" ", ", ", " / "]))
+    return sep.join(words)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(q=_query())
+def test_fuzzed_rank_identity(fuzz_pair, q):
+    engine, oracle = fuzz_pair
+    got = [(r["doc_id"], r["score"]) for r in engine.search(q, k=10)]
+    want = [(r["doc_id"], r["score"]) for r in oracle.search(q, k=10)]
+    assert [d for d, _ in got] == [d for d, _ in want], (
+        f"doc order differs for {q!r}"
+    )
+    for (d, s1), (_, s2) in zip(got, want):
+        assert abs(s1 - s2) < 1e-12, f"score differs for {q!r} doc {d}"
+
+
+def test_degenerate_queries_return_empty(fuzz_pair):
+    """Token-free queries must not crash and must agree (both [])."""
+    engine, oracle = fuzz_pair
+    for q in ["", "   ", ",", "!!!", "\t\n"]:
+        got = engine.search(q, k=5)
+        want = oracle.search(q, k=5)
+        assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want], q
