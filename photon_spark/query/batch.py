@@ -131,33 +131,42 @@ def _batch_candidates(
             F.collect_list(F.struct("node", F.struct("ns", "nm")))
         ).alias("nodemap")
     )
-    s_of = lambda nid: F.col("nodemap").getItem(nid)["ns"]  # noqa: E731
-    m_of = lambda nid: F.col("nodemap").getItem(nid)["nm"]  # noqa: E731
+    s_of = lambda nid: f"nodemap[{nid}].ns"  # noqa: E731
+    m_of = lambda nid: f"nodemap[{nid}].nm"  # noqa: E731
 
-    # per-query score/present dispatch + function-score add-ons
+    # per-query score/present dispatch + function-score add-ons —
+    # composed as SQL strings (one py4j call at the withColumn) so a
+    # 10-query batch doesn't pay hundreds of gateway round-trips per
+    # plan; arithmetic order matches candidates() exactly
+    dlit = index._dlit
     score_expr, present_expr = None, None
     for qid, plan in plans.items():
         s, p = index._compile_tree(plan.root, s_of, m_of)
         os_s = s
         if plan.type_weight:
-            os_s = os_s + F.when(
-                F.col("type") != "other", F.lit(plan.type_weight)
-            ).otherwise(F.lit(0.0))
-        os_s = os_s + (
-            F.coalesce(F.col("importance"), F.lit(1e-5))
-            * F.lit(plan.importance_factor)
+            os_s = (
+                f"(({os_s}) + (CASE WHEN (type != 'other') THEN "
+                f"{dlit(plan.type_weight)} ELSE 0.0D END))"
+            )
+        os_s = (
+            f"(({os_s}) + (coalesce(importance, 1e-05D) * "
+            f"{dlit(plan.importance_factor)}))"
         )
-        is_q = F.col("qid") == qid
+        is_q = f"(qid = {qid})"
         score_expr = (
-            os_s if score_expr is None else F.when(is_q, os_s).otherwise(score_expr)
+            os_s
+            if score_expr is None
+            else f"(CASE WHEN {is_q} THEN {os_s} ELSE {score_expr} END)"
         )
         present_expr = (
-            (is_q & p) if present_expr is None else ((is_q & p) | present_expr)
+            f"({is_q} AND {p})"
+            if present_expr is None
+            else f"(({is_q} AND {p}) OR {present_expr})"
         )
     joined = (
         pivoted.withColumnRenamed("doc", "ord")
         .join(index.docs(), "ord")
-        .withColumn("os_score", score_expr)
+        .withColumn("os_score", F.expr(score_expr))
     )
     joined = joined.filter(present_expr)
 

@@ -167,6 +167,13 @@ class Index:
         if cache:
             self._dict_df = self._dict_df.cache()
             self._docs_df = self._docs_df.cache()
+        # driver-side term memos (the Lucene in-RAM term-dictionary
+        # analog): (field, term) → df (None = proven absent) and
+        # fuzzy request → candidate tuple. Valid for this Index's
+        # lifetime — updates write new segments and serving re-opens
+        # the Index, exactly like the cached DataFrames above.
+        self._stats_cache: dict[tuple[str, str], int | None] = {}
+        self._fuzzy_cache: dict[tuple, tuple[str, ...]] = {}
 
     # ---------------- low-level readers ----------------
 
@@ -244,12 +251,33 @@ class Index:
             )
         if not needs:
             return {}
-        cond = None
-        for fld, terms in sorted(needs.items()):
-            c = (F.col("field") == fld) & F.col("term").isin(sorted(terms))
-            cond = c if cond is None else (cond | c)
-        rows = self._dict_df.filter(cond).select("field", "term", "df").collect()
-        return {(r["field"], r["term"]): r["df"] for r in rows}
+        # serve from the term memo; one dictionary job for the rest.
+        # Absent terms cache as None so OOV tokens never re-query.
+        out: dict[tuple[str, str], int] = {}
+        missing: dict[str, set[str]] = {}
+        for fld, terms in needs.items():
+            for t in terms:
+                key = (fld, t)
+                if key in self._stats_cache:
+                    df = self._stats_cache[key]
+                    if df is not None:
+                        out[key] = df
+                else:
+                    missing.setdefault(fld, set()).add(t)
+        if missing:
+            if len(self._stats_cache) > 1_000_000:
+                self._stats_cache.clear()
+            cond = None
+            for fld, terms in sorted(missing.items()):
+                c = (F.col("field") == fld) & F.col("term").isin(sorted(terms))
+                cond = c if cond is None else (cond | c)
+            rows = self._dict_df.filter(cond).select("field", "term", "df").collect()
+            found = {(r["field"], r["term"]): r["df"] for r in rows}
+            for fld, terms in missing.items():
+                for t in terms:
+                    self._stats_cache[(fld, t)] = found.get((fld, t))
+            out.update(found)
+        return out
 
     def _deletion_route_ok(self, field: str, token: str, edits: int) -> bool:
         """True when the deletions table PROVABLY covers this request:
@@ -276,7 +304,22 @@ class Index:
         (the 10^12-scale path, photon_spark.index.deletions), else a
         capped dictionary prefix scan. Both are supersets of the true
         matches; fuzzy_expand verifies with exact Damerau-Levenshtein,
-        so the route never changes results."""
+        so the route never changes results. Memoized per request —
+        the strict/lenient double pass and repeat traffic hit the
+        memo instead of re-running the lookup job."""
+        ck = (field, token, edits, prefix_len)
+        hit = self._fuzzy_cache.get(ck)
+        if hit is not None:
+            return list(hit)
+        out = self._fuzzy_candidates_uncached(field, token, edits, prefix_len)
+        if len(self._fuzzy_cache) > 100_000:
+            self._fuzzy_cache.clear()
+        self._fuzzy_cache[ck] = tuple(out)
+        return out
+
+    def _fuzzy_candidates_uncached(
+        self, field: str, token: str, edits: int, prefix_len: int
+    ) -> list[str]:
         if edits > 0 and self._deletion_route_ok(field, token, edits):
             from photon_spark.index.deletions import deletion_variants
 
@@ -546,60 +589,69 @@ class Index:
         walk(plan.root)
         return ids
 
-    def _compile_tree(self, node: PlanNode, s_of=None, m_of=None):
-        """node → (score Column, present Column). `present` true ⇒
-        score is non-null; consumers guard with when(present, ...).
+    @staticmethod
+    def _dlit(v: float) -> str:
+        """SQL double literal, bit-exact: ``repr`` round-trips the
+        float and the ``D`` suffix keeps Spark from parsing plain
+        decimals as DECIMAL."""
+        return f"{float(v)!r}D"
 
-        ``s_of``/``m_of`` map a node id to its per-doc score / matched-
-        clause-count Column (default: pivoted `{id}_s`/`{id}_m`
-        columns; the batch evaluator passes map-lookup accessors)."""
-        s_of = s_of or (lambda nid: F.col(f"{nid}_s"))
-        m_of = m_of or (lambda nid: F.col(f"{nid}_m"))
+    def _compile_tree(self, node: PlanNode, s_of=None, m_of=None):
+        """node → (score SQL, present SQL) expression strings.
+        `present` true ⇒ score is non-null; consumers guard with
+        CASE WHEN / a filter on present.
+
+        ``s_of``/``m_of`` map a node id to its per-doc score /
+        matched-clause-count expression (default: pivoted
+        `{id}_s`/`{id}_m` columns; the batch evaluator passes
+        map-lookup accessors).
+
+        SQL strings rather than Column objects: a plan tree then
+        compiles in ONE py4j round-trip at the final select instead
+        of hundreds of gateway calls (profiled ~2 s of driver↔JVM
+        socket chatter per search — the serving-latency floor, not
+        Spark execution). Score arithmetic order is preserved
+        exactly, so oracle rank-identity stays bit-for-bit."""
+        s_of = s_of or (lambda nid: f"`{nid}_s`")
+        m_of = m_of or (lambda nid: f"`{nid}_m`")
         if isinstance(node, Match):
             s = s_of(node.node_id)
             m = m_of(node.node_id)
-            present = m.isNotNull() & (m >= F.lit(required_clauses(node)))
-            return F.lit(node.boost) * s, present
+            present = f"(({m}) IS NOT NULL AND ({m}) >= {required_clauses(node)})"
+            return f"({self._dlit(node.boost)} * ({s}))", present
         if isinstance(node, DisMax):
             parts = [self._compile_tree(c, s_of, m_of) for c in node.children]
-            present = parts[0][1]
-            for _, p in parts[1:]:
-                present = present | p
-            masked = [F.when(p, s) for s, p in parts]
-            best = masked[0] if len(masked) == 1 else F.greatest(*masked)
-            return F.lit(node.boost) * best, present
+            present = "(" + " OR ".join(p for _, p in parts) + ")"
+            masked = [f"(CASE WHEN {p} THEN {s} END)" for s, p in parts]
+            best = masked[0] if len(masked) == 1 else f"greatest({', '.join(masked)})"
+            return f"({self._dlit(node.boost)} * {best})", present
         if isinstance(node, Bool):
             musts = [self._compile_tree(c, s_of, m_of) for c in node.must]
             shoulds = [self._compile_tree(c, s_of, m_of) for c in node.should]
             if musts:
-                present = musts[0][1]
-                for _, p in musts[1:]:
-                    present = present & p
+                present = "(" + " AND ".join(p for _, p in musts) + ")"
             else:
-                present = shoulds[0][1]
-                for _, p in shoulds[1:]:
-                    present = present | p
-            total = None
-            for s, _ in musts:
-                total = s if total is None else total + s
-            for s, p in shoulds:
-                term = F.when(p, s).otherwise(F.lit(0.0))
-                total = term if total is None else total + term
-            return F.lit(node.boost) * total, present
+                present = "(" + " OR ".join(p for _, p in shoulds) + ")"
+            terms = [s for s, _ in musts] + [
+                f"(CASE WHEN {p} THEN {s} ELSE 0.0D END)" for s, p in shoulds
+            ]
+            total = " + ".join(terms)
+            return f"({self._dlit(node.boost)} * ({total}))", present
         if isinstance(node, Exists):
             m = m_of(node.node_id)
-            present = m.isNull() if node.negate else m.isNotNull()
-            return F.lit(0.0), present
+            present = f"(({m}) IS {'NULL' if node.negate else 'NOT NULL'})"
+            return "0.0D", present
         if isinstance(node, FnMul):
             qs, qp = self._compile_tree(node.query, s_of, m_of)
             if node.filter_terms:
-                hit = m_of(node.node_id).isNotNull()
-                mult = F.lit(node.const_weight) + F.when(
-                    hit, F.lit(node.filter_weight)
-                ).otherwise(F.lit(0.0))
+                mult = (
+                    f"({self._dlit(node.const_weight)} + (CASE WHEN "
+                    f"({m_of(node.node_id)}) IS NOT NULL THEN "
+                    f"{self._dlit(node.filter_weight)} ELSE 0.0D END))"
+                )
             else:
-                mult = F.lit(node.const_weight)
-            return qs * mult, qp
+                mult = self._dlit(node.const_weight)
+            return f"(({qs}) * {mult})", qp
         raise TypeError(f"unknown node {node!r}")
 
     def _eval_plan(self, plan: SearchPlan) -> DataFrame | None:
@@ -624,33 +676,28 @@ class Index:
         )
         # ONE shuffle: per-doc leaf list; clause-max + clause-ordered
         # fold + per-node pivot all become higher-order array
-        # expressions (whole-stage codegen, no extra aggregations)
+        # expressions (whole-stage codegen, no extra aggregations).
+        # Expressed as SQL strings so the whole pivot is one
+        # selectExpr py4j call — per-node Column/lambda construction
+        # was the profiled driver-side latency floor.
         g = scored.groupBy("doc").agg(
             F.collect_list(F.struct("node", "clause", "s")).alias("leaf")
         )
-        ids = self._node_columns(plan)
-        cols = [F.col("doc")]
-        for nid in ids:
-            arr = F.filter("leaf", lambda x: x["node"] == F.lit(nid))
-            clauses = F.array_sort(
-                F.array_distinct(F.transform(arr, lambda x: x["clause"]))
+        exprs = ["doc"]
+        for nid in self._node_columns(plan):
+            arr = f"filter(leaf, x -> x.node = {nid})"
+            clauses = f"array_sort(array_distinct(transform({arr}, x -> x.clause)))"
+            cs = (
+                f"transform({clauses}, c -> array_max(transform("
+                f"filter({arr}, x -> x.clause = c), y -> y.s)))"
             )
-            cs = F.transform(
-                clauses,
-                lambda c: F.array_max(
-                    F.transform(
-                        F.filter(arr, lambda x: x["clause"] == c),
-                        lambda y: y["s"],
-                    )
-                ),
-            )
-            ns = F.aggregate(cs, F.lit(0.0), lambda a, x: a + x)
-            nm = F.size(clauses)
-            cols.append(F.when(nm > 0, ns).alias(f"{nid}_s"))
-            cols.append(F.when(nm > 0, nm).alias(f"{nid}_m"))
-        pivoted = g.select(*cols)
+            ns = f"aggregate({cs}, 0.0D, (a, x) -> a + x)"
+            nm = f"size({clauses})"
+            exprs.append(f"CASE WHEN {nm} > 0 THEN {ns} END AS `{nid}_s`")
+            exprs.append(f"CASE WHEN {nm} > 0 THEN {nm} END AS `{nid}_m`")
+        pivoted = g.selectExpr(*exprs)
         score, present = self._compile_tree(plan.root)
-        return pivoted.filter(present).select("doc", score.alias("score"))
+        return pivoted.where(present).selectExpr("doc", f"({score}) AS score")
 
     # ---------------- SearchBackend ----------------
 
