@@ -485,13 +485,21 @@ class UpdateAPI:
     updates source → apply_updates), ``update_status`` reports
     BUSY/OK — photon's updater lock semantics (U4)."""
 
-    def __init__(self, spark, index_dir: str, updates_reader):
+    def __init__(self, spark, index_dir: str, updates_reader, search_api=None):
         """``updates_reader() -> DataFrame | None`` supplies the next
         update batch (UPDATES_DDL shape) or None when idle — the
-        NominatimUpdater.fetchChanges analog."""
+        NominatimUpdater.fetchChanges analog.
+
+        ``search_api``: when given, a successful update cycle re-opens
+        the index and swaps it into ``search_api.backend`` — the
+        Lucene SearcherManager / OpenSearch refresh analog. Without
+        it the serving Index keeps its open-time snapshot (its file
+        listings and caches are pinned at construction) and serves
+        pre-update results until someone re-opens it."""
         self.spark = spark
         self.index_dir = index_dir
         self._read = updates_reader
+        self.search_api = search_api
         import threading
 
         self._lock = threading.Lock()
@@ -520,6 +528,25 @@ class UpdateAPI:
                     self.last_result = apply_updates(
                         self.spark, self.index_dir, batch
                     )
+                    if self.search_api is not None:
+                        from photon_spark.query.executor import Index
+
+                        # snapshot swap: build the new Index FULLY
+                        # (it re-lists segment dirs and re-caches),
+                        # then a single reference assignment publishes
+                        # it — atomic under the GIL, so in-flight
+                        # requests finish on the old snapshot. The old
+                        # snapshot's cache is released afterwards
+                        # (requests racing the release recompute from
+                        # files; no refcounting — a deliberate
+                        # simplification vs Lucene's SearcherManager).
+                        old = self.search_api.backend
+                        self.search_api.backend = Index(
+                            self.spark, self.index_dir
+                        )
+                        release = getattr(old, "release", None)
+                        if release is not None:
+                            release()
             finally:
                 self._lock.release()
 

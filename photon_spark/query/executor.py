@@ -175,6 +175,19 @@ class Index:
         self._stats_cache: dict[tuple[str, str], int | None] = {}
         self._fuzzy_cache: dict[tuple, tuple[str, ...]] = {}
 
+    def release(self) -> None:
+        """Drop this snapshot's cached tables and memos — called on
+        the swapped-out Index after an update cycle re-opens
+        (api.UpdateAPI). The DataFrames stay usable (they recompute
+        from files) so requests racing the swap still finish."""
+        for df in (self._dict_df, self._docs_df):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        self._stats_cache.clear()
+        self._fuzzy_cache.clear()
+
     # ---------------- low-level readers ----------------
 
     def postings(self, field: str, terms: list[str]) -> DataFrame:

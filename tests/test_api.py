@@ -92,3 +92,40 @@ def test_update_api_trigger(spark, index_dir, tmp_path_factory, corpus):
         (F.col("repo") == row.repo) & (F.col("path") == row.path)
     ).collect()
     assert len(got) == 1 and got[0]["commit"] == "f" * 40
+
+
+def test_update_api_refreshes_serving_snapshot(
+    spark, index_dir, tmp_path_factory, corpus
+):
+    """Snapshot swap (SearcherManager analog): when UpdateAPI is
+    wired to a SearchAPI, a finished update cycle re-opens the index
+    and the SAME SearchAPI serves the new doc — no manual re-open."""
+    import shutil
+
+    from photon_spark.api import SearchAPI, UpdateAPI
+    from photon_spark.index.updater import UPDATES_DDL
+    from photon_spark.query.executor import Index
+
+    out = str(tmp_path_factory.mktemp("upd_swap")) + "/idx"
+    shutil.copytree(index_dir, out)
+
+    search_api = SearchAPI(Index(spark, out, cache=False))
+    assert search_api.api({"q": "zzswap"})["features"] == []
+
+    row = corpus.iloc[0]
+    batch = spark.createDataFrame(
+        [("upsert", "org9/fresh", "src/zzswap.py", "e" * 40, row.lang,
+          "zzswapfreshzz body content", 42)],
+        UPDATES_DDL,
+    )
+    upd = UpdateAPI(spark, out, lambda: batch, search_api=search_api)
+    old_backend = search_api.backend
+    upd.trigger()
+    upd.wait(timeout=300)
+    assert upd.last_result is not None and upd.last_result["n_added"] == 1
+    assert search_api.backend is not old_backend  # snapshot swapped
+    # name-field token ⇒ short plan; content-only tokens would
+    # (correctly) fail the strict pass's name/ext/parent must-branch
+    feats = search_api.api({"q": "zzswap"})["features"]
+    assert len(feats) == 1
+    assert feats[0]["properties"]["path"] == "src/zzswap.py"
