@@ -168,12 +168,45 @@ class Index:
             self._dict_df = self._dict_df.cache()
             self._docs_df = self._docs_df.cache()
         # driver-side term memos (the Lucene in-RAM term-dictionary
-        # analog): (field, term) → df (None = proven absent) and
-        # fuzzy request → candidate tuple. Valid for this Index's
-        # lifetime — updates write new segments and serving re-opens
-        # the Index, exactly like the cached DataFrames above.
-        self._stats_cache: dict[tuple[str, str], int | None] = {}
+        # analog): (field, term) → (df, max_tf) (None = proven
+        # absent) and fuzzy request → candidate tuple. Valid for this
+        # Index's lifetime — updates write new segments and serving
+        # re-opens the Index, exactly like the cached DataFrames
+        # above.
+        self._stats_cache: dict[tuple[str, str], tuple[int, int] | None] = {}
         self._fuzzy_cache: dict[tuple, tuple[str, ...]] = {}
+
+    def _term_stats_memo(
+        self, field: str, terms: list[str]
+    ) -> dict[str, tuple[int, int]]:
+        """(term → (df, max_tf)) for one field, memo-first; one
+        dictionary job for the uncached remainder, absent terms
+        cached as proven-absent."""
+        out: dict[str, tuple[int, int]] = {}
+        missing: list[str] = []
+        for t in terms:
+            key = (field, t)
+            if key in self._stats_cache:
+                v = self._stats_cache[key]
+                if v is not None:
+                    out[t] = v
+            else:
+                missing.append(t)
+        if missing:
+            if len(self._stats_cache) > 1_000_000:
+                self._stats_cache.clear()
+            rows = (
+                self._dict_df
+                .filter(F.col("field") == field)
+                .filter(F.col("term").isin(sorted(missing)))
+                .select("term", "df", "max_tf")
+                .collect()
+            )
+            found = {r["term"]: (r["df"], r["max_tf"]) for r in rows}
+            for t in missing:
+                self._stats_cache[(field, t)] = found.get(t)
+            out.update(found)
+        return out
 
     def release(self) -> None:
         """Drop this snapshot's cached tables and memos — called on
@@ -226,17 +259,11 @@ class Index:
         north-rule serving path; see photon_spark.query.wand)."""
         from photon_spark.query.wand import wand_topk
 
-        rows = (
-            self._dict_df
-            .filter(F.col("field") == field)
-            .filter(F.col("term").isin(terms))
-            .select("term", "df", "max_tf")
-            .collect()
-        )
-        if not rows:
+        stats = self._term_stats_memo(field, list(terms))
+        if not stats:
             return self.spark.createDataFrame([], "doc long, score double, nm int")
-        idf = {r["term"]: scoring.idf(r["df"], self.n_docs) for r in rows}
-        max_tf = {r["term"]: r["max_tf"] for r in rows}
+        idf = {t: scoring.idf(df, self.n_docs) for t, (df, _) in stats.items()}
+        max_tf = {t: mt for t, (_, mt) in stats.items()}
         blocks = self.raw_blocks(field, sorted(idf))
         return wand_topk(
             self.spark, blocks, idf, k,
@@ -272,9 +299,9 @@ class Index:
             for t in terms:
                 key = (fld, t)
                 if key in self._stats_cache:
-                    df = self._stats_cache[key]
-                    if df is not None:
-                        out[key] = df
+                    v = self._stats_cache[key]
+                    if v is not None:
+                        out[key] = v[0]
                 else:
                     missing.setdefault(fld, set()).add(t)
         if missing:
@@ -284,12 +311,18 @@ class Index:
             for fld, terms in sorted(missing.items()):
                 c = (F.col("field") == fld) & F.col("term").isin(sorted(terms))
                 cond = c if cond is None else (cond | c)
-            rows = self._dict_df.filter(cond).select("field", "term", "df").collect()
-            found = {(r["field"], r["term"]): r["df"] for r in rows}
+            rows = (
+                self._dict_df.filter(cond)
+                .select("field", "term", "df", "max_tf")
+                .collect()
+            )
+            found = {
+                (r["field"], r["term"]): (r["df"], r["max_tf"]) for r in rows
+            }
             for fld, terms in missing.items():
                 for t in terms:
                     self._stats_cache[(fld, t)] = found.get((fld, t))
-            out.update(found)
+            out.update({k: v[0] for k, v in found.items()})
         return out
 
     def _deletion_route_ok(self, field: str, token: str, edits: int) -> bool:
