@@ -7,10 +7,12 @@
 entry has a DuckDB oracle in ``oracle_sql()`` computing the same
 math (md5-based hashing, identical rounding) — value-hash identical.
 
-Engine-native entries (full analyzer/BM25 search over the built
-inverted index) are rows-only here; their strong check is the
-rank-identity pytest suite vs the Python oracle
-(tests/test_e2e_search.py).
+Every entry is oracled: engine-native search entries via closed-form
+corpus twins (plus the rank-identity pytest suite vs the Python
+oracle, tests/test_e2e_search.py), ANN entries via
+exactness-parameterized configs, and the multimodal decode entries
+via ground-truth oracles over canonical PNG/WAV/PVID payloads whose
+metadata is closed-form in media_id.
 """
 
 from __future__ import annotations
@@ -821,15 +823,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, _ann_dir(s, d, "ivf"), _query_vec(s, d), k=10, n_probe=None
     )
 
-    # ---- multimodal plumbing (stub decode, real Spark plumbing) ----
+    # ---- multimodal: REAL decode, ground-truth oracle ----
+    # synth_media_real payloads are canonical PNG / PCM-WAV / PVID
+    # whose metadata is closed-form in media_id: the engine must
+    # actually decode the bytes (imagecodec numpy PNG decoder, stdlib
+    # wave, PVID header) while the DuckDB twin derives the same
+    # numbers arithmetically — a ground-truth oracle, not a re-parse.
     q["multimodal_features"] = lambda s, d: mm.extract_features(
-        mm.synth_media(s, n=64), fake=True
-    ).orderBy("media_id")  # rows-only: synthetic binary payloads
+        mm.synth_media_real(s, n=64), fake=False
+    ).select("media_id", "kind", "width", "height", "n_frames")
+    # real pixel path: PNG decode → nearest-neighbor resize → PNG
+    # re-encode (kernel self-checks the round-trip); the oracle pins
+    # the aspect-preserving dimension arithmetic
     q["multimodal_resize"] = lambda s, d: mm.resize_images(
-        mm.synth_media(s, n=64), max_dim=128, fake=True
-    ).select(
-        "media_id", "width", "height", "out_width", "out_height"
-    ).orderBy("media_id")  # rows-only: stub decode, real plumbing
+        mm.synth_media_real(s, n=64), max_dim=24, fake=False
+    ).select("media_id", "width", "height", "out_width", "out_height")
     # ORACLED: the decode-INDEPENDENT metadata of the feature extractor
     # (kind passthrough + kernel-computed n_bytes), joined with the
     # full payload hex — the DuckDB twin reconstructs the
@@ -850,13 +858,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_metadata"] = _mm_metadata
 
-    # ORACLED: frame-sampling kernel metadata — the mapInPandas
-    # fan-out (one row per sampled frame) must reproduce the pure
-    # arithmetic the DuckDB twin derives from the synthetic payload
-    # sizes (n_frames = 1 + n_bytes % 300, stride-10 indices); the
-    # frame payloads themselves stay stub-only like decode
+    # ORACLED: frame sampling over REAL PVID containers — the kernel
+    # parses the header and slices real frame bytes (one output row
+    # per sampled frame); the twin derives n_frames from the
+    # generation formula (1 + id·11 % 120, stride-10 indices)
     q["multimodal_frame_sample"] = lambda s, d: mm.extract_sampled_frames(
-        mm.synth_media(s, n=64), every_n=10, fake=True
+        mm.synth_media_real(s, n=64), every_n=10, fake=False
     ).select("media_id", "n_frames", "frame_idx")
 
     # ---- engine-native full search (rows-only; pytest rank-identity) ----
@@ -1594,14 +1601,15 @@ SELECT media_id,
        payload_hex
 FROM blobs"""
 
-    # frame-sampling twin: videos are media_id % 3 = 2; synthetic
-    # payloads are 32·(4 + id mod 7) bytes so the stub frame count is
-    # closed-form; stride-10 sampling = range arithmetic
+    # frame-sampling twin over the REAL PVID corpus: the engine reads
+    # n_frames out of the container header; the twin knows the
+    # generation formula (ground truth) — stride-10 sampling = range
+    # arithmetic
     o["multimodal_frame_sample"] = """
 WITH idx AS (SELECT unnest(range(0, 64)) AS media_id),
 v AS (
   SELECT media_id,
-         CAST(1 + (32 * (4 + media_id % 7)) % 300 AS INTEGER) AS n_frames
+         CAST(1 + (media_id * 11) % 120 AS INTEGER) AS n_frames
   FROM idx WHERE media_id % 3 = 2
 ),
 f AS (
@@ -1610,6 +1618,44 @@ f AS (
   FROM v
 )
 SELECT media_id, n_frames, CAST(frame_idx AS INTEGER) AS frame_idx FROM f"""
+
+    # ground-truth feature twin: the engine DECODES canonical
+    # payloads (numpy PNG decoder / stdlib wave / PVID header); the
+    # twin computes the same metadata from synth_media_real's
+    # closed-form generation formulas — agreement proves the decoders
+    # recover exactly what was encoded
+    o["multimodal_features"] = """
+WITH idx AS (SELECT unnest(range(0, 64)) AS media_id)
+SELECT media_id,
+       CASE CAST(media_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+            WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       CAST(CASE media_id % 3 WHEN 0 THEN 16 + (media_id * 7) % 49
+            WHEN 2 THEN 8 + media_id % 9 ELSE 0 END AS INTEGER) AS width,
+       CAST(CASE media_id % 3 WHEN 0 THEN 16 + (media_id * 5) % 49
+            WHEN 2 THEN 8 + media_id % 7 ELSE 0 END AS INTEGER) AS height,
+       CAST(CASE media_id % 3 WHEN 0 THEN 1
+            WHEN 1 THEN 400 + (media_id % 5) * 80
+            ELSE 1 + (media_id * 11) % 120 END AS INTEGER) AS n_frames
+FROM idx"""
+
+    # resize twin: engine decodes + resizes + re-encodes real pixels
+    # (self-checked round-trip); the twin pins the aspect-preserving
+    # dimension arithmetic — floor matches Python int() truncation
+    # for positive values, and both engines compute the same IEEE
+    # double before flooring
+    o["multimodal_resize"] = """
+WITH idx AS (SELECT unnest(range(0, 64)) AS media_id),
+img AS (
+  SELECT media_id,
+         16 + (media_id * 7) % 49 AS w,
+         16 + (media_id * 5) % 49 AS h
+  FROM idx WHERE media_id % 3 = 0
+)
+SELECT media_id,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(GREATEST(1, FLOOR(w * LEAST(CAST(1 AS DOUBLE), CAST(24 AS DOUBLE) / GREATEST(w, h)))) AS INTEGER) AS out_width,
+       CAST(GREATEST(1, FLOOR(h * LEAST(CAST(1 AS DOUBLE), CAST(24 AS DOUBLE) / GREATEST(w, h)))) AS INTEGER) AS out_height
+FROM img"""
 
     # ---- flagship engine-native search oracles ----------------------
     # The STRICT full-query plan (VERDICT r2 #1) is closed-form over
@@ -1698,6 +1744,8 @@ LIMIT 10
     o["lsh_ann_topk"] = o["cosine_topk"]
     o["ivf_ann_topk"] = o["cosine_topk"]
 
-    # rows-only (no SQL oracle): multimodal_features /
-    # multimodal_resize (synthetic binary payloads, stub decode).
+    # every queries() entry has an oracle: the last two rows-only
+    # entries (multimodal_features / multimodal_resize) gained
+    # ground-truth oracles when decode became real (canonical
+    # PNG/WAV/PVID payloads with closed-form metadata).
     return o

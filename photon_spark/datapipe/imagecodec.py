@@ -1,0 +1,185 @@
+"""Self-contained media codecs for the multimodal pipeline — public
+formats, stdlib + numpy only (this container has no Pillow/ffmpeg):
+
+* **PNG** — real decoder (zlib inflate + all five scanline filters,
+  PNG spec §6; 8-bit gray/gray-alpha/RGB/RGBA, non-interlaced) and a
+  filter-0 encoder. A deployment image swaps in libpng/Pillow for
+  speed; the format semantics here are the real thing, not a stub.
+* **WAV** — PCM via the stdlib ``wave`` module.
+* **PVID** — a deliberately trivial raw-frame video container
+  (``PVID`` magic, u32 n_frames/width/height, concatenated gray
+  frames). Real codecs need ffmpeg; the CONTAINER layer — header
+  parse, frame offsets, frame slicing — is what the Spark kernels
+  exercise, and it is real here.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+
+import numpy as np
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def png_encode(arr: np.ndarray) -> bytes:
+    """Encode an (H, W) or (H, W, C) uint8 array as a PNG (8-bit,
+    filter 0 per scanline)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, c = a.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    raw = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def png_decode(payload: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced PNG → (H, W, C) uint8 array.
+
+    Implements the full filter set (None/Sub/Up/Average/Paeth) so
+    externally-produced PNGs decode too, not only our own filter-0
+    output. The sequential Sub/Average/Paeth recurrences run as a
+    per-byte loop — correct and fine at curation-fixture sizes; a
+    deployment image uses libpng for throughput (same results)."""
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, w = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if typ == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or color not in _CHANNELS or interlace != 0:
+                raise ValueError(
+                    f"unsupported PNG (depth={depth} color={color} "
+                    f"interlace={interlace}); 8-bit non-interlaced only"
+                )
+        elif typ == b"IDAT":
+            idat.extend(data)
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    c = _CHANNELS[color]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * c
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).copy()
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:  # Up — vectorizable
+            cur = (line + prev).astype(np.uint8)
+        elif ftype in (1, 3, 4):  # Sub/Average/Paeth — sequential
+            cur = np.zeros(stride, dtype=np.uint8)
+            for x in range(stride):
+                left = int(cur[x - c]) if x >= c else 0
+                up = int(prev[x])
+                ul = int(prev[x - c]) if x >= c else 0
+                if ftype == 1:
+                    add = left
+                elif ftype == 3:
+                    add = (left + up) // 2
+                else:
+                    add = _paeth(left, up, ul)
+                cur[x] = (int(line[x]) + add) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {ftype}")
+        out[y] = cur
+        prev = cur
+    return out.reshape(h, w, c)
+
+
+def resize_nearest(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize of an (H, W, C) array — the
+    deterministic pixel kernel (PIL NEAREST analog)."""
+    h, w = arr.shape[:2]
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return arr[ys][:, xs]
+
+
+def wav_encode(samples: np.ndarray, framerate: int = 8000) -> bytes:
+    """Mono 16-bit PCM WAV from an int16 array (stdlib ``wave``)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(framerate)
+        f.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def wav_decode(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """PCM WAV → (int16 samples flattened, framerate, n_channels)."""
+    with wave.open(io.BytesIO(payload), "rb") as f:
+        n = f.getnframes()
+        data = np.frombuffer(f.readframes(n), dtype="<i2")
+        return data, f.getframerate(), f.getnchannels()
+
+
+PVID_MAGIC = b"PVID"
+
+
+def pvid_encode(frames: np.ndarray) -> bytes:
+    """(n_frames, H, W) uint8 gray frames → PVID container bytes."""
+    a = np.asarray(frames, dtype=np.uint8)
+    n, h, w = a.shape
+    return PVID_MAGIC + struct.pack(">III", n, w, h) + a.tobytes()
+
+
+def pvid_header(payload: bytes) -> tuple[int, int, int]:
+    """PVID header → (n_frames, width, height)."""
+    if payload[:4] != PVID_MAGIC:
+        raise ValueError("not a PVID payload")
+    return struct.unpack(">III", payload[4:16])
+
+
+def pvid_frame(payload: bytes, idx: int) -> np.ndarray:
+    """Slice one (H, W) frame out of a PVID payload — the real
+    frame-extraction kernel (offset arithmetic, no decode needed for
+    a raw-frame container)."""
+    n, w, h = pvid_header(payload)
+    if not 0 <= idx < n:
+        raise IndexError(f"frame {idx} out of range 0..{n - 1}")
+    off = 16 + idx * w * h
+    return np.frombuffer(
+        payload, dtype=np.uint8, count=w * h, offset=off
+    ).reshape(h, w)

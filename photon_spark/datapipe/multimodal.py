@@ -2,11 +2,13 @@
 opaque ``binary`` columns with typed metadata, processed in
 Arrow-batched ``mapInPandas`` kernels.
 
-The decode step is STUBBED (no image/audio libraries in this
-container): ``decode_image`` raises ``NotImplementedError`` unless
-``fake=True``, in which case a deterministic fake decoder (md5-seeded
-dimensions / frame count) exercises the real Spark plumbing — schema,
-partitioning, UDF signature, Arrow batch shape — end to end.
+Decode is REAL for the self-contained formats in
+:mod:`photon_spark.datapipe.imagecodec` — PNG (numpy zlib+unfilter
+decoder, all five scanline filters), PCM WAV (stdlib ``wave``), and
+the PVID raw-frame video container. Pillow, when importable
+(deployment image), covers other image formats; ``fake=True`` keeps
+the old md5-seeded stub decoder for opaque payloads (used by the
+payload-identity metadata entry).
 
 Scale notes: media blobs dominate row size, so the kernels run over
 ``mapInPandas`` with ``maxRecordsPerBatch`` tuned down (large rows ⇒
@@ -19,9 +21,12 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from photon_spark.datapipe import imagecodec as ic
 
 MEDIA_SCHEMA = (
     "media_id long, kind string, payload binary, mime string, n_bytes long"
@@ -44,6 +49,42 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def synth_media_real(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Media table with REAL canonical payloads whose ground-truth
+    metadata is closed-form in ``media_id`` — the engine must actually
+    decode the bytes to recover it, and the DuckDB oracle derives the
+    same numbers arithmetically (ground-truth oracle, not a re-parse):
+
+    * image (id%3=0): PNG RGB, w = 16+(id·7)%49, h = 16+(id·5)%49
+    * audio (id%3=1): mono 16-bit 8 kHz WAV, n = 400+(id%5)·80 samples
+    * video (id%3=2): PVID, w = 8+id%9, h = 8+id%7,
+      n_frames = 1+(id·11)%120
+    """
+    rows = []
+    for i in range(n):
+        if i % 3 == 0:
+            w, h = 16 + (i * 7) % 49, 16 + (i * 5) % 49
+            x = np.arange(w)[None, :, None]
+            y = np.arange(h)[:, None, None]
+            ch = np.arange(3)[None, None, :]
+            px = ((x + y + i + ch * 17) % 256).astype(np.uint8)
+            payload, kind, mime = ic.png_encode(px), "image", "image/png"
+        elif i % 3 == 1:
+            ns = 400 + (i % 5) * 80
+            samples = ((np.arange(ns) * (i + 3)) % 2000 - 1000).astype(
+                np.int16
+            )
+            payload, kind, mime = ic.wav_encode(samples, 8000), "audio", "audio/wav"
+        else:
+            w, h, nf = 8 + i % 9, 8 + i % 7, 1 + (i * 11) % 120
+            f = np.arange(nf)[:, None, None]
+            yx = (np.arange(h)[None, :, None] + np.arange(w)[None, None, :])
+            frames = ((f + yx + i) % 256).astype(np.uint8)
+            payload, kind, mime = ic.pvid_encode(frames), "video", "video/x-pvid"
+        rows.append((i, kind, bytearray(payload), mime, len(payload)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def _pillow():
     """Pillow if importable, else None (not shipped in this
     container; present in a real deployment image)."""
@@ -58,17 +99,20 @@ def _pillow():
 def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int]:
     """Decode an image payload → (width, height).
 
-    Real path: Pillow when importable (deployment image). Fallback is
-    a declared STUB — the fake path derives deterministic dimensions
-    from the payload hash so the distributed plumbing is testable in
-    this container (no image libraries baked in).
+    Real path: PNG through the in-repo numpy decoder
+    (imagecodec.png_decode — full filter set), other formats through
+    Pillow when importable (deployment image). ``fake=True`` is the
+    md5-seeded stub for opaque payloads.
     """
     if not fake:
+        if payload[:8] == ic.PNG_SIG:
+            arr = ic.png_decode(payload)
+            return int(arr.shape[1]), int(arr.shape[0])
         img = _pillow()
         if img is None:
             raise NotImplementedError(
-                "image decoding requires Pillow (absent in this container); "
-                "pass fake=True for the deterministic test decoder"
+                "non-PNG image decoding requires Pillow (absent in this "
+                "container); PNG decodes natively, or pass fake=True"
             )
         import io
 
@@ -100,16 +144,26 @@ def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
                 ),
             }
             for kind, payload in zip(pdf["kind"], pdf["payload"]):
+                blob = bytes(payload)
                 if kind == "image":
-                    w, h = decode_image(bytes(payload), fake=fake)
+                    w, h = decode_image(blob, fake=fake)
                     out["width"].append(w)
                     out["height"].append(h)
                     out["n_frames"].append(1)
+                elif kind == "audio" and not fake and blob[:4] == b"RIFF":
+                    samples, _rate, ch = ic.wav_decode(blob)
+                    out["width"].append(0)
+                    out["height"].append(0)
+                    out["n_frames"].append(len(samples) // max(1, ch))
                 elif kind == "video":
-                    w, h = decode_image(bytes(payload), fake=fake)
+                    if not fake and blob[:4] == ic.PVID_MAGIC:
+                        nf, w, h = ic.pvid_header(blob)
+                    else:
+                        w, h = decode_image(blob, fake=fake)
+                        nf = 1 + len(blob) % 300
                     out["width"].append(w)
                     out["height"].append(h)
-                    out["n_frames"].append(1 + len(payload) % 300)
+                    out["n_frames"].append(nf)
                 else:
                     out["width"].append(0)
                     out["height"].append(0)
@@ -126,13 +180,16 @@ RESIZED_SCHEMA = (
 
 
 def resize_images(df: DataFrame, max_dim: int = 256, fake: bool = True) -> DataFrame:
-    """Resize plan for image rows: mapInPandas kernel computing the
-    aspect-preserving target dimensions and emitting the resized
-    payload. The pixel work is STUBBED like decode (no image library
-    here — the fake path re-encodes a deterministic payload sized
-    ∝ out_w·out_h so batch-memory behavior is realistic); the Spark
-    plumbing — image-only filter, Arrow batching, binary-out schema —
-    is the real deployment shape."""
+    """Resize image rows: mapInPandas kernel computing aspect-
+    preserving target dimensions and emitting the resized payload.
+
+    Real path (``fake=False``): PNG decode → nearest-neighbor resize →
+    PNG re-encode, all in-repo numpy (imagecodec); Pillow covers
+    other formats when importable. The kernel self-checks — the
+    re-encoded payload must decode back to exactly (out_h, out_w).
+    ``fake=True`` keeps the payload-sized stub for opaque blobs. The
+    Spark plumbing — image-only filter BEFORE the kernel, Arrow
+    batching, binary-out schema — is the deployment shape either way."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -141,28 +198,36 @@ def resize_images(df: DataFrame, max_dim: int = 256, fake: bool = True) -> DataF
                 "out_width": [], "out_height": [], "payload": [],
             }
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                w, h = decode_image(bytes(payload), fake=fake)
+                blob = bytes(payload)
+                w, h = decode_image(blob, fake=fake)
                 scale = min(1.0, max_dim / max(w, h))
                 ow, oh = max(1, int(w * scale)), max(1, int(h * scale))
-                if not fake and _pillow() is not None:
-                    # real pixel path (deployment image): decode,
-                    # aspect-preserving resize, re-encode PNG
+                if not fake and blob[:8] == ic.PNG_SIG:
+                    arr = ic.png_decode(blob)
+                    resized = ic.resize_nearest(arr, ow, oh)
+                    out_png = ic.png_encode(resized)
+                    back = ic.png_decode(out_png)
+                    if back.shape[:2] != (oh, ow):  # pragma: no cover
+                        raise AssertionError("resize round-trip mismatch")
+                    px = out_png
+                elif not fake and _pillow() is not None:
+                    # Pillow path (deployment image) for non-PNG inputs
                     import io
 
                     img = _pillow()
-                    with img.open(io.BytesIO(bytes(payload))) as im:
+                    with img.open(io.BytesIO(blob)) as im:
                         buf = io.BytesIO()
                         im.resize((ow, oh)).save(buf, format="PNG")
-                        fake_px = buf.getvalue()
+                        px = buf.getvalue()
                 else:
-                    seed = hashlib.md5(bytes(payload)).digest()
-                    fake_px = (seed * (1 + (ow * oh) // len(seed)))[: ow * oh]
+                    seed = hashlib.md5(blob).digest()
+                    px = (seed * (1 + (ow * oh) // len(seed)))[: ow * oh]
                 rows["media_id"].append(mid)
                 rows["width"].append(w)
                 rows["height"].append(h)
                 rows["out_width"].append(ow)
                 rows["out_height"].append(oh)
-                rows["payload"].append(bytearray(fake_px))
+                rows["payload"].append(bytearray(px))
             yield pd.DataFrame(rows)
 
     return df.filter(F.col("kind") == "image").mapInPandas(kernel, RESIZED_SCHEMA)
@@ -190,15 +255,17 @@ def extract_sampled_frames(
 ) -> DataFrame:
     """Frame extraction over video payloads: one output row per
     sampled frame (every ``every_n``-th), payload = the frame bytes.
-    The video decode is the same declared STUB as ``decode_image``
-    (no video library in this container — the fake path derives a
-    deterministic per-frame payload from md5(blob ‖ frame index)); the
-    Spark plumbing is the deployment shape: video-only filter BEFORE
-    the kernel, Arrow-batched ``mapInPandas``, row fan-out inside the
-    kernel (a 300-frame video emits 30 rows from one input row), and
-    the sampling arithmetic identical to the pure-column
-    :func:`frame_sample` plan (pinned by the oracled
-    ``multimodal_frame_sample`` metadata entry)."""
+
+    Real path: PVID container parse (header n_frames + offset
+    arithmetic) and a REAL raw-frame slice per sampled index —
+    compressed codecs need ffmpeg (deployment image), but a raw-frame
+    container's extraction layer is fully implementable and is what
+    the Spark plumbing exercises: video-only filter BEFORE the
+    kernel, Arrow-batched ``mapInPandas``, row fan-out inside the
+    kernel (a 120-frame video emits 12 rows from one input row), and
+    sampling arithmetic identical to the pure-column
+    :func:`frame_sample` plan. ``fake=True`` keeps the md5 stub for
+    opaque blobs (frame count 1 + n_bytes % 300)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -207,17 +274,24 @@ def extract_sampled_frames(
             }
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 blob = bytes(payload)
-                # stub frame count — same formula as extract_features
-                n = 1 + len(blob) % 300
+                real = not fake and blob[:4] == ic.PVID_MAGIC
+                if real:
+                    n, _w, _h = ic.pvid_header(blob)
+                else:
+                    # stub frame count — same formula as extract_features
+                    n = 1 + len(blob) % 300
                 for idx in range(0, n, every_n):
-                    if fake:
+                    if real:
+                        frame = ic.pvid_frame(blob, idx).tobytes()
+                    elif fake:
                         frame = hashlib.md5(
                             blob + idx.to_bytes(4, "big")
                         ).digest()
-                    else:  # pragma: no cover - needs a video library
+                    else:  # pragma: no cover - non-PVID needs ffmpeg
                         raise NotImplementedError(
-                            "video decoding requires a media library "
-                            "(absent in this container); pass fake=True"
+                            "compressed video decoding requires a media "
+                            "library (absent in this container); use the "
+                            "PVID container or pass fake=True"
                         )
                     rows["media_id"].append(mid)
                     rows["n_frames"].append(n)

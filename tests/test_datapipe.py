@@ -549,3 +549,36 @@ def test_curate_composed_verdicts(spark):
     assert out[0]["keep"] and out[5]["keep"]
     for flag in ("exact_dup", "low_quality", "repetitive", "contaminated"):
         assert not out[0][flag], flag
+
+
+def test_real_media_decode(spark):
+    """Real decode end-to-end: PNG dims via the numpy decoder, WAV
+    sample counts via stdlib wave, PVID frame slices byte-identical
+    to the encoded frames."""
+    import numpy as np
+
+    from photon_spark.datapipe import imagecodec as ic
+
+    media = mm.synth_media_real(spark, n=9)
+    feats = {
+        r["media_id"]: r
+        for r in mm.extract_features(media, fake=False).collect()
+    }
+    assert feats[0]["width"] == 16 and feats[0]["height"] == 16
+    assert feats[3]["width"] == 16 + 21 and feats[3]["height"] == 16 + 15
+    assert feats[1]["n_frames"] == 400 + 80  # audio samples
+    assert feats[2]["n_frames"] == 1 + 22  # pvid header
+    # resize: real pixels, round-trip decodable at the target dims
+    out = mm.resize_images(media, max_dim=10, fake=False).collect()
+    for r in out:
+        arr = ic.png_decode(bytes(r["payload"]))
+        assert arr.shape[:2] == (r["out_height"], r["out_width"])
+        assert max(r["out_width"], r["out_height"]) <= 10
+    # frame extraction: sliced bytes equal the generated frame
+    frames = mm.extract_sampled_frames(media, every_n=10, fake=False).collect()
+    row = [r for r in frames if r["media_id"] == 2 and r["frame_idx"] == 10][0]
+    i, idx = 2, 10
+    w, h = 8 + i % 9, 8 + i % 7
+    yx = np.arange(h)[:, None] + np.arange(w)[None, :]
+    expect = ((idx + yx + i) % 256).astype(np.uint8)
+    assert bytes(row["payload"]) == expect.tobytes()
