@@ -1,0 +1,122 @@
+"""spark-submit job: end-to-end training-set assembly.
+
+The deployable shape of the datapipe — one submit takes a raw
+document corpus to curated, scrubbed, split training shards plus a
+dataset card:
+
+    spark-submit --py-files photon_spark.zip \\
+        photon_spark/jobs/curate.py \\
+        --input  <documents parquet (doc_id, text, lang, ...)> \\
+        --output /path/to/trainset \\
+        [--eval <benchmark parquet for decontamination>] \\
+        [--min-quality 0.45] [--val-frac 0.05] \\
+        [--block-tokens 1024] [--partitions 2048]
+
+Stages (each a datapipe operator with its own oracle/tests):
+  1. curate()      — exact-dup / quality / repetition /
+                     decontamination verdicts; keep-filter
+  2. pii_scrub()   — redact emails / IPv4s / long digit runs
+  3. hash_split()  — deterministic train/val membership
+  4. pack_sequences() — fixed-token-budget block assignment
+  5. dataset_stats()  — the release dataset card (per split×lang)
+
+Output layout: ``<output>/docs`` parquet partitioned by ``split``
+(columns: doc_id, lang, text=scrubbed, bucket, block_id, offset),
+``<output>/card`` parquet (the dataset card), and ONE JSON line of
+job metrics on stdout.
+
+Scale notes: every stage is a narrow map or a map-combinable agg
+keyed by doc_id/sha (SCALING.md); the doc body is read once, joined
+co-keyed, and the final write is partitioned by split so train/val
+consumers prune at the directory level.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True, help="documents parquet (doc_id, text, lang)")
+    p.add_argument("--output", required=True)
+    p.add_argument("--eval", default=None, help="benchmark parquet for decontamination")
+    p.add_argument("--min-quality", type=float, default=0.45)
+    p.add_argument("--val-frac", type=float, default=0.05)
+    p.add_argument("--block-tokens", type=int, default=1024)
+    p.add_argument("--partitions", type=int, default=None)
+    p.add_argument("--master", default=None)
+    args = p.parse_args(argv)
+
+    from photon_spark.session import get_spark
+
+    spark = get_spark(
+        master=args.master,
+        app_name="photon_spark_curate",
+        shuffle_partitions=args.partitions,
+    )
+    from pyspark.sql import functions as F
+
+    from photon_spark.datapipe.curate import curate
+    from photon_spark.datapipe.pii import pii_scrub
+    from photon_spark.datapipe.sampling import (
+        dataset_stats,
+        hash_split,
+        pack_sequences,
+    )
+
+    t0 = time.time()
+    docs = spark.read.parquet(args.input)
+    eval_df = spark.read.parquet(args.eval) if args.eval else None
+    n_in = docs.count()
+
+    verdicts = curate(docs, eval_df=eval_df, min_quality=args.min_quality)
+    kept = docs.join(
+        verdicts.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
+    )
+
+    scrubbed = kept.join(
+        pii_scrub(kept).select("doc_id", F.col("scrubbed")), "doc_id"
+    ).select("doc_id", F.col("scrubbed").alias("text"), "lang")
+
+    split = hash_split(scrubbed, val_frac=args.val_frac)
+    blocks = pack_sequences(scrubbed, block_tokens=args.block_tokens)
+    out_df = (
+        scrubbed.join(split, "doc_id")
+        .join(blocks.select("doc_id", "bucket", "block_id", "offset"), "doc_id")
+    )
+    out_df.write.mode("overwrite").partitionBy("split").parquet(
+        os.path.join(args.output, "docs")
+    )
+
+    card_df = dataset_stats(scrubbed, val_frac=args.val_frac)
+    card_df.write.mode("overwrite").parquet(os.path.join(args.output, "card"))
+    card = [r.asDict() for r in card_df.collect()]
+    n_kept = sum(r["n_docs"] for r in card)
+
+    print(
+        json.dumps(
+            {
+                "n_input_docs": n_in,
+                "n_kept_docs": n_kept,
+                "n_dropped_docs": n_in - n_kept,
+                "total_tokens": sum(r["total_tokens"] for r in card),
+                "card": sorted(
+                    card, key=lambda r: (r["split"], str(r["stratum"]))
+                ),
+                "wall_sec": round(time.time() - t0, 1),
+                "output": args.output,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -582,3 +582,41 @@ def test_real_media_decode(spark):
     yx = np.arange(h)[:, None] + np.arange(w)[None, :]
     expect = ((idx + yx + i) % 256).astype(np.uint8)
     assert bytes(row["payload"]) == expect.tobytes()
+
+
+def test_curate_job_assembles_training_set(spark, tmp_path_factory):
+    """jobs/curate.py end-to-end in-process: verdicts filter, PII is
+    scrubbed in the output text, splits partition the output dirs,
+    and the dataset card accounts for every kept doc."""
+    import os
+
+    from photon_spark.jobs.curate import main
+
+    src = str(tmp_path_factory.mktemp("cj")) + "/docs.parquet"
+    rows = [
+        (i, f"plain useful document body number {i} with the common words "
+            "that the quality score and the stopword ratio like to see",
+         "en" if i % 2 == 0 else "de")
+        for i in range(30)
+    ] + [
+        (100, "mail me at someone@example.com maybe", "en"),  # PII
+        (101, "dup dup dup dup dup dup dup dup dup dup dup dup", "en"),  # repetitive
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.parquet(src)
+    out = str(tmp_path_factory.mktemp("cj_out")) + "/trainset"
+    assert main([
+        "--input", src, "--output", out,
+        "--master", "local[4]", "--partitions", "8", "--val-frac", "0.2",
+    ]) == 0
+    docs = spark.read.parquet(os.path.join(out, "docs"))
+    kept = {r["doc_id"]: r for r in docs.collect()}
+    assert 101 not in kept  # repetitive doc dropped
+    if 100 in kept:  # PII scrubbed wherever the doc survived curation
+        assert "someone@example.com" not in kept[100]["text"]
+        assert "<EMAIL>" in kept[100]["text"]
+    assert {r["split"] for r in kept.values()} == {"train", "val"}
+    assert all(r["block_id"] >= 0 and r["offset"] >= 0 for r in kept.values())
+    card = spark.read.parquet(os.path.join(out, "card")).collect()
+    assert sum(r["n_docs"] for r in card) == len(kept)
