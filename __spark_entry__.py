@@ -775,6 +775,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dataset_stats"] = _dataset_stats
 
+    def _chunk_documents(s, d):
+        # context-length chunking (pre-training prep for long docs)
+        from photon_spark.datapipe import sampling as sa
+
+        return sa.chunk_documents(_docs(s, d), max_tokens=16, overlap=4)
+
+    q["chunk_documents"] = _chunk_documents
+
     # ---- training-data pipeline: dedup ----
     q["exact_dedup"] = lambda s, d: dd.exact_dedup(_docs(s, d))
     q["minhash_signatures"] = lambda s, d: (
@@ -1363,6 +1371,23 @@ SELECT split, stratum,
        COUNT(DISTINCT th) AS n_distinct_texts
 FROM base JOIN dup USING (th)
 GROUP BY split, stratum"""
+
+    # context-length chunking: window starts every stride tokens,
+    # slices re-joined with single spaces — pure list arithmetic on
+    # both engines (stride = 16 - 4 = 12)
+    o["chunk_documents"] = f"""
+WITH base AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+), st AS (
+  SELECT doc_id, toks,
+         unnest(range(0, len(toks), 12)) AS start
+  FROM base WHERE len(toks) > 0
+)
+SELECT doc_id,
+       CAST(start // 12 AS INTEGER) AS chunk_idx,
+       CAST(len(toks[start + 1 : start + 16]) AS BIGINT) AS n_tokens,
+       coalesce(array_to_string(toks[start + 1 : start + 16], ' '), '') AS chunk_text
+FROM st"""
 
     # ---- dedup ----
     o["exact_dedup"] = """

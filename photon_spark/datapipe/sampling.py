@@ -176,3 +176,42 @@ def dataset_stats(
             F.count_distinct(F.col("_th")).alias("n_distinct_texts"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """Context-length chunking: split each doc into token windows of
+    ``max_tokens`` starting every ``max_tokens - overlap`` tokens
+    (the standard pre-training prep for long documents; overlap keeps
+    boundary context). Chunk text re-joins tokens with single spaces
+    (tokenization already normalizes whitespace). Docs with zero
+    tokens emit no chunks; the final window may be shorter.
+
+    Scale (100 TB): pure narrow map — window starts and slices are
+    array expressions per row, the explode fans out without a
+    shuffle, and chunk rows carry (doc_id, chunk_idx) so downstream
+    packing/dedup keys stay co-located with the parent doc.
+    """
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be < max_tokens")
+    stride = max_tokens - overlap
+    toks = tokens_col(text_col)
+    starts = F.when(
+        F.size(toks) > 0,
+        F.sequence(F.lit(0), F.size(toks) - 1, F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    exploded = df.select(
+        F.col(id_col), toks.alias("_toks"), F.posexplode(starts)
+    )
+    chunk = F.slice(F.col("_toks"), F.col("col") + 1, max_tokens)
+    return exploded.select(
+        F.col(id_col),
+        F.col("pos").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )

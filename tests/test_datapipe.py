@@ -620,3 +620,27 @@ def test_curate_job_assembles_training_set(spark, tmp_path_factory):
     assert all(r["block_id"] >= 0 and r["offset"] >= 0 for r in kept.values())
     card = spark.read.parquet(os.path.join(out, "card")).collect()
     assert sum(r["n_docs"] for r in card) == len(kept)
+
+
+def test_chunk_documents(spark):
+    """Window arithmetic: stride = max - overlap, boundary tokens
+    shared between adjacent chunks, short/empty docs behave."""
+    from photon_spark.datapipe.sampling import chunk_documents
+
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(20))),  # 20 tokens
+        (2, "a b"),                                  # 1 short chunk
+        (3, ""),                                     # no chunks
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, max_tokens=8, overlap=2).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["doc_id"], []).append(r)
+    for v in by.values():
+        v.sort(key=lambda r: r["chunk_idx"])
+    # doc 1: starts 0, 6, 12, 18 → lengths 8, 8, 8, 2
+    assert [r["n_tokens"] for r in by[1]] == [8, 8, 8, 2]
+    assert by[1][0]["chunk_text"].split()[-2:] == by[1][1]["chunk_text"].split()[:2]
+    assert by[2][0]["chunk_text"] == "a b"
+    assert 3 not in by

@@ -51,6 +51,7 @@ FUZZ_ENTRIES = [
     "lm_score",
     "top_ngrams",
     "line_dedup",
+    "chunk_documents",
 ]
 
 _TOKENS = st.sampled_from(
