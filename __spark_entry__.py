@@ -792,6 +792,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ngram_jaccard_pairs"] = lambda s, d: dd.ngram_jaccard_pairs(
         _docs(s, d), threshold=0.35
     )
+
+    def _dedup_survivors(s, d):
+        # pairs → connected components (iterative min-propagation) →
+        # cluster-aware keep-one; the tail of every LSH dedup pipeline
+        docs = _docs(s, d)
+        pairs = dd.ngram_jaccard_pairs(docs, threshold=0.35)
+        return dd.dedup_survivors(docs, pairs)
+
+    q["dedup_survivors"] = _dedup_survivors
     q["simhash"] = lambda s, d: dd.simhash(_docs(s, d), bits=16)
     q["minhash_lsh_pairs"] = lambda s, d: dd.minhash_lsh_pairs(
         _docs(s, d), n_hashes=16, bands=4, threshold=0.3
@@ -1429,6 +1438,43 @@ SELECT id_a, id_b,
        ROUND(inter::DOUBLE / (za.sz + zb.sz - inter), 6) AS jaccard
 FROM inter JOIN sz za ON inter.id_a = za.doc_id JOIN sz zb ON inter.id_b = zb.doc_id
 WHERE ROUND(inter::DOUBLE / (za.sz + zb.sz - inter), 6) >= 0.35"""
+
+    # cluster-aware keep-one: the twin computes the SAME jaccard pair
+    # list, then transitive closure via a recursive CTE (min reachable
+    # id per node) — exact on fixture scale, where the engine's
+    # iterative min-propagation must land on the identical fixpoint
+    o["dedup_survivors"] = f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)])) AS gram
+  FROM base WHERE len(toks) >= 3
+), sz AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sz za ON inter.id_a = za.doc_id JOIN sz zb ON inter.id_b = zb.doc_id
+  WHERE ROUND(inter::DOUBLE / (za.sz + zb.sz - inter), 6) >= 0.35
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(node, comp) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node
+), cc AS (
+  SELECT node, MIN(comp) AS component FROM reach GROUP BY node
+)
+SELECT d.doc_id,
+       COALESCE(cc.component, d.doc_id) AS component,
+       d.doc_id = COALESCE(cc.component, d.doc_id) AS keep
+FROM documents d LEFT JOIN cc ON cc.node = d.doc_id"""
 
     o["simhash"] = f"""
 WITH tok AS (

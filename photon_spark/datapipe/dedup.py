@@ -415,3 +415,99 @@ def line_dedup(
         .cast("long")
         .alias("n_lines_dropped"),
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair list →
+    ``(node, component)`` with ``component`` = the smallest node id
+    reachable. The step LSH pipelines need between pair generation
+    and survivor selection: transitively-linked near-dups must
+    collapse to ONE cluster (A~B, B~C ⇒ {A,B,C}) or the keep-one rule
+    under-removes.
+
+    Algorithm: iterative min-label propagation —
+    ``comp(v) ← min(comp(v), min over neighbors comp(u))`` until a
+    fixpoint, checked by an aggregate per round. Converges in
+    O(graph diameter) rounds; near-dup clusters are dense and
+    shallow, so 3-5 rounds is typical. Each round is one co-keyed
+    join + one map-combinable min-agg (no windows, no driver-side
+    graph). For adversarial long-chain graphs the
+    large-star/small-star alternation (Kiveris et al. '14) bounds
+    rounds at O(log n) with the same join/agg shape — noted here as
+    the documented escalation path.
+    """
+    e = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    )
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    comp = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    edges = edges.cache()
+    comp = comp.cache()
+    for _ in range(max_iters):
+        # candidate labels flowing along edges this round
+        flowed = (
+            edges.join(
+                comp.withColumnRenamed("node", "src"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("component").alias("_nbr_min"))
+        )
+        new_comp = (
+            comp.join(flowed, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("_nbr_min"), F.col("component")),
+                ).alias("component"),
+            )
+            .cache()
+        )
+        changed = (
+            new_comp.withColumnRenamed("component", "_new")
+            .join(comp, "node")
+            .filter(F.col("_new") != F.col("component"))
+            .limit(1)
+            .count()
+        )
+        comp.unpersist()
+        comp = new_comp
+        if changed == 0:
+            break
+    edges.unpersist()
+    return comp
+
+
+def dedup_survivors(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Cluster-aware keep-one: every doc annotated with its near-dup
+    ``component`` (its own id when it has no near-dup) and
+    ``keep`` = is it the smallest id of its cluster. The standard
+    tail of a MinHash/SimHash pipeline (pairs alone under-remove on
+    transitive chains)."""
+    comp = connected_components(pairs, id_a, id_b)
+    return (
+        df.select(F.col(id_col))
+        .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+        )
+        .withColumn("keep", F.col(id_col) == F.col("component"))
+    )

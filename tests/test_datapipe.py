@@ -644,3 +644,24 @@ def test_chunk_documents(spark):
     assert by[1][0]["chunk_text"].split()[-2:] == by[1][1]["chunk_text"].split()[:2]
     assert by[2][0]["chunk_text"] == "a b"
     assert 3 not in by
+
+
+def test_connected_components_transitive(spark):
+    """A~B, B~C (no A~C edge) must land in ONE cluster; keep-one
+    keeps exactly the smallest id; chain convergence within iters."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23), (23, 24)],
+        "id_a long, id_b long",
+    )
+    comp = {r["node"]: r["component"]
+            for r in dd.connected_components(pairs).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == 10
+    assert comp[20] == comp[24] == 20  # 5-node chain converges
+
+    docs = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 5, 10, 11]], "doc_id long"
+    )
+    surv = {r["doc_id"]: r for r in dd.dedup_survivors(docs, pairs).collect()}
+    assert [d for d, r in sorted(surv.items()) if r["keep"]] == [1, 5, 10]
+    assert surv[5]["component"] == 5  # no near-dup → own cluster
