@@ -49,6 +49,33 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
 
+def _corpus_mapping_cols(content=None) -> list:
+    """The documents→code_files mapping, defined ONCE: every engine
+    build (base, post-CDC, chunked) and the DuckDB twins must stay
+    bit-identical to these expressions or rebuild-equivalence oracles
+    break. ``content`` overrides the content column (the chunk build
+    maps spaces to newlines). Twin SQL: the `title`/path/importance
+    expressions in _ENGINE_MAPPED_CTE*."""
+    title = F.concat_ws(
+        "_", F.slice(F.split(F.lower(F.col("text")), r"\s+"), 1, 2)
+    )
+    return [
+        F.col("source").alias("repo"),
+        F.concat(
+            F.lit("docs/"), title, F.lit("_"),
+            F.col("doc_id").cast("string"), F.lit(".txt"),
+        ).alias("path"),
+        F.sha2(
+            F.concat_ws(":", "source", F.col("doc_id").cast("string")), 256
+        ).alias("commit"),
+        F.col("lang"),
+        (F.col("text") if content is None else content).alias("content"),
+        (
+            F.lit(1.0) / (F.lit(1.0) + F.col("doc_id").cast("double") / F.lit(100.0))
+        ).alias("importance"),
+    ]
+
+
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
@@ -369,20 +396,7 @@ def _engine(spark: SparkSession, sf_dir: str):
         # "name" graft: the path basename (priority-5 zone, like photon's
         # place name) is a title derived from the doc's leading tokens —
         # full-query results MUST match a name term (QueryBasicSearchTest:225-236)
-        title = F.concat_ws(
-            "_", F.slice(F.split(F.lower(F.col("text")), r"\s+"), 1, 2)
-        )
-        src = _docs(spark, sf_dir).select(
-            F.col("source").alias("repo"),
-            F.concat(
-                F.lit("docs/"), title, F.lit("_"),
-                F.col("doc_id").cast("string"), F.lit(".txt"),
-            ).alias("path"),
-            F.sha2(F.concat_ws(":", "source", F.col("doc_id").cast("string")), 256).alias("commit"),
-            F.col("lang"),
-            F.col("text").alias("content"),
-            (F.lit(1.0) / (F.lit(1.0) + F.col("doc_id").cast("double") / F.lit(100.0))).alias("importance"),
-        )
+        src = _docs(spark, sf_dir).select(*_corpus_mapping_cols())
         # version-keyed cache dir: a stale on-disk index from an older
         # format or corpus mapping must never be reused silently
         from photon_spark.index.build import INDEX_FORMAT_VERSION
@@ -441,19 +455,8 @@ def _upd_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).withColumn(
         "ntext", F.count(F.lit(1)).over(Window.partitionBy("text"))
     )
-    title = F.concat_ws("_", F.slice(F.split(F.lower(F.col("text")), r"\s+"), 1, 2))
     src = d.select(
-        F.col("doc_id").alias("odid"),
-        "ntext",
-        F.col("source").alias("repo"),
-        F.concat(
-            F.lit("docs/"), title, F.lit("_"),
-            F.col("doc_id").cast("string"), F.lit(".txt"),
-        ).alias("path"),
-        F.sha2(F.concat_ws(":", "source", F.col("doc_id").cast("string")), 256).alias("commit"),
-        F.col("lang"),
-        F.col("text").alias("content"),
-        (F.lit(1.0) / (F.lit(1.0) + F.col("doc_id").cast("double") / F.lit(100.0))).alias("importance"),
+        F.col("doc_id").alias("odid"), "ntext", *_corpus_mapping_cols()
     )
     mods = (
         src.filter((F.col("odid") % 11 == 3) & (F.col("ntext") == 1))
@@ -524,19 +527,10 @@ def _chunk_engine(spark: SparkSession, sf_dir: str):
 
     key = "chunk:" + os.path.abspath(sf_dir)
     if key not in _ENGINE_CACHE:
-        title = F.concat_ws(
-            "_", F.slice(F.split(F.lower(F.col("text")), r"\s+"), 1, 2)
-        )
         src = _docs(spark, sf_dir).select(
-            F.col("source").alias("repo"),
-            F.concat(
-                F.lit("docs/"), title, F.lit("_"),
-                F.col("doc_id").cast("string"), F.lit(".txt"),
-            ).alias("path"),
-            F.sha2(F.concat_ws(":", "source", F.col("doc_id").cast("string")), 256).alias("commit"),
-            F.col("lang"),
-            F.regexp_replace(F.col("text"), " ", "\n").alias("content"),
-            (F.lit(1.0) / (F.lit(1.0) + F.col("doc_id").cast("double") / F.lit(100.0))).alias("importance"),
+            *_corpus_mapping_cols(
+                content=F.regexp_replace(F.col("text"), " ", "\n")
+            )
         )
         out = os.path.join(
             tempfile.gettempdir(),
@@ -1383,14 +1377,18 @@ GROUP BY split, stratum"""
 
     # context-length chunking: window starts every stride tokens,
     # slices re-joined with single spaces — pure list arithmetic on
-    # both engines (stride = 16 - 4 = 12)
+    # both engines (stride = 16 - 4 = 12). A start past n - overlap
+    # would only repeat tokens the previous window carries — dropped
+    # on both engines.
     o["chunk_documents"] = f"""
 WITH base AS (
   SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
 ), st AS (
-  SELECT doc_id, toks,
-         unnest(range(0, len(toks), 12)) AS start
-  FROM base WHERE len(toks) > 0
+  SELECT doc_id, toks, start
+  FROM (
+    SELECT doc_id, toks, unnest(range(0, len(toks), 12)) AS start
+    FROM base WHERE len(toks) > 0
+  ) WHERE start = 0 OR start + 4 < len(toks)
 )
 SELECT doc_id,
        CAST(start // 12 AS INTEGER) AS chunk_idx,

@@ -540,9 +540,15 @@ class UpdateAPI:
                         # (requests racing the release recompute from
                         # files; no refcounting — a deliberate
                         # simplification vs Lucene's SearcherManager).
+                        # The re-open inherits the old backend's
+                        # query-time config (synonyms, cache flag) —
+                        # a swap must never change serving semantics.
                         old = self.search_api.backend
                         self.search_api.backend = Index(
-                            self.spark, self.index_dir
+                            self.spark,
+                            self.index_dir,
+                            cache=getattr(old, "cache_enabled", True),
+                            synonyms=getattr(old, "synonyms", None),
                         )
                         release = getattr(old, "release", None)
                         if release is not None:

@@ -381,21 +381,26 @@ def line_dedup(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("pos", "line"),
     )
-    keepers = lines.groupBy("line").agg(
+    # min_chars-exempt lines (blank separators — the most duplicated
+    # key in any corpus) never influence keeper classes and are
+    # always kept, so they bypass the keeper agg AND the join: the
+    # hottest keys never enter the shuffle
+    exempt = lines.filter(F.length("line") < F.lit(min_chars)).select(
+        F.col(id_col), "pos", "line", F.lit(True).alias("_kept")
+    )
+    eligible = lines.filter(F.length("line") >= F.lit(min_chars))
+    keepers = eligible.groupBy("line").agg(
         F.min(F.struct(id_col, "pos")).alias("_keep")
     )
-    flagged = lines.join(keepers, "line").select(
+    flagged = eligible.join(keepers, "line").select(
         F.col(id_col),
         "pos",
         "line",
         (
-            (F.length("line") < F.lit(min_chars))
-            | (
-                (F.col(id_col) == F.col(f"_keep.{id_col}"))
-                & (F.col("pos") == F.col("_keep.pos"))
-            )
+            (F.col(id_col) == F.col(f"_keep.{id_col}"))
+            & (F.col("pos") == F.col("_keep.pos"))
         ).alias("_kept"),
-    )
+    ).unionByName(exempt)
     return flagged.groupBy(id_col).agg(
         F.array_join(
             F.transform(
@@ -485,6 +490,17 @@ def connected_components(
         comp = new_comp
         if changed == 0:
             break
+    else:
+        # silent non-convergence would under-merge clusters (multiple
+        # keep=True survivors inside one transitive class) with no
+        # signal — refuse instead; the caller raises max_iters or
+        # switches to the large-star/small-star O(log n) variant
+        edges.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} "
+            "rounds (graph diameter exceeds max_iters) — raise "
+            "max_iters or use star-contraction for long-chain graphs"
+        )
     edges.unpersist()
     return comp
 

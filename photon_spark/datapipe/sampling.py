@@ -190,7 +190,10 @@ def chunk_documents(
     (the standard pre-training prep for long documents; overlap keeps
     boundary context). Chunk text re-joins tokens with single spaces
     (tokenization already normalizes whitespace). Docs with zero
-    tokens emit no chunks; the final window may be shorter.
+    tokens emit no chunks; the final window may be shorter. A window
+    start past ``n - overlap`` would cover only tokens the previous
+    window already carries, so those are not emitted (a doc of
+    ≤ max_tokens tokens yields exactly one chunk).
 
     Scale (100 TB): pure narrow map — window starts and slices are
     array expressions per row, the explode fans out without a
@@ -203,7 +206,11 @@ def chunk_documents(
     toks = tokens_col(text_col)
     starts = F.when(
         F.size(toks) > 0,
-        F.sequence(F.lit(0), F.size(toks) - 1, F.lit(stride)),
+        F.filter(
+            F.sequence(F.lit(0), F.size(toks) - 1, F.lit(stride)),
+            lambda s: (s == F.lit(0))
+            | (s + F.lit(overlap) < F.size(toks)),
+        ),
     ).otherwise(F.array().cast("array<int>"))
     exploded = df.select(
         F.col(id_col), toks.alias("_toks"), F.posexplode(starts)

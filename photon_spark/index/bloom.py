@@ -16,7 +16,11 @@ absent" answer is exact, so results never change.
 Hashing is pandas' vectorized SipHash (``pd.util.hash_array``, a C
 kernel) with two distinct keys — one call per Arrow batch hashes the
 whole (field, term) column at C speed, and the SAME function serves
-the driver's per-query bit-test, so build and probe can never drift.
+the driver's per-query bit-test. That only holds while executors and
+driver run the same pandas build, so every bloom embeds CANARY_TERMS
+hashed by the executor kernel: build_bloom fails loudly and load()
+disables the bloom (falling back to the correct no-shortcut path)
+whenever the probing process hashes differently.
 (A JVM-side ``xxhash64`` would also vectorize the build, but has no
 Python twin in this environment for the driver probe.) All position
 arithmetic is uint64 with wraparound, shared by every path. The
@@ -58,7 +62,7 @@ BLOOM_FILE = "term_bloom.npz"
 # load() rejects mismatches (shortcut disabled — still correct, the
 # evaluator just runs). 1 = md5 double-hash (≤ index 2.4);
 # 2 = SipHash pair via pd.util.hash_array (index 2.5+).
-BLOOM_SCHEME = 2
+BLOOM_SCHEME = 3  # 3 = SipHash pair + embedded canary terms
 
 # pd.util.hash_array keys must be exactly 16 characters; two distinct
 # keys give the two independent hashes of the double-hashing scheme
@@ -99,6 +103,14 @@ def _params(n: int, fp_rate: float) -> tuple[int, int]:
     m = max(1024, int(-n * math.log(fp_rate) / (math.log(2) ** 2)))
     k = max(1, round(m / n * math.log(2)))
     return m, min(k, 16)
+
+
+# env-drift tripwires: present in every built bloom (added to the
+# dictionary inside build_bloom, hashed by the SAME executor kernel as
+# real terms). A loader whose hash function differs from the builder's
+# sees each canary "absent" with prob ≈ (1 - fill)^k per canary —
+# eight canaries make silent drift vanishingly unlikely to pass.
+CANARY_TERMS = [f"__bloom_canary_{i}__" for i in range(8)]
 
 
 class TermBloom:
@@ -143,6 +155,14 @@ class TermBloom:
             )
         os.replace(tmp, os.path.join(index_dir, BLOOM_FILE))
 
+    def canaries_present(self) -> bool:
+        """True iff every build-time canary probes present — i.e. the
+        CURRENT process hashes exactly like the kernel that set the
+        bits."""
+        return not any(
+            self.definitely_absent(t, t) for t in CANARY_TERMS
+        )
+
     @classmethod
     def load(cls, index_dir: str) -> "TermBloom | None":
         path = os.path.join(index_dir, BLOOM_FILE)
@@ -151,7 +171,23 @@ class TermBloom:
         with np.load(path) as z:
             if "scheme" not in z or int(z["scheme"]) != BLOOM_SCHEME:
                 return None  # built under another hash scheme
-            return cls(z["bits"].copy(), int(z["m"]), int(z["k"]), int(z["n"]))
+            bloom = cls(
+                z["bits"].copy(), int(z["m"]), int(z["k"]), int(z["n"])
+            )
+        if not bloom.canaries_present():
+            import warnings
+
+            warnings.warn(
+                "term bloom disabled: canary probe failed — this "
+                "process's pd.util.hash_array differs from the build "
+                "environment's, so probes would be two-sided. Queries "
+                "fall back to the no-bloom path (correct, no "
+                "short-circuit).",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            return None
+        return bloom
 
 
 def _make_kernel(m: int, k: int):
@@ -200,13 +236,34 @@ def build_bloom(
     """Distributed bloom build over the dictionary's (field, term)
     pairs; writes ``term_bloom.npz`` into ``out_dir`` and returns the
     loaded filter. ``n_terms`` sizes the filter (counted if omitted —
-    one cheap agg over the dictionary)."""
+    one cheap agg over the dictionary).
+
+    Canary terms ride through the EXECUTOR-side kernel; the driver
+    (and every later load) probes them to prove the probe-side hash
+    matches the build-side hash. pd.util.hash_array is keyed SipHash
+    — stable within a pandas build, but a heterogeneous cluster
+    (different pandas on executors vs driver) would silently turn
+    the one-sided error two-sided; the canaries make that loud."""
     if n_terms is None:
         n_terms = dictionary_df.count()
-    m, k = _params(n_terms, fp_rate)
-    bloom = TermBloom(
-        _distributed_bits(dictionary_df, m, k, reduce_partitions), m, k, n_terms
+    m, k = _params(n_terms + len(CANARY_TERMS), fp_rate)
+    spark = dictionary_df.sparkSession
+    canaries = spark.createDataFrame(
+        [(t, t) for t in CANARY_TERMS], "field string, term string"
     )
+    with_canaries = dictionary_df.select("field", "term").unionByName(canaries)
+    bloom = TermBloom(
+        _distributed_bits(with_canaries, m, k, reduce_partitions),
+        m, k, n_terms,
+    )
+    if not bloom.canaries_present():
+        raise RuntimeError(
+            "bloom canary probe failed after build: executor-side and "
+            "driver-side pd.util.hash_array disagree (mixed pandas "
+            "builds across the cluster?) — a persisted bloom would "
+            "give two-sided errors; align the environments or skip "
+            "the bloom"
+        )
     bloom.save(out_dir)
     return bloom
 

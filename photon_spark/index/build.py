@@ -50,7 +50,7 @@ from photon_spark.index.codec import encode_blocks_bulk
 #          ingestion; comma-joined values split)
 # 2.4: term_bloom.npz membership artifact; 2.5: bloom hash switched to
 # vectorized SipHash pairs (stale 2.4 blooms would answer two-sided)
-INDEX_FORMAT_VERSION = "2.5.0"
+INDEX_FORMAT_VERSION = "2.6.0"
 
 DEFAULT_BLOCK_SIZE = 128
 DEFAULT_N_BUCKETS = 64

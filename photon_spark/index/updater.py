@@ -86,6 +86,30 @@ def _next_seg(index_dir: str) -> int:
     return (max(segs) + 1) if segs else 0
 
 
+def _clean_orphan_segments(index_dir: str) -> list[int]:
+    """Remove postings_delta segments with no matching
+    dictionary_delta segment — the residue of a crash between the
+    postings and dictionary publish renames (postings publish FIRST;
+    see apply_updates). Orphans are unreachable (their terms have no
+    dictionary entries) but their rows would duplicate the retried
+    batch's postings under the re-assigned (identical) ordinals.
+    Single-writer under the update lock (U4), so nothing races this.
+    Returns the removed seg ids."""
+    p_root = os.path.join(index_dir, "postings_delta")
+    d_root = os.path.join(index_dir, "dictionary_delta")
+    if not os.path.isdir(p_root):
+        return []
+    have_dict = {
+        d for d in os.listdir(d_root) if d.startswith("seg=")
+    } if os.path.isdir(d_root) else set()
+    removed = []
+    for d in os.listdir(p_root):
+        if d.startswith("seg=") and d not in have_dict:
+            shutil.rmtree(os.path.join(p_root, d), ignore_errors=True)
+            removed.append(int(d.split("=", 1)[1]))
+    return removed
+
+
 # auto-compaction policy (Lucene merge-policy analog,
 # opensearch/Importer.java:91-92 refresh/merge lifecycle): merge when
 # the delta-segment count or the tombstone fraction passes these —
@@ -127,6 +151,7 @@ def apply_updates(
     meta_path = os.path.join(index_dir, "meta.json")
     with open(meta_path) as f:
         meta = json.load(f)
+    _clean_orphan_segments(index_dir)  # crashed-publish residue
     docs_path = os.path.join(index_dir, "docs")
     old_docs = spark.read.parquet(docs_path)
 
@@ -331,10 +356,17 @@ def apply_updates(
             )
         # publish: rename the staged segment dirs into the discovered
         # layout (same filesystem — atomic per directory; Iceberg
-        # commit-swap in production)
+        # commit-swap in production). POSTINGS FIRST: _next_seg
+        # numbers segments off postings_delta, so a crash between the
+        # two renames leaves an orphaned postings seg a retry won't
+        # collide with (it picks seg+1), and postings terms without
+        # dictionary entries are unreachable — harmless. Dictionary
+        # first would both wedge the retry (rename onto a non-empty
+        # seg dir) and transiently expose dictionary terms with no
+        # postings.
         for stage_dir, live_root in (
-            (dict_stage, "dictionary_delta"),
             (post_stage, "postings_delta"),
+            (dict_stage, "dictionary_delta"),
         ):
             os.makedirs(os.path.join(index_dir, live_root), exist_ok=True)
             os.rename(

@@ -85,6 +85,13 @@ def main(argv: list[str] | None = None) -> int:
         pii_scrub(kept).select("doc_id", F.col("scrubbed")), "doc_id"
     ).select("doc_id", F.col("scrubbed").alias("text"), "lang")
 
+    # zero-token docs carry nothing for training and pack_sequences
+    # (correctly) assigns them no block — drop them HERE, explicitly,
+    # so the shipped shards, the dataset card, and the JSON metrics
+    # all count exactly the same rows
+    from photon_spark.datapipe.textstats import tokens_col
+
+    scrubbed = scrubbed.filter(F.size(tokens_col("text")) > 0)
     split = hash_split(scrubbed, val_frac=args.val_frac)
     blocks = pack_sequences(scrubbed, block_tokens=args.block_tokens)
     out_df = (

@@ -98,6 +98,7 @@ class Index:
     ):
         self.spark = spark
         self.dir = index_dir
+        self.cache_enabled = cache  # recorded so a re-open can match
         self.synonyms = synonyms  # query-time Synonyms config (A12/A13)
         with open(os.path.join(index_dir, "meta.json")) as f:
             self.meta = json.load(f)

@@ -118,12 +118,19 @@ def test_update_api_refreshes_serving_snapshot(
           "zzswapfreshzz body content", 42)],
         UPDATES_DDL,
     )
+    # pin a query-time config on the serving backend: the swap must
+    # carry it over (a refresh must never change serving semantics)
+    from photon_spark.query.synonyms import Synonyms
+
+    search_api.backend.synonyms = Synonyms({"search_synonyms": ["str, street"]})
     upd = UpdateAPI(spark, out, lambda: batch, search_api=search_api)
     old_backend = search_api.backend
     upd.trigger()
     upd.wait(timeout=300)
     assert upd.last_result is not None and upd.last_result["n_added"] == 1
     assert search_api.backend is not old_backend  # snapshot swapped
+    assert search_api.backend.synonyms is old_backend.synonyms
+    assert search_api.backend.cache_enabled == old_backend.cache_enabled
     # name-field token ⇒ short plan; content-only tokens would
     # (correctly) fail the strict pass's name/ext/parent must-branch
     feats = search_api.api({"q": "zzswap"})["features"]

@@ -639,8 +639,13 @@ def test_chunk_documents(spark):
         by.setdefault(r["doc_id"], []).append(r)
     for v in by.values():
         v.sort(key=lambda r: r["chunk_idx"])
-    # doc 1: starts 0, 6, 12, 18 → lengths 8, 8, 8, 2
-    assert [r["n_tokens"] for r in by[1]] == [8, 8, 8, 2]
+    # doc 1: starts 0, 6, 12 (18 would repeat only chunk-2 tokens);
+    # chunk at 12 reaches the end, so every token is covered once+
+    assert [r["n_tokens"] for r in by[1]] == [8, 8, 8]
+    covered = {
+        t for r in by[1] for t in r["chunk_text"].split()
+    }
+    assert covered == {f"t{i}" for i in range(20)}
     assert by[1][0]["chunk_text"].split()[-2:] == by[1][1]["chunk_text"].split()[:2]
     assert by[2][0]["chunk_text"] == "a b"
     assert 3 not in by

@@ -253,3 +253,37 @@ def test_bloom_resized_on_merge(spark, corpus, tmp_path_factory):
     assert idx.definitely_absent("all", "zzephemeralword")
     assert not idx.definitely_absent("all", "retry")
     assert idx.search("zzephemeralword", k=5) == []
+
+
+def test_bloom_canary_disables_on_hash_drift(tmp_path):
+    """A bloom whose bits weren't set by this process's hash function
+    (simulated: zeroed bits) must disable itself on load — the
+    one-sided-error contract degrades to no-shortcut, never to wrong
+    results."""
+    import warnings
+
+    import numpy as np
+
+    from photon_spark.index.bloom import (
+        BLOOM_FILE,
+        CANARY_TERMS,
+        TermBloom,
+        _params,
+    )
+
+    m, k = _params(100, 0.01)
+    good = TermBloom(np.zeros((m + 7) // 8, dtype=np.uint8), m, k, 100)
+    good.add_many(
+        np.array(CANARY_TERMS, dtype=object),
+        np.array(CANARY_TERMS, dtype=object),
+    )
+    good.save(str(tmp_path))
+    assert TermBloom.load(str(tmp_path)) is not None  # same env → loads
+
+    # zero the bits (what a different hash env looks like to probes)
+    bad = TermBloom(np.zeros((m + 7) // 8, dtype=np.uint8), m, k, 100)
+    bad.save(str(tmp_path))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert TermBloom.load(str(tmp_path)) is None
+        assert any("canary" in str(x.message) for x in w)

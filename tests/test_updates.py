@@ -365,3 +365,47 @@ def test_merge_segments_rank_identical_and_exact_df(
         for r in merged.bm25_topk(FIELD_ALL, [tok], k=10_000).collect()
     ]
     assert dead_id not in got and None not in got
+
+
+def test_orphan_postings_segment_cleanup(spark, tmp_path_factory, corpus_small=None):
+    """A crash between the postings and dictionary publish renames
+    leaves a postings-only segment; the next apply_updates removes it
+    and proceeds (no wedge, no duplicate postings)."""
+    import os
+    import shutil as sh
+
+    from photon_spark.index.build import build_index
+    from photon_spark.index.updater import _clean_orphan_segments, apply_updates
+
+    from photon_spark.corpus import generate_code_files
+
+    out = str(tmp_path_factory.mktemp("orphan")) + "/idx"
+    build_index(spark, spark.createDataFrame(generate_code_files(n_files=30, seed=5)), out)
+    batch = spark.createDataFrame(
+        [("upsert", "orgX/o", "src/orphan.py", "a" * 40, "en", "orphan body", 1)],
+        UPDATES_DDL,
+    )
+    apply_updates(spark, out, batch)
+    # simulate the crash residue: copy seg=0 postings to seg=1 with no
+    # dictionary twin
+    sh.copytree(
+        os.path.join(out, "postings_delta", "seg=0"),
+        os.path.join(out, "postings_delta", "seg=1"),
+    )
+    removed = _clean_orphan_segments(out)
+    assert removed == [1]
+    # and a full apply_updates runs the cleanup + lands on seg=1 fresh
+    sh.copytree(
+        os.path.join(out, "postings_delta", "seg=0"),
+        os.path.join(out, "postings_delta", "seg=2"),
+    )
+    res = apply_updates(
+        spark, out,
+        spark.createDataFrame(
+            [("upsert", "orgX/o", "src/orphan2.py", "b" * 40, "en", "second body", 2)],
+            UPDATES_DDL,
+        ),
+        auto_merge=False,
+    )
+    assert res["n_added"] == 1
+    assert not os.path.isdir(os.path.join(out, "postings_delta", "seg=2"))
