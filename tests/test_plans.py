@@ -171,15 +171,20 @@ def test_bloom_kernel_driver_agreement(spark):
     df = spark.createDataFrame(pairs, "field string, term string")
     import tempfile
 
+    from photon_spark.index.bloom import CANARY_TERMS
+
     with tempfile.TemporaryDirectory() as d:
         built = build_bloom(df, d, n_terms=len(pairs))
-        m, k = _params(len(pairs), 0.01)
+        # the local twin mirrors build_bloom exactly: canaries ride
+        # through the same kernel and the sizing counts them
+        all_pairs = pairs + [(t, t) for t in CANARY_TERMS]
+        m, k = _params(len(all_pairs), 0.01)
         local = TermBloom(
             np.zeros((m + 7) // 8, dtype=np.uint8), m, k, len(pairs)
         )
         local.add_many(
-            np.array([p[0] for p in pairs], dtype=object),
-            np.array([p[1] for p in pairs], dtype=object),
+            np.array([p[0] for p in all_pairs], dtype=object),
+            np.array([p[1] for p in all_pairs], dtype=object),
         )
         assert np.array_equal(built.bits, local.bits)
         for f_, t in pairs:
