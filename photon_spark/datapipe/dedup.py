@@ -496,6 +496,7 @@ def connected_components(
         # signal — refuse instead; the caller raises max_iters or
         # switches to the large-star/small-star O(log n) variant
         edges.unpersist()
+        comp.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} "
             "rounds (graph diameter exceeds max_iters) — raise "

@@ -297,8 +297,24 @@ def fold_distributed(
     bloom = TermBloom.load(index_dir)
     if bloom is None:
         return None
-    bloom.or_bits(
-        _distributed_bits(dictionary_df, bloom.m, bloom.k, reduce_partitions)
+    # the fold's kernel runs on EXECUTORS — verify THIS fold's hash
+    # environment too, not just the build's: canaries ride the delta
+    # kernel into the scratch bitmap, and the driver probes the
+    # scratch alone before ORing. A post-build executor pandas
+    # upgrade would otherwise scatter the delta terms to wrong
+    # positions while every later load() still passes (the BUILD
+    # canary bits are intact) — the silent two-sided error again.
+    spark = dictionary_df.sparkSession
+    canaries = spark.createDataFrame(
+        [(t, t) for t in CANARY_TERMS], "field string, term string"
     )
+    scratch_bits = _distributed_bits(
+        dictionary_df.select("field", "term").unionByName(canaries),
+        bloom.m, bloom.k, reduce_partitions,
+    )
+    scratch = TermBloom(scratch_bits, bloom.m, bloom.k, 0)
+    if not scratch.canaries_present():
+        return None  # caller must disable the artifact (see updater)
+    bloom.or_bits(scratch_bits)
     bloom.save(index_dir)
     return bloom

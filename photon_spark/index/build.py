@@ -50,6 +50,9 @@ from photon_spark.index.codec import encode_blocks_bulk
 #          ingestion; comma-joined values split)
 # 2.4: term_bloom.npz membership artifact; 2.5: bloom hash switched to
 # vectorized SipHash pairs (stale 2.4 blooms would answer two-sided)
+# 2.6: bloom scheme 3 — canary terms embedded at build/fold so
+#      hash-environment drift disables the bloom instead of giving
+#      two-sided errors (2.5 blooms are load-rejected by scheme)
 INDEX_FORMAT_VERSION = "2.6.0"
 
 DEFAULT_BLOCK_SIZE = 128

@@ -87,26 +87,32 @@ def _next_seg(index_dir: str) -> int:
 
 
 def _clean_orphan_segments(index_dir: str) -> list[int]:
-    """Remove postings_delta segments with no matching
-    dictionary_delta segment — the residue of a crash between the
-    postings and dictionary publish renames (postings publish FIRST;
-    see apply_updates). Orphans are unreachable (their terms have no
-    dictionary entries) but their rows would duplicate the retried
-    batch's postings under the re-assigned (identical) ordinals.
-    Single-writer under the update lock (U4), so nothing races this.
-    Returns the removed seg ids."""
+    """Remove unpaired delta segments in BOTH directions — the
+    residue of a crash between the two publish renames. A postings
+    segment without its dictionary twin (crash under the current
+    postings-first order) is unreachable but would duplicate the
+    retried batch's postings under the re-assigned (identical)
+    ordinals; a dictionary segment without its postings twin (crash
+    under the pre-2.6 dictionary-first order, or merge_segments dying
+    between its delta rmtrees) would wedge the retry's rename and
+    advertise terms with no postings. Single-writer under the update
+    lock (U4), so nothing races this. Returns the removed seg ids."""
     p_root = os.path.join(index_dir, "postings_delta")
     d_root = os.path.join(index_dir, "dictionary_delta")
-    if not os.path.isdir(p_root):
-        return []
-    have_dict = {
-        d for d in os.listdir(d_root) if d.startswith("seg=")
-    } if os.path.isdir(d_root) else set()
+
+    def segs(root: str) -> set[str]:
+        if not os.path.isdir(root):
+            return set()
+        return {d for d in os.listdir(root) if d.startswith("seg=")}
+
+    p_segs, d_segs = segs(p_root), segs(d_root)
     removed = []
-    for d in os.listdir(p_root):
-        if d.startswith("seg=") and d not in have_dict:
-            shutil.rmtree(os.path.join(p_root, d), ignore_errors=True)
-            removed.append(int(d.split("=", 1)[1]))
+    for d in sorted(p_segs - d_segs):
+        shutil.rmtree(os.path.join(p_root, d), ignore_errors=True)
+        removed.append(int(d.split("=", 1)[1]))
+    for d in sorted(d_segs - p_segs):
+        shutil.rmtree(os.path.join(d_root, d), ignore_errors=True)
+        removed.append(int(d.split("=", 1)[1]))
     return removed
 
 
@@ -344,15 +350,35 @@ def apply_updates(
         # build kernel re-runs distributed at the existing (m, k) and
         # only ~32 packed bitmaps reach the driver — the delta
         # vocabulary itself never does.
-        from photon_spark.index.bloom import add_terms, fold_distributed
+        from photon_spark.index.bloom import BLOOM_FILE, add_terms, fold_distributed
 
         delta_vocab = spark.read.parquet(dict_stage).select("field", "term")
         if delta_vocab.count() >= BLOOM_FOLD_DISTRIBUTED_MIN:
-            fold_distributed(delta_vocab, index_dir)
+            folded = fold_distributed(delta_vocab, index_dir)
         else:
-            add_terms(
+            folded = add_terms(
                 index_dir,
                 [(r["field"], r["term"]) for r in delta_vocab.collect()],
+            )
+        bloom_path = os.path.join(index_dir, BLOOM_FILE)
+        if folded is None and os.path.exists(bloom_path):
+            # the fold could not run (canary/scheme mismatch in THIS
+            # environment) but an artifact exists that OTHER replicas
+            # may load successfully — after this batch it would no
+            # longer be a superset of live terms (false "definitely
+            # absent" for the delta vocabulary). Disabling for
+            # everyone is the only correct move; it is rebuilt at the
+            # next compaction.
+            import warnings
+
+            os.remove(bloom_path)
+            warnings.warn(
+                "term bloom removed: delta vocabulary could not be "
+                "folded in this environment, and a stale artifact "
+                "would violate the superset invariant for replicas "
+                "that can still load it",
+                RuntimeWarning,
+                stacklevel=2,
             )
         # publish: rename the staged segment dirs into the discovered
         # layout (same filesystem — atomic per directory; Iceberg

@@ -367,7 +367,7 @@ def test_merge_segments_rank_identical_and_exact_df(
     assert dead_id not in got and None not in got
 
 
-def test_orphan_postings_segment_cleanup(spark, tmp_path_factory, corpus_small=None):
+def test_orphan_postings_segment_cleanup(spark, tmp_path_factory):
     """A crash between the postings and dictionary publish renames
     leaves a postings-only segment; the next apply_updates removes it
     and proceeds (no wedge, no duplicate postings)."""
@@ -409,3 +409,54 @@ def test_orphan_postings_segment_cleanup(spark, tmp_path_factory, corpus_small=N
     )
     assert res["n_added"] == 1
     assert not os.path.isdir(os.path.join(out, "postings_delta", "seg=2"))
+
+
+def test_dictionary_orphan_and_stale_bloom_disable(spark, tmp_path_factory):
+    """(a) dictionary-only orphan segments are cleaned too (pre-2.6
+    crash residue / merge crash); (b) when the delta vocabulary
+    cannot fold into the bloom (hash-env drift, simulated by zeroed
+    bits), apply_updates removes the artifact rather than leaving a
+    stale superset-violating bloom for other replicas."""
+    import os
+    import shutil as sh
+    import warnings
+
+    import numpy as np
+
+    from photon_spark.corpus import generate_code_files
+    from photon_spark.index.bloom import BLOOM_FILE, TermBloom
+    from photon_spark.index.build import build_index
+    from photon_spark.index.updater import _clean_orphan_segments, apply_updates
+
+    out = str(tmp_path_factory.mktemp("stale")) + "/idx"
+    build_index(spark, spark.createDataFrame(generate_code_files(n_files=25, seed=9)), out)
+    batch = spark.createDataFrame(
+        [("upsert", "orgY/s", "src/stale.py", "c" * 40, "en", "stale body", 1)],
+        UPDATES_DDL,
+    )
+    apply_updates(spark, out, batch, auto_merge=False)
+    # (a) dictionary-only orphan
+    sh.copytree(
+        os.path.join(out, "dictionary_delta", "seg=0"),
+        os.path.join(out, "dictionary_delta", "seg=7"),
+    )
+    assert _clean_orphan_segments(out) == [7]
+
+    # (b) zero the bloom bits: canaries fail → load None → removal
+    bloom = TermBloom.load(out)
+    assert bloom is not None
+    bloom.bits = np.zeros_like(bloom.bits)
+    bloom.save(out)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        res = apply_updates(
+            spark, out,
+            spark.createDataFrame(
+                [("upsert", "orgY/s", "src/stale2.py", "d" * 40, "en", "fresh body", 2)],
+                UPDATES_DDL,
+            ),
+            auto_merge=False,
+        )
+    assert res["n_added"] == 1
+    assert not os.path.exists(os.path.join(out, BLOOM_FILE))
+    assert any("bloom" in str(x.message) for x in w)
