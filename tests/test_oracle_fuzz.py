@@ -138,7 +138,7 @@ def _run_pair(spark, tmpdir: str, texts, langs):
 
 
 @settings(
-    max_examples=6,
+    max_examples=int(os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "6")),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )

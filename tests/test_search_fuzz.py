@@ -15,6 +15,8 @@ reference's ESBaseTester bar, but adversarially sampled.
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 import pytest
 from hypothesis import HealthCheck, given, settings
@@ -99,7 +101,7 @@ def _query(draw):
 
 
 @settings(
-    max_examples=12,
+    max_examples=int(os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "12")),
     deadline=None,
     suppress_health_check=[
         HealthCheck.too_slow,
