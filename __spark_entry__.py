@@ -708,6 +708,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["top_ngrams"] = lambda s, d: ts.top_ngrams(_docs(s, d), n=2, k=100)
     # C4-style corpus-wide exact line dedup (keep-first, reassembled)
     q["line_dedup"] = lambda s, d: dd.line_dedup(_docs(s, d))
+    # ExactSubstr (Lee et al. '21): duplicated-window report + removal
+    q["duplicate_spans"] = lambda s, d: dd.duplicate_spans(_docs(s, d), k=8)
+    q["substring_dedup"] = lambda s, d: dd.substring_dedup(_docs(s, d), k=8)
 
     def _decontaminate(s, d):
         # deterministic eval slice: every 97th doc is the "benchmark";
@@ -1221,6 +1224,83 @@ SELECT doc_id,
        CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_kept,
        CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_lines_dropped
 FROM flagged GROUP BY doc_id"""
+
+    # ExactSubstr twins (dedup._duplicate_windows): raw-case tokens,
+    # lowercased gram key, keep-one = global min (doc_id, start).
+    # The window-function shape is the oracle twin of the engine's
+    # skew-safe groupBy(gram).agg(count, min(struct)) + join.
+    _sql_raw_toks = (
+        "list_filter(regexp_split_to_array(text,"
+        " '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '')"
+    )
+    _k_sub = 8
+    _sql_marked = f"""
+toks AS (
+  SELECT doc_id, {_sql_raw_toks} AS t FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest([{{'st': i - 1,
+                   'gram': lower(array_to_string(t[i:i+{_k_sub}-1], ' '))}}
+                 for i in range(1, len(t) - {_k_sub} + 2)],
+                recursive := true)
+  FROM toks WHERE len(t) >= {_k_sub}
+), ranked AS (
+  SELECT doc_id, st,
+         COUNT(*) OVER (PARTITION BY gram) AS cnt,
+         ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, st) AS rn
+  FROM grams
+), marked AS (
+  SELECT doc_id, st, st + {_k_sub} - 1 AS fin
+  FROM ranked WHERE cnt >= 2 AND rn > 1
+)"""
+
+    o["duplicate_spans"] = f"""
+WITH {_sql_marked}, brk AS (
+  SELECT doc_id, st, fin,
+         CASE WHEN st <= MAX(fin) OVER (
+                PARTITION BY doc_id ORDER BY st
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+              THEN 0 ELSE 1 END AS b
+  FROM marked
+), isl AS (
+  SELECT doc_id, st, fin,
+         SUM(b) OVER (PARTITION BY doc_id ORDER BY st
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM brk
+)
+SELECT doc_id,
+       CAST(MIN(st) AS BIGINT) AS span_start,
+       CAST(MAX(fin) AS BIGINT) AS span_end,
+       CAST(MAX(fin) - MIN(st) + 1 AS BIGINT) AS span_tokens
+FROM isl GROUP BY doc_id, island"""
+
+    o["substring_dedup"] = f"""
+WITH {_sql_marked}, tokrows AS (
+  SELECT doc_id,
+         unnest([{{'pos': i - 1, 'tok': t[i]}} for i in range(1, len(t) + 1)],
+                recursive := true)
+  FROM toks
+), flagged AS (
+  SELECT tr.doc_id, tr.pos, tr.tok,
+         NOT EXISTS (SELECT 1 FROM marked m
+                     WHERE m.doc_id = tr.doc_id
+                       AND m.st <= tr.pos AND tr.pos <= m.fin) AS kept
+  FROM tokrows tr
+), agg AS (
+  SELECT doc_id,
+         COALESCE(string_agg(CASE WHEN kept THEN tok END, ' ' ORDER BY pos),
+                  '') AS deduped_text,
+         CAST(COUNT(CASE WHEN kept THEN 1 END) AS BIGINT) AS n_tokens_kept,
+         CAST(COUNT(CASE WHEN NOT kept THEN 1 END) AS BIGINT)
+           AS n_tokens_dropped
+  FROM flagged GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.deduped_text, '') AS deduped_text,
+       CAST(COALESCE(a.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept,
+       CAST(COALESCE(a.n_tokens_dropped, 0) AS BIGINT) AS n_tokens_dropped
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"""
 
     o["decontaminate"] = f"""
 WITH base AS (

@@ -528,3 +528,175 @@ def dedup_survivors(
         )
         .withColumn("keep", F.col(id_col) == F.col("component"))
     )
+
+
+def _raw_tokens_col(text_col: str) -> Column:
+    """Whitespace tokens with ORIGINAL case (empties dropped) — the
+    reassembly alphabet for substring dedup; detection lowercases the
+    gram key separately so output text is case-preserving."""
+    return F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit("")
+    )
+
+
+def _duplicate_windows(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared core of ExactSubstr dedup (Lee et al. '21,
+    "Deduplicating Training Data Makes Language Models Better"): mark
+    every k-token window whose (lowercased) content occurs >= 2 times
+    in the WHOLE corpus, except the single keeper occurrence (global
+    smallest ``(doc_id, start)``). Returns ``(marked, toks)`` where
+    ``marked`` is (id, start, end) token ranges (end inclusive) and
+    ``toks`` is (id, _toks) with original-case tokens.
+
+    Scale (100 TB): windows explode to ~n_tokens rows, but the only
+    shuffle is the map-combinable ``groupBy(gram).agg(count,
+    min(struct))`` — a boilerplate gram duplicated 10^8 times
+    partial-aggregates to one (count, min) candidate per task, so the
+    hottest keys (license headers, generated code) cost O(tasks) not
+    O(copies) on the reducer; the join back is co-keyed on the gram.
+    At full scale the shuffle VALUE can be slimmed to
+    ``xxhash64(gram)`` twice (two seeds ⇒ 128-bit key, collision
+    p < 1e-20 at 10^12 windows); kept as the exact gram here so the
+    DuckDB oracle is byte-exact. The reference corpus analog: Lucene
+    has no substring dedupe — this is pipeline-side
+    (SURVEY §2 LLM-datapipe family).
+    """
+    toks = df.select(
+        F.col(id_col), _raw_tokens_col(text_col).alias("_toks")
+    )
+    n = F.size("_toks")
+    # guard: sequence(0, n-k) counts DOWN when n < k (same Spark
+    # footgun as shingles()) — short docs must emit zero windows
+    grams = toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(
+                n >= F.lit(k),
+                F.transform(
+                    F.sequence(F.lit(0), n - F.lit(k)),
+                    lambda i: F.lower(
+                        F.array_join(
+                            F.slice(F.col("_toks"), i + F.lit(1), F.lit(k)),
+                            " ",
+                        )
+                    ),
+                ),
+            ).otherwise(F.lit(None).cast("array<string>"))
+        ).alias("start", "gram"),
+    )
+    keepers = (
+        grams.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.min(F.struct(F.col(id_col), F.col("start"))).alias("_keep"),
+        )
+        .filter(F.col("_cnt") >= 2)
+        .drop("_cnt")
+    )
+    marked = (
+        grams.join(keepers, "gram")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col(f"_keep.{id_col}"))
+                & (F.col("start") == F.col("_keep.start"))
+            )
+        )
+        .select(
+            F.col(id_col),
+            F.col("start").cast("long").alias("start"),
+            (F.col("start") + F.lit(k - 1)).cast("long").alias("end"),
+        )
+    )
+    return marked, toks
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Maximal duplicated spans per doc: non-keeper duplicate k-token
+    windows merged when they overlap or abut (island detection).
+    Output: (doc_id, span_start, span_end, span_tokens), token
+    positions 0-based, end inclusive. Docs with no duplicated window
+    emit no rows. The report twin of ``substring_dedup`` — what an
+    auditor reads before turning removal on.
+
+    Scale: the island merge is a per-doc window (bounded by doc
+    length, not corpus size), after the skew-safe gram agg of
+    ``_duplicate_windows``.
+    """
+    from pyspark.sql import Window
+
+    marked, _ = _duplicate_windows(df, id_col, text_col, k)
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy(id_col)
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = marked.withColumn(
+        "_brk",
+        F.when(F.col("start") <= F.max("end").over(w_prev) + 1, 0).otherwise(1),
+    ).withColumn("_island", F.sum("_brk").over(w_cum))
+    return (
+        isl.groupBy(id_col, "_island")
+        .agg(
+            F.min("start").alias("span_start"),
+            F.max("end").alias("span_end"),
+        )
+        .select(
+            F.col(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )
+
+
+def substring_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """ExactSubstr removal (Lee et al. '21): drop every token covered
+    by a non-keeper duplicated k-token window and reassemble the doc
+    (single-space joined — token-level dedup normalizes intra-doc
+    whitespace, the documented deviation from byte-level suffix-array
+    removal). Keep-one policy: the globally-first occurrence of each
+    duplicated window survives; a keeper window CAN still lose tokens
+    to an overlapping marked window (periodic text), same as the
+    suffix-array formulation. Every input doc comes back (empty text
+    if fully duplicated). Output: (doc_id, deduped_text,
+    n_tokens_kept, n_tokens_dropped).
+
+    Scale: removal is a per-doc higher-order filter over the token
+    array against the doc's own sorted marked-starts array (JVM-side,
+    no Python); marked windows per doc are bounded by doc length.
+    """
+    marked, toks = _duplicate_windows(df, id_col, text_col, k)
+    dups = marked.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("start")).alias("_dups")
+    )
+    joined = toks.join(dups, id_col, "left")
+    dup_arr = F.coalesce(F.col("_dups"), F.array().cast("array<long>"))
+    kept = F.filter(
+        F.col("_toks"),
+        lambda x, i: ~F.exists(
+            dup_arr, lambda s: (s <= i.cast("long")) & (i.cast("long") < s + F.lit(k))
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("deduped_text"),
+        F.size(kept).cast("long").alias("n_tokens_kept"),
+        (F.size("_toks") - F.size(kept)).cast("long").alias("n_tokens_dropped"),
+    )

@@ -199,6 +199,41 @@ def test_line_dedup(spark):
     assert out[4]["n_lines_kept"] == 1  # blank line bypasses dedup
 
 
+def test_substring_dedup(spark):
+    """ExactSubstr keep-one semantics: the globally-first occurrence
+    of a duplicated k-window survives; later copies lose the covered
+    tokens; periodic text collapses; short docs never participate."""
+    from photon_spark.datapipe.dedup import duplicate_spans, substring_dedup
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta unique0 tail0"),
+        (1, "prefix1 alpha BETA gamma delta epsilon zeta other1"),  # case-insensitive dup
+        (2, "a a a a a a a a"),  # periodic: every window identical
+        (3, "short doc"),  # < k tokens: no windows
+        (4, "alpha beta gamma delta epsilon zeta unique0 tail0"),  # exact copy of 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = {
+        (r["doc_id"], r["span_start"]): r
+        for r in duplicate_spans(df, k=6).collect()
+    }
+    # doc 1: tokens 1..6 are doc0's window (lowercased match)
+    assert spans[(1, 1)]["span_end"] == 6
+    # doc 4: whole doc duplicated -> one merged span over all 8 tokens
+    assert spans[(4, 0)]["span_tokens"] == 8
+    # doc 2: keeper window [0..5] kept, marked starts 1,2 -> span [1..7]
+    assert spans[(2, 1)]["span_end"] == 7
+    assert (0, 0) not in {k for k in spans}  # keeper doc emits no span
+
+    out = {r["doc_id"]: r for r in substring_dedup(df, k=6).collect()}
+    assert out[0]["n_tokens_dropped"] == 0  # keeper intact
+    assert out[1]["deduped_text"] == "prefix1 other1"
+    assert out[2]["deduped_text"] == "a"  # periodic collapses to head
+    assert out[3]["n_tokens_dropped"] == 0  # below k: untouched
+    assert out[4]["deduped_text"] == ""  # full copy erased, row kept
+    assert out[4]["n_tokens_dropped"] == 8
+
+
 def test_lm_score(spark):
     """Docs of corpus-common tokens outscore docs of corpus-rare
     tokens; score = mean ln p(token) under the corpus unigram LM."""

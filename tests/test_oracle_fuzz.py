@@ -46,6 +46,8 @@ FUZZ_ENTRIES = [
     "curate",
     "minhash_signatures",
     "ngram_jaccard_pairs",
+    "duplicate_spans",
+    "substring_dedup",
     "minhash_lsh_pairs",
     "dataset_stats",
     "lm_score",
