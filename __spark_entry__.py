@@ -761,6 +761,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["curate"] = _curate
     q["hash_split"] = lambda s, d: _sampling(s, d, "split")
     q["sample_by_rate"] = lambda s, d: _sampling(s, d, "mix")
+
+    def _mixture(s, d):
+        # target-proportion mixing (5:3:2 over three sources; the
+        # solver turns corpus counts into max-yield thresholds)
+        from photon_spark.datapipe import sampling as sa
+
+        return sa.mixture_sample(
+            _docs(s, d), {"src0": 5, "src1": 3, "src2": 2}
+        ).select("doc_id", "source")
+
+    q["mixture_sample"] = _mixture
     q["pack_sequences"] = lambda s, d: _sampling(s, d, "pack")
 
     def _dataset_stats(s, d):
@@ -1410,6 +1421,30 @@ FROM documents"""
 SELECT doc_id, lang FROM documents
 WHERE {mix_h} % 10000 <
       CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 2000 ELSE 10000 END"""
+
+    # mixture solver twin (sampling.mixture_rates): binding stratum by
+    # IEEE-double count/weight ratio (tie-break: stratum asc), integer
+    # floor-division thresholds, same salted-hash draw
+    mixture_h = _sql_h60("'mixture:' || CAST(doc_id AS VARCHAR)")
+    o["mixture_sample"] = f"""
+WITH w(stratum, wt) AS (VALUES ('src0', 5), ('src1', 3), ('src2', 2)),
+counts AS (
+  SELECT source AS stratum, COUNT(*) AS n FROM documents
+  WHERE source IN (SELECT stratum FROM w) GROUP BY source
+), live AS (
+  SELECT c.stratum, c.n, w.wt
+  FROM counts c JOIN w USING (stratum) WHERE w.wt > 0 AND c.n > 0
+), bind AS (
+  SELECT n AS n_m, wt AS w_m FROM live
+  ORDER BY CAST(n AS DOUBLE) / wt, stratum LIMIT 1
+), th AS (
+  SELECT l.stratum,
+         LEAST(10000, 10000 * b.n_m * l.wt // (b.w_m * l.n)) AS t
+  FROM live l CROSS JOIN bind b
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN th ON d.source = th.stratum
+WHERE {mixture_h} % 10000 < th.t"""
 
     pack_h = _sql_h60("CAST(doc_id AS VARCHAR)")
     o["pack_sequences"] = f"""

@@ -191,11 +191,17 @@ def main() -> None:
             lambda: dataset_stats(docs, val_frac=0.05).collect(),
         )
 
-        from photon_spark.datapipe.dedup import line_dedup
+        from photon_spark.datapipe.dedup import line_dedup, substring_dedup
         from photon_spark.datapipe.textstats import lm_score
 
         timed("datapipe_lm_score", lambda: lm_score(docs).count())
         timed("datapipe_line_dedup", lambda: line_dedup(docs).count())
+        # ExactSubstr: the token-window explode + gram agg is the
+        # heaviest datapipe shuffle per input byte — worth a headline
+        timed(
+            "datapipe_substring_dedup",
+            lambda: substring_dedup(docs, k=8).count(),
+        )
 
         # serving-critical updater path: one CDC batch (upsert-modify +
         # delete, batch-proportional) through apply_updates + the

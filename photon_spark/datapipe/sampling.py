@@ -222,3 +222,70 @@ def chunk_documents(
         F.size(chunk).cast("long").alias("n_tokens"),
         F.concat_ws(" ", chunk).alias("chunk_text"),
     )
+
+
+def mixture_rates(
+    counts: dict[str, int], weights: dict[str, int]
+) -> dict[str, int]:
+    """Exact max-yield mixture solver: given per-stratum corpus counts
+    and integer target weights (parts, e.g. {'web': 5, 'code': 3}),
+    return per-stratum acceptance THRESHOLDS in [0, _RATE_DENOM] such
+    that expected output proportions are ∝ weights and the binding
+    stratum (smallest count-per-part) is kept whole (threshold =
+    _RATE_DENOM). All arithmetic is integer (floor division) except
+    the binding-stratum argmin, which compares IEEE-double ratios —
+    both reproduced verbatim by the DuckDB oracle. Strata with zero
+    weight or zero count are excluded (threshold absent ⇒ rate 0).
+
+    Weights must be small integers: the intermediate product
+    _RATE_DENOM * n_binding * w_s must stay below 2^63 (fine for any
+    real mixture table; 10^4 * 10^12 docs * 10^3 parts overflows —
+    scale weights down first).
+    """
+    live = {s: w for s, w in weights.items() if w > 0 and counts.get(s, 0) > 0}
+    if not live:
+        return {}
+    bind = min(live, key=lambda s: (counts[s] / live[s], s))
+    n_m, w_m = counts[bind], live[bind]
+    return {
+        s: min(_RATE_DENOM, _RATE_DENOM * n_m * live[s] // (w_m * counts[s]))
+        for s in live
+    }
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, int],
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mixture",
+) -> DataFrame:
+    """Deterministic source mixing to TARGET PROPORTIONS (The Pile /
+    GPT-3 style training-mix step): unlike ``sample_by_rate`` (caller
+    supplies rates), this solves for the per-source rates that hit
+    output proportions ∝ ``weights`` with maximum yield, then applies
+    the same salted-hash draw. Strata absent from ``weights`` are
+    dropped (a mixture table is a whitelist).
+
+    Scale (100 TB): one tiny ``groupBy(stratum).count()`` collected to
+    the driver (#strata rows — mixture tables are O(10²)), then a
+    narrow filter with a literal threshold CASE; no other shuffle and
+    nothing per-row leaves the JVM. Rerun-stable: membership depends
+    only on (salt, id, corpus counts), never on partitioning.
+    """
+    counts = {
+        r[0]: r[1]
+        for r in df.filter(F.col(stratum_col).isin(list(weights)))
+        .groupBy(stratum_col)
+        .count()
+        .collect()
+    }
+    thresh = mixture_rates(counts, weights)
+    if not thresh:
+        return df.filter(F.lit(False))
+    t_col = F.lit(0)
+    for s in sorted(thresh):
+        t_col = F.when(F.col(stratum_col) == s, F.lit(thresh[s])).otherwise(
+            t_col
+        )
+    return df.filter(_rate_bucket(id_col, salt) < t_col)

@@ -705,3 +705,29 @@ def test_connected_components_transitive(spark):
     surv = {r["doc_id"]: r for r in dd.dedup_survivors(docs, pairs).collect()}
     assert [d for d, r in sorted(surv.items()) if r["keep"]] == [1, 5, 10]
     assert surv[5]["component"] == 5  # no near-dup → own cluster
+
+
+def test_mixture_sample(spark):
+    """Mixture solver: binding stratum kept whole, others downsampled
+    to proportion; whitelist semantics; empty solve returns nothing."""
+    from photon_spark.datapipe.sampling import mixture_rates, mixture_sample
+
+    # asymmetric counts, equal parts: the small stratum binds
+    assert mixture_rates({"web": 100, "code": 10}, {"web": 1, "code": 1}) == {
+        "web": 1000,
+        "code": 10000,
+    }
+    rows = [(i, f"src{i % 4}") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mixture_sample(df, {"src0": 4, "src1": 1}).groupBy("source").count()
+    got = {r["source"]: r["count"] for r in out.collect()}
+    assert set(got) == {"src0", "src1"}  # src2/src3 whitelisted out
+    assert got["src0"] == 100  # binding stratum: kept whole
+    # src1 targeted at 1/4 of src0's share: 25 expected, hash-exactly
+    # deterministic (not a statistical bound)
+    assert got["src1"] == mixture_sample(
+        df, {"src0": 4, "src1": 1}
+    ).filter("source = 'src1'").count()
+    assert 10 <= got["src1"] <= 40
+    # no live stratum -> empty, not an error
+    assert mixture_sample(df, {"absent": 1}).count() == 0

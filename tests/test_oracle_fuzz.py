@@ -48,6 +48,7 @@ FUZZ_ENTRIES = [
     "ngram_jaccard_pairs",
     "duplicate_spans",
     "substring_dedup",
+    "mixture_sample",
     "minhash_lsh_pairs",
     "dataset_stats",
     "lm_score",
