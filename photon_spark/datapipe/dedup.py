@@ -540,7 +540,11 @@ def _raw_tokens_col(text_col: str) -> Column:
 
 
 def _duplicate_windows(
-    df: DataFrame, id_col: str, text_col: str, k: int
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    hash_grams: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared core of ExactSubstr dedup (Lee et al. '21,
     "Deduplicating Training Data Makes Language Models Better"): mark
@@ -551,39 +555,52 @@ def _duplicate_windows(
     ``toks`` is (id, _toks) with original-case tokens.
 
     Scale (100 TB): windows explode to ~n_tokens rows, but the only
-    shuffle is the map-combinable ``groupBy(gram).agg(count,
+    shuffle is the map-combinable ``groupBy(key).agg(count,
     min(struct))`` — a boilerplate gram duplicated 10^8 times
     partial-aggregates to one (count, min) candidate per task, so the
     hottest keys (license headers, generated code) cost O(tasks) not
-    O(copies) on the reducer; the join back is co-keyed on the gram.
-    At full scale the shuffle VALUE can be slimmed to
-    ``xxhash64(gram)`` twice (two seeds ⇒ 128-bit key, collision
-    p < 1e-20 at 10^12 windows); kept as the exact gram here so the
-    DuckDB oracle is byte-exact. The reference corpus analog: Lucene
-    has no substring dedupe — this is pipeline-side
-    (SURVEY §2 LLM-datapipe family).
+    O(copies) on the reducer; the join back is co-keyed on the key.
+    ``hash_grams=True`` is the full-scale path: the shuffle key is
+    ``xxhash64`` of the gram under two salts (128-bit effective,
+    collision p < 1e-20 at 10^12 windows) so ~16 bytes cross the wire
+    instead of k tokens; the gram string never leaves the map side.
+    Default False = byte-exact gram key, which the DuckDB oracle
+    reproduces; the fixture identity test pins hashed ≡ exact. The
+    reference corpus analog: Lucene has no substring dedupe — this is
+    pipeline-side (SURVEY §2 LLM-datapipe family).
     """
     toks = df.select(
         F.col(id_col), _raw_tokens_col(text_col).alias("_toks")
     )
     n = F.size("_toks")
     # guard: sequence(0, n-k) counts DOWN when n < k (same Spark
-    # footgun as shingles()) — short docs must emit zero windows
+    # footgun as shingles()) — short docs must yield zero windows
+    gram_str = lambda i: F.lower(  # noqa: E731
+        F.array_join(F.slice(F.col("_toks"), i + F.lit(1), F.lit(k)), " ")
+    )
+    if hash_grams:
+        # 2x salted xxhash64 struct — computed map-side per window;
+        # Spark's xxhash64 seed is fixed, so a literal salt column is
+        # the seed. The string itself is dropped before the exchange.
+        window_key = lambda i: F.struct(  # noqa: E731
+            F.xxhash64(F.lit("xs1"), gram_str(i)).alias("h1"),
+            F.xxhash64(F.lit("xs2"), gram_str(i)).alias("h2"),
+        )
+    else:
+        window_key = gram_str
     grams = toks.select(
         F.col(id_col),
         F.posexplode(
             F.when(
                 n >= F.lit(k),
-                F.transform(
-                    F.sequence(F.lit(0), n - F.lit(k)),
-                    lambda i: F.lower(
-                        F.array_join(
-                            F.slice(F.col("_toks"), i + F.lit(1), F.lit(k)),
-                            " ",
-                        )
-                    ),
-                ),
-            ).otherwise(F.lit(None).cast("array<string>"))
+                F.transform(F.sequence(F.lit(0), n - F.lit(k)), window_key),
+            ).otherwise(
+                F.lit(None).cast(
+                    "array<struct<h1:bigint,h2:bigint>>"
+                    if hash_grams
+                    else "array<string>"
+                )
+            )
         ).alias("start", "gram"),
     )
     keepers = (
@@ -617,6 +634,7 @@ def duplicate_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 8,
+    hash_grams: bool = False,
 ) -> DataFrame:
     """Maximal duplicated spans per doc: non-keeper duplicate k-token
     windows merged when they overlap or abut (island detection).
@@ -631,7 +649,7 @@ def duplicate_spans(
     """
     from pyspark.sql import Window
 
-    marked, _ = _duplicate_windows(df, id_col, text_col, k)
+    marked, _ = _duplicate_windows(df, id_col, text_col, k, hash_grams)
     w_prev = (
         Window.partitionBy(id_col)
         .orderBy("start")
@@ -666,6 +684,7 @@ def substring_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 8,
+    hash_grams: bool = False,
 ) -> DataFrame:
     """ExactSubstr removal (Lee et al. '21): drop every token covered
     by a non-keeper duplicated k-token window and reassemble the doc
@@ -682,7 +701,7 @@ def substring_dedup(
     array against the doc's own sorted marked-starts array (JVM-side,
     no Python); marked windows per doc are bounded by doc length.
     """
-    marked, toks = _duplicate_windows(df, id_col, text_col, k)
+    marked, toks = _duplicate_windows(df, id_col, text_col, k, hash_grams)
     dups = marked.groupBy(id_col).agg(
         F.array_sort(F.collect_list("start")).alias("_dups")
     )

@@ -234,6 +234,23 @@ def test_substring_dedup(spark):
     assert out[4]["n_tokens_dropped"] == 8
 
 
+def test_substring_dedup_hashed_identity(spark):
+    """The 100 TB shuffle-slim path (hash_grams=True: 2x salted
+    xxhash64 key, gram string never crosses the exchange) must produce
+    byte-identical results to the exact-gram key on real corpus data —
+    the same exactness-parameterized-identity pattern as the ANN
+    entries."""
+    from photon_spark.datapipe.dedup import duplicate_spans, substring_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for fn in (duplicate_spans, substring_dedup):
+        exact = sorted(tuple(r) for r in fn(docs, k=8).collect())
+        hashed = sorted(
+            tuple(r) for r in fn(docs, k=8, hash_grams=True).collect()
+        )
+        assert exact and hashed == exact, fn.__name__
+
+
 def test_lm_score(spark):
     """Docs of corpus-common tokens outscore docs of corpus-rare
     tokens; score = mean ln p(token) under the corpus unigram LM."""
