@@ -100,9 +100,21 @@ def main() -> None:
 
     out_dir = tempfile.mkdtemp(prefix="photon_bench_idx_")
     try:
-        t0 = time.time()
-        meta = build_index(spark, src, out_dir, partitions=cpus)
-        timings["index_build"] = round(time.time() - t0, 3)
+        # the build goes through the same repeats/median protocol as
+        # every query entry: round-4 profiling showed the FIRST build
+        # in a session swings ±50% (JIT/codegen + Python-worker
+        # startup dominate a cold JVM — 39.7 s vs 18.5 s for identical
+        # code in a clean process), and a single cold sample was the
+        # one unprotected headline left. Samples stay visible, so both
+        # the cold and steady-state numbers are in the record; each
+        # repeat overwrites the same out_dir (idempotent writers).
+        meta = {}
+
+        def _build() -> None:
+            nonlocal meta
+            meta = build_index(spark, src, out_dir, partitions=cpus)
+
+        timed("index_build", _build)
 
         idx = Index(spark, out_dir)
         searches = {
