@@ -17,6 +17,7 @@ metadata is closed-form in media_id.
 
 from __future__ import annotations
 
+import math
 import os
 import tempfile
 from collections.abc import Callable
@@ -205,6 +206,7 @@ _ENGINE_DOCS_CTE_UPD = _ENGINE_MAPPED_CTE_UPD + _ENGINE_DOCS_TAIL_CTE
 _ENGINE_FEAT_CTE = r"""
 , feat AS (
   SELECT doc_id, repo, path, lang, importance,
+         list_filter(regexp_split_to_array(repo || '/' || path, '/'), x -> x <> '') AS segs,
          list_distinct(list_filter(regexp_split_to_array(lower(content), '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS tl,
          regexp_split_to_array(lower(content), '[ \t\n\x0b\f\r]+')[1] AS t1,
          regexp_split_to_array(lower(content), '[ \t\n\x0b\f\r]+')[2] AS t2,
@@ -215,8 +217,23 @@ _ENGINE_FEAT_CTE = r"""
 """
 
 
+def _sql_tree_dist(point: list[str]) -> str:
+    """Tree distance from the ``segs`` column to a fixed point,
+    closed-form (photon_spark/query/reverse.py tree_distance twin):
+    ``len(segs) + len(point) - 2·lcp`` with the lcp unrolled into a
+    first-mismatch CASE (indexing past the list end yields NULL,
+    which IS DISTINCT FROM any literal — so short docs stop early)."""
+    whens = " ".join(
+        f"WHEN segs[{i + 1}] IS DISTINCT FROM '{s}' THEN {i}"
+        for i, s in enumerate(point)
+    )
+    lcp = f"(CASE {whens} ELSE {len(point)} END)"
+    return f"(len(segs) + {len(point)} - 2 * {lcp})::DOUBLE"
+
+
 def _sql_engine_search(
-    terms: list[str], q: str, out_col: str, docs_cte: str = _ENGINE_DOCS_CTE
+    terms: list[str], q: str, out_col: str, docs_cte: str = _ENGINE_DOCS_CTE,
+    bias=None,
 ) -> str:
     """DuckDB twin of the engine's STRICT full-query plan + rescore
     for an all-alphabetic multi-word query whose tokens are all
@@ -240,6 +257,30 @@ def _sql_engine_search(
     n_t = len(terms)
     whole = "".join(terms)
     qlen = float(len(q))
+    # location-bias twin (Q12 + R2, geobias.py formulas closed-form;
+    # ``bias`` is a photon_spark.query.geobias.BiasSpec): the decay
+    # boost joins the candidate-cut ordering, the importance factor
+    # drops to 30·scale, and the R2 adjustment + os strip mirror
+    # OpenSearchResult.adjustScoreByLocationBias
+    if bias is not None:
+        iw, w = bias.importance_weight, bias.bias_weight
+        r, dec = bias.radius, bias.decay_radius
+        dist_sql = _sql_tree_dist(list(bias.segs))
+        q12 = (
+            f" + {30.0 * w!r} * pow(0.5, greatest(0.0, dist - {r!r}) / {dec!r})"
+        )
+        bias_val = (
+            f"(CASE WHEN dist < {r!r} THEN {w!r}"
+            f" ELSE exp((dist - {r!r}) * {math.log(0.5)!r} / {dec!r}) * {w!r} END)"
+        )
+        bias_sc = (
+            f"(CASE WHEN dist < {r!r} THEN (1.0 - 0.1 * dist / {r!r}) * {w!r}"
+            f" ELSE 0.9 * {bias_val} END)"
+        )
+    else:
+        iw = 1.0
+        dist_sql, q12, bias_val, bias_sc = "0.0", "", "0.0", "0.0"
+    imp_lit = repr(30.0 * iw)
     term_vals = ", ".join(f"('{t}')" for t in terms)
     grade_cases = " ".join(
         f"WHEN starts_with(uname, '{t}') THEN 0.8 * (0.7 * {len(t)}) / {qlen}"
@@ -275,25 +316,27 @@ def _sql_engine_search(
   FROM m GROUP BY doc_id
 ), scored AS (
   SELECT f.doc_id, f.repo, f.path, f.uname, f.importance,
+         {dist_sql.replace("segs", "f.segs")} AS dist,
          0.1 * a.s_all + 0.2 * (1.5 * a.s_name) + a.s_all
          + CASE WHEN (SELECT df_np FROM npstat) > 0 AND starts_with(f.aname, '{whole}')
                 THEN 0.1 * {idf.format(df="(SELECT df_np FROM npstat)")}
                 ELSE 0.0 END
-         + f.importance * 30.0 AS os_score
+         + f.importance * {imp_lit}{q12} AS os_score
   FROM agg a JOIN feat f USING (doc_id)
   WHERE a.nm = {n_t} AND a.name_present
 ), cand AS (
   SELECT * FROM scored ORDER BY os_score DESC, doc_id ASC LIMIT 15
 ), resc AS (
   SELECT doc_id, repo, path, importance,
-         os_score - importance * 30.0 * 1.0 AS os_adj,
+         os_score - importance * {imp_lit} - {bias_val} * 30.0 AS os_adj,
+         {bias_sc} AS bias_sc,
          CASE {grade_cases} ELSE 0.5 * importance END AS grade
   FROM cand
 ), normed AS (
   SELECT *, GREATEST(10.0, MAX(os_adj) OVER ()) AS mx FROM resc
 ), final AS (
   SELECT doc_id, repo, path, os_adj,
-         (importance + grade)
+         (importance + grade + bias_sc)
          + CASE WHEN os_adj >= mx THEN 1.0
                 WHEN mx < 20 THEN os_adj / mx
                 WHEN os_adj > mx - 20 THEN (os_adj - mx + 20) / 20
@@ -425,9 +468,11 @@ def _engine(spark: SparkSession, sf_dir: str):
     return _ENGINE_CACHE[key]
 
 
-def _engine_search_df(spark: SparkSession, sf_dir: str, q: str, k: int = 10) -> DataFrame:
+def _engine_search_df(
+    spark: SparkSession, sf_dir: str, q: str, k: int = 10, bias=None
+) -> DataFrame:
     idx = _engine(spark, sf_dir)
-    hits = idx.search(q, k=k)
+    hits = idx.search(q, k=k, bias=bias)
     if not hits:
         return spark.createDataFrame(
             [], "rank int, doc_id string, repo string, path string, score double"
@@ -893,6 +938,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- engine-native full search (rows-only; pytest rank-identity) ----
     q["engine_search_full"] = lambda s, d: _engine_search_df(s, d, "table merge stream", k=10)
+
+    def _engine_biased(s, d):
+        # Q12 + R2 graft: bias point (src3, docs) at zoom 14 — radius
+        # 2.34 hops puts same-source docs (d=1) inside the linear zone
+        # and everything else (d=5) in the exp tail; scale 0.4 splits
+        # the 30-weight between importance (12) and bias (18)
+        from photon_spark.query.geobias import BiasSpec
+
+        return _engine_search_df(
+            s, d, "table merge stream", k=10,
+            bias=BiasSpec.make("src3", "docs", zoom=14),
+        )
+
+    q["engine_search_biased"] = _engine_biased
     # the updater path end-to-end: copy of the base index + a real CDC
     # batch (upsert-modify + delete) through apply_updates, then
     # merge_segments (exact df) — the search result is provably what a
@@ -1859,6 +1918,16 @@ FROM img"""
     o["engine_search_full"] = _sql_engine_search(
         ["table", "merge", "stream"], "table merge stream",
         "ROUND(score, 6) AS score",
+    )
+    # location-biased twin (Q12 + R2): same plan closed-form with the
+    # exp-decay boost in the candidate cut, importance 30·scale, and
+    # the R2 linear/exp adjustment + os strip (geobias.py formulas)
+    from photon_spark.query.geobias import BiasSpec as _BiasSpec
+
+    o["engine_search_biased"] = _sql_engine_search(
+        ["table", "merge", "stream"], "table merge stream",
+        "ROUND(score, 6) AS score",
+        bias=_BiasSpec.make("src3", "docs", zoom=14),
     )
     o["engine_suggest_search"] = _sql_engine_search(
         ["table", "merge"], "table merge",

@@ -20,6 +20,10 @@ DEFAULT_LIMIT = 15  # query/RequestBase.java:13
 _SEARCH_PARAMS = {
     "q", "limit", "lang", "repo", "include", "exclude", "k", "osm_tag",
     "layer", "suggest_addresses", "dedupe", "accept_language", "debug",
+    # location bias + bounding box (SearchRequestFactoryBase.java:15:
+    # lat/lon/location_bias_scale/zoom/bbox — the point is a tree
+    # coordinate here, split over bias_repo/bias_path)
+    "bias_repo", "bias_path", "zoom", "location_bias_scale", "bbox",
 }
 
 
@@ -120,6 +124,32 @@ def validate_search(params: dict, max_results: int = MAX_RESULTS) -> dict:
             raise BadRequest(
                 f"invalid layer(s) {bad}; allowed: {sorted(LAYERS)}"
             )
+    # location bias (lat/lon analog; SearchRequestFactoryBase.java:
+    # 25-32): bad numbers 400 like a bad Double/Integer queryParam
+    bias = None
+    if params.get("bias_repo") or params.get("bias_path"):
+        from photon_spark.query.geobias import BiasSpec
+
+        try:
+            zoom = params.get("zoom")
+            scale = params.get("location_bias_scale")
+            bias = BiasSpec.make(
+                str(params.get("bias_repo") or ""),
+                str(params.get("bias_path") or ""),
+                zoom=int(zoom) if zoom is not None else None,
+                scale=float(scale) if scale is not None else None,
+            )
+        except (TypeError, ValueError):
+            raise BadRequest("invalid zoom / location_bias_scale")
+    bbox = None
+    if params.get("bbox") is not None:
+        from photon_spark.query.geobias import bbox_segments
+
+        try:
+            bbox = bbox_segments(str(params.get("bbox")))
+        except ValueError as e:
+            # the reference 400s an unparseable Envelope
+            raise BadRequest(str(e))
     return {
         "q": q,
         "k": _limit(params, max_results),
@@ -132,6 +162,8 @@ def validate_search(params: dict, max_results: int = MAX_RESULTS) -> dict:
         # R6: street-dupes filter toggle (RequestFactoryBase.java:45,
         # default true)
         "dedupe": _bool_param(params, "dedupe", True),
+        "bias": bias,
+        "bbox": bbox,
     }
 
 
@@ -378,6 +410,7 @@ class SearchAPI:
                 v["q"], k=v["k"], filters=v["filters"],
                 include=v["include"], exclude=v["exclude"], osm_tag=v["osm_tag"],
                 layers=v["layers"], suggest=v["suggest"], dedupe=v["dedupe"],
+                bias=v["bias"], bbox=v["bbox"],
             )
             out = format_results(hits)
             out["lang"] = resolve_language(

@@ -352,6 +352,11 @@ class OracleIndex:
                 continue
             if plan.layers and meta["type"] not in plan.layers:
                 continue
+            if plan.bbox is not None:
+                from photon_spark.query.geobias import in_bbox_py
+
+                if not in_bbox_py(plan.bbox, meta["repo"], meta["path"]):
+                    continue
             os_score = s
             if plan.type_weight:
                 os_score = os_score + (
@@ -359,6 +364,12 @@ class OracleIndex:
                 )
             imp = meta["importance"] if meta["importance"] is not None else 1e-5
             os_score = os_score + imp * plan.importance_factor
+            if plan.bias is not None:
+                from photon_spark.query.geobias import bias_boost_py
+
+                os_score = os_score + bias_boost_py(
+                    plan.bias, meta["repo"], meta["path"]
+                )
             rows.append(
                 {
                     "doc": d,
@@ -390,11 +401,13 @@ class OracleIndex:
         layers: list[str] | None = None,
         suggest: bool = False,
         dedupe: bool = True,
+        bias=None,
+        bbox: tuple[str, ...] | None = None,
     ) -> list[dict]:
         return run_search(
             self, q, k=k, filters=filters, include=include,
             exclude=exclude, osm_tag=osm_tag, layers=layers, suggest=suggest,
-            dedupe=dedupe,
+            dedupe=dedupe, bias=bias, bbox=bbox,
         )
 
     def structured_search(self, sq, k: int = 15, dedupe: bool = True) -> list[dict]:

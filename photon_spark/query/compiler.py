@@ -207,13 +207,19 @@ def compile_query(
     osm_tag: list[str] | None = None,
     layers: list[str] | None = None,
     suggest: bool = False,
+    bias=None,
+    bbox: tuple[str, ...] | None = None,
 ) -> SearchPlan:
     """``suggest`` is the suggestAddresses mode
     (SearchQueryBuilder.java:23-34,142-147): always the full-query
     plan (no short dispatch), and the housenumber branch flips to
     must(exists housenumber) + mustNot(exists name) + should(match) —
     surfacing the unnamed chunk sub-docs addressed by their parent
-    file. ``layers`` is the Q18 object-type filter."""
+    file. ``layers`` is the Q18 object-type filter. ``bias`` is a
+    geobias.BiasSpec (Q12/R2: the importance factor drops to
+    30 × scale and the evaluator adds the exp-decay boost —
+    OpenSearchSearchHandler.buildQuery:77-87); ``bbox`` the Q14
+    subtree window."""
     ids = _NodeIds()
     synonyms = getattr(dictionary, "synonyms", None)
     stripped = (q or "").strip()
@@ -232,6 +238,12 @@ def compile_query(
         from photon_spark.query.tagfilter import parse_tag_filters
 
         plan.tag_filters = parse_tag_filters(osm_tag)
+    if bias is not None and bias.active:
+        # addImportance(30 × importanceWeight) + addLocationBias(...)
+        # (OpenSearchSearchHandler.java:77-87)
+        plan.bias = bias
+        plan.importance_factor = 30.0 * bias.importance_weight
+    plan.bbox = bbox
     return plan
 
 

@@ -769,7 +769,22 @@ class Index:
             F.coalesce(F.col("importance"), F.lit(1e-5))
             * F.lit(plan.importance_factor)
         )
+        if plan.bias is not None:
+            # Q12: exp-decay location boost, one codegen expression
+            # (SearchQueryBuilder.java:220-230 via geobias)
+            from photon_spark.query.geobias import bias_boost_col
+
+            os_score = os_score + bias_boost_col(plan.bias)
         joined = joined.withColumn("os_score", os_score)
+        if plan.bbox:
+            # Q14: subtree-region restriction — pushdown-able prefix
+            # superset first, exact membership second (geobias)
+            from photon_spark.query.geobias import bbox_prune_predicate, in_bbox_col
+
+            pp = bbox_prune_predicate(plan.bbox)
+            if pp is not None:
+                joined = joined.filter(pp)
+            joined = joined.filter(in_bbox_col(plan.bbox))
         if plan.tag_filters:
             from photon_spark.query.tagfilter import ext_col, tag_predicate_col
 
@@ -848,15 +863,19 @@ class Index:
         layers: list[str] | None = None,
         suggest: bool = False,
         dedupe: bool = True,
+        bias=None,
+        bbox: tuple[str, ...] | None = None,
     ) -> list[dict]:
         """Free-text search: strict pass, lenient retry, rescore
         pipeline, street-dupes filter (unless ``dedupe=False``),
         limit — the full reference flow. ``layers`` = Q18 object-type
-        filter; ``suggest`` = suggestAddresses mode."""
+        filter; ``suggest`` = suggestAddresses mode; ``bias`` = a
+        geobias.BiasSpec location bias (Q12 + R2); ``bbox`` = Q14
+        subtree window segments."""
         return run_search(
             self, q, k=k, filters=filters, include=include,
             exclude=exclude, osm_tag=osm_tag, layers=layers, suggest=suggest,
-            dedupe=dedupe,
+            dedupe=dedupe, bias=bias, bbox=bbox,
         )
 
     def structured_search(self, sq, k: int = 15, dedupe: bool = True) -> list[dict]:

@@ -1,0 +1,216 @@
+"""Location-bias + bounding-box graft (Q12, R2, Q14) over the tree
+coordinate metric.
+
+The reference biases search results toward a map point and restricts
+them to a bounding box (reference:
+opensearch/SearchQueryBuilder.java:220-243 addLocationBias /
+addBoundingBox; opensearch/OpenSearchResult.java:66-91
+adjustScoreByLocationBias; query/SearchRequestBase.java:13-47 the
+zoom→radius model). The corpus analog reuses reverse.py's coordinate:
+a doc lives at its ``(repo, path)`` node in the repository tree and
+the distance between two nodes is the TREE distance in hops — the
+same metric /reverse already serves, so Q12/R2/Q14 and Q15/Q16 share
+one geometry exactly as the reference's five geo operators share
+haversine.
+
+Mapping (formulas carried 1:1, km → hops):
+
+* ``zoom`` → bias radius ``2.2^(18-zoom) * 0.1``
+  (SearchRequestBase.java:17-19) and decay radius
+  ``max(8, radius * (zoom - 3))`` (:39-41); bias is active only when
+  a point is given and ``zoom > 4`` (:27-29 hasLocationBias).
+* ``location_bias_scale`` (default 0.4, clamped to [0, 1],
+  :53-56) becomes the importance weight; the bias weight is
+  ``1 - scale`` (OpenSearchSearchHandler.java:43-57).
+* Q12 query-side boost (SearchQueryBuilder.java:220-230): an ``exp``
+  decay function with decay 0.5, offset = radius, scale = decay
+  radius, weight ``30 × (1 - scale)`` — added to the index score so
+  near docs win the candidate cut, evaluated COLUMNAR inside the
+  one-shuffle evaluator (no extra job, no Python).
+* R2 rescore (OpenSearchResult.java:66-91): inside the radius
+  ``score += (1 - 0.1·d/r) · w``; outside
+  ``score += 0.9 · w · exp((d-r) · ln(0.5)/decayR)``; the bias is
+  stripped from the normalized index score (``os -= bias × 30``) —
+  driver-side over the ≤ ~75 candidates like the rest of the rescore
+  pipeline.
+* Q14 bounding box (SearchQueryBuilder.java:232-243): the box is a
+  REGION of coordinate space; the tree's regions are subtrees, so the
+  graft restricts hits to docs under a coordinate prefix. The filter
+  is applied candidate-level (the reference's outer filter) and the
+  scan is pre-pruned with the same pushdown-able repo/path prefix
+  predicate reverse.py proves for radius search
+  (reverse.prune_predicate with radius 0 ≡ subtree membership
+  superset).
+
+Scale: Q12 is one whole-stage-codegen expression over the already-
+joined candidate rows; Q14 prunes parquet row groups via the prefix
+predicate before the exact subtree check; R2 is driver-side on the
+candidate cut. Nothing adds a shuffle or a Python kernel.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from photon_spark.query.reverse import (
+    coord_segments,
+    tree_distance,
+    tree_distance_col,
+)
+
+IMPORTANCE_FACTOR = 30.0  # OpenSearchSearchHandler.java:19
+NEG_DECAY_FACTOR = math.log(0.5)  # OpenSearchSearchHandler.java:20
+
+DEFAULT_ZOOM = 12  # SearchRequestBase.java:12
+DEFAULT_SCALE = 0.4  # SearchRequestBase.java:11
+
+
+def zoom_to_radius(zoom: int) -> float:
+    """Bias radius in hops (SearchRequestBase.java:17-19)."""
+    return math.pow(2.2, 18 - zoom) * 0.1
+
+
+@dataclass(frozen=True)
+class BiasSpec:
+    """A resolved location bias: the point's coordinate segments plus
+    the zoom/scale request knobs (query/SearchRequestBase.java)."""
+
+    segs: tuple[str, ...]
+    zoom: int = DEFAULT_ZOOM
+    scale: float = DEFAULT_SCALE
+
+    @staticmethod
+    def make(
+        repo: str | None,
+        path: str | None,
+        zoom: int | None = None,
+        scale: float | None = None,
+    ) -> "BiasSpec":
+        """Null zoom/scale keep the defaults; scale clamps to [0, 1]
+        (SearchRequestBase.java:53-56,59-63)."""
+        z = DEFAULT_ZOOM if zoom is None else int(zoom)
+        s = DEFAULT_SCALE if scale is None else max(0.0, min(1.0, float(scale)))
+        return BiasSpec(tuple(coord_segments(repo or "", path or "")), z, s)
+
+    @property
+    def active(self) -> bool:
+        """hasLocationBias (SearchRequestBase.java:27-29): a bias
+        point only takes effect past zoom 4."""
+        return self.zoom > 4
+
+    @property
+    def radius(self) -> float:
+        return zoom_to_radius(self.zoom)
+
+    @property
+    def decay_radius(self) -> float:
+        """SearchRequestBase.java:39-41."""
+        return max(8.0, self.radius * (self.zoom - 3))
+
+    @property
+    def importance_weight(self) -> float:
+        """SearchRequestBase.java:43-45: importance drops to ``scale``
+        while a bias is active; the freed weight goes to the bias."""
+        return self.scale if self.active else 1.0
+
+    @property
+    def bias_weight(self) -> float:
+        return 1.0 - self.importance_weight
+
+
+def doc_segs_col() -> Column:
+    """The coordinate-segments column for a (repo, path) doc row —
+    the same expression reverse.py evaluates (coord_segments twin)."""
+    return F.filter(
+        F.concat(F.split(F.col("repo"), "/"), F.split(F.col("path"), "/")),
+        lambda s: s != F.lit(""),
+    )
+
+
+def bias_boost_col(spec: BiasSpec) -> Column:
+    """Q12's exp-decay function score, columnar
+    (SearchQueryBuilder.java:220-230): ``weight × 0.5^(max(0, d -
+    offset) / scale)`` with weight ``30·(1-scale)``, offset = radius,
+    scale = decay radius. One codegen expression over the candidate
+    rows."""
+    d = tree_distance_col(doc_segs_col(), list(spec.segs)).cast("double")
+    return F.lit(IMPORTANCE_FACTOR * spec.bias_weight) * F.pow(
+        F.lit(0.5),
+        F.greatest(F.lit(0.0), d - F.lit(spec.radius)) / F.lit(spec.decay_radius),
+    )
+
+
+def bias_boost_py(spec: BiasSpec, repo: str, path: str) -> float:
+    """Python twin of :func:`bias_boost_col` (the independent rank
+    oracle uses it)."""
+    d = float(tree_distance(list(spec.segs), coord_segments(repo, path)))
+    return (
+        IMPORTANCE_FACTOR
+        * spec.bias_weight
+        * math.pow(0.5, max(0.0, d - spec.radius) / spec.decay_radius)
+    )
+
+
+def adjust_by_location_bias(cands: list[dict], spec: BiasSpec) -> None:
+    """R2 (OpenSearchResult.java:66-91 adjustScoreByLocationBias,
+    wired OpenSearchSearchHandler.java:45-57): mutate each candidate's
+    ``score`` by the distance-decayed bias and strip ``bias × 30``
+    from the normalization input ``os_adj``. Runs between R1 and R3
+    (the reference's peek order: importance → bias → reranker)."""
+    if not spec.active:
+        return
+    w = spec.bias_weight
+    r = spec.radius
+    neg_decay = NEG_DECAY_FACTOR / spec.decay_radius
+    point = list(spec.segs)
+    for c in cands:
+        d = float(tree_distance(point, coord_segments(c.get("repo"), c.get("path"))))
+        if d < r:
+            bias = w
+            c["score"] += (1.0 - 0.1 * d / r) * w
+        else:
+            bias = math.exp((d - r) * neg_decay) * w
+            c["score"] += 0.9 * bias
+        c["os_adj"] -= bias * IMPORTANCE_FACTOR
+
+
+def bbox_segments(bbox: str | None) -> tuple[str, ...] | None:
+    """Parse the request's box — a coordinate prefix like
+    ``repoA/docs`` — into segments. Empty/None → no box. Raises
+    ValueError on a value that normalizes to nothing (the analog of
+    the reference 400-ing an unparseable Envelope)."""
+    if bbox is None:
+        return None
+    segs = [s for s in bbox.split("/") if s]
+    if not segs:
+        raise ValueError("bbox must name at least one coordinate segment")
+    return tuple(segs)
+
+
+def in_bbox_py(window: tuple[str, ...], repo: str, path: str) -> bool:
+    segs = coord_segments(repo, path)
+    return len(segs) >= len(window) and tuple(segs[: len(window)]) == tuple(window)
+
+
+def in_bbox_col(window: tuple[str, ...]) -> Column:
+    """Exact subtree membership, columnar: the doc's first
+    ``len(window)`` coordinate segments equal the window."""
+    segs = doc_segs_col()
+    want = F.array(*[F.lit(s) for s in window])
+    return (F.size(segs) >= len(window)) & (
+        F.slice(segs, 1, len(window)) == want
+    )
+
+
+def bbox_prune_predicate(window: tuple[str, ...]):
+    """Pushdown-able superset predicate for the box: reverse.py's
+    prefix proof at radius 0 (a doc inside the subtree must spell the
+    window across its repo/path split somewhere). May admit extras;
+    :func:`in_bbox_col` filters exactly afterwards."""
+    from photon_spark.query.reverse import prune_predicate
+
+    return prune_predicate("/".join(window), "", 0)

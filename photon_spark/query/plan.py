@@ -164,6 +164,14 @@ class SearchPlan:
     # filter on the object-type field): when non-empty, the doc's
     # ``type`` must be one of these (file | chunk | other)
     layers: list[str] = field(default_factory=list)
+    # location bias (Q12, SearchQueryBuilder.java:220-230): a
+    # geobias.BiasSpec; when active, importance_factor already
+    # reflects 30 × importanceWeight and the evaluator adds the
+    # exp-decay boost columnar
+    bias: object | None = None
+    # bounding box (Q14, SearchQueryBuilder.java:232-243): coordinate
+    # prefix segments restricting candidates to a subtree region
+    bbox: tuple[str, ...] | None = None
     kind: str = "full"  # short | full | match_all
 
     def provably_empty(self, absent=None) -> bool:

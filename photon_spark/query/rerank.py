@@ -91,14 +91,24 @@ def rescore_candidates(
     query: str,
     candidates: list[dict],
     importance_weight: float = 1.0,
+    bias=None,
 ) -> list[dict]:
-    """Apply R1 + R3 + R4 + R5 to candidate dicts carrying
+    """Apply R1 + R2 + R3 + R4 + R5 to candidate dicts carrying
     (doc, doc_id, os_score, importance, repo, path, lang). Mutates and
-    returns the re-sorted list."""
+    returns the re-sorted list. ``bias`` is a geobias.BiasSpec: R2
+    adjusts scores by tree distance to the bias point between the
+    importance and reranker peeks (OpenSearchSearchHandler.java:
+    41-61's peek order), and callers pass
+    ``importance_weight = bias.importance_weight``."""
     for c in candidates:
         imp = float(c.get("importance") or 0.0)
         c["score"] = imp  # R1: score += importance
         c["os_adj"] = c["os_score"] - imp * IMPORTANCE_FACTOR * importance_weight
+    if bias is not None:
+        from photon_spark.query.geobias import adjust_by_location_bias
+
+        adjust_by_location_bias(candidates, bias)  # R2
+    for c in candidates:
         if query:
             c["score"] += rerank_grade(query, c)  # R3
 

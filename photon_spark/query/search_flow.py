@@ -41,11 +41,18 @@ def run_search(
     layers: list[str] | None = None,
     suggest: bool = False,
     dedupe: bool = True,
+    bias=None,
+    bbox: tuple[str, ...] | None = None,
 ) -> list[dict]:
     ext = ext_limit_for(k)
+    # hasLocationBias (SearchRequestBase.java:27-29): zoom ≤ 4 turns
+    # the point off entirely — importance weight stays 1.0
+    if bias is not None and not bias.active:
+        bias = None
     plan = compile_query(
         q, backend, lenient=False, filters=filters, include=include,
         exclude=exclude, osm_tag=osm_tag, layers=layers, suggest=suggest,
+        bias=bias, bbox=bbox,
     )
     # lazy two-pass (P6): the strict pass usually hits, and compiling
     # the lenient plan costs real fuzzy-dictionary lookups — measured
@@ -62,12 +69,16 @@ def run_search(
         plan = compile_query(
             q, backend, lenient=True, filters=filters,
             include=include, exclude=exclude, osm_tag=osm_tag,
-            layers=layers, suggest=suggest,
+            layers=layers, suggest=suggest, bias=bias, bbox=bbox,
         )
         cands = (
             [] if plan.provably_empty(absent) else backend.candidates(plan, ext)
         )
-    hits = rescore_candidates(q, cands)
+    hits = rescore_candidates(
+        q, cands,
+        importance_weight=bias.importance_weight if bias is not None else 1.0,
+        bias=bias,
+    )
     if dedupe:
         from photon_spark.query.rerank import dedupe_street_hits
 

@@ -1,0 +1,204 @@
+"""Location-bias + bounding-box graft (Q12, R2, Q14).
+
+Reference semantics pinned here:
+* zoom→radius model (query/SearchRequestBase.java:12-63): radius
+  2.2^(18-zoom)·0.1, decay radius max(8, radius·(zoom-3)), scale
+  clamped [0,1], bias active only past zoom 4, importance weight
+  drops to scale while biased.
+* Q12 exp-decay query boost (opensearch/SearchQueryBuilder.java:
+  220-230) and R2 rescore (opensearch/OpenSearchResult.java:66-91,
+  wired OpenSearchSearchHandler.java:41-61) — rank identity between
+  the Spark engine and the pure-Python oracle, plus hand-computed
+  formula pins.
+* Q14 bounding box (SearchQueryBuilder.java:232-243) — candidates
+  restricted to the subtree region, engine ≡ oracle.
+* request surface (query/SearchRequestFactoryBase.java:15-33):
+  bias_repo/bias_path/zoom/location_bias_scale/bbox params, 400 on
+  malformed values.
+"""
+
+import math
+
+import pytest
+
+from photon_spark.query.executor import Index
+from photon_spark.query.geobias import (
+    BiasSpec,
+    adjust_by_location_bias,
+    bbox_segments,
+    bias_boost_py,
+    in_bbox_py,
+    zoom_to_radius,
+)
+
+
+@pytest.fixture(scope="module")
+def engine(spark, index_dir):
+    return Index(spark, index_dir)
+
+
+# ---------------- formula pins (SearchRequestBase.java) ----------------
+
+
+def test_zoom_radius_model():
+    assert zoom_to_radius(18) == pytest.approx(0.1)
+    assert zoom_to_radius(12) == pytest.approx(2.2**6 * 0.1)
+    spec = BiasSpec.make("r", "p", zoom=12)
+    assert spec.decay_radius == pytest.approx(max(8.0, spec.radius * 9))
+    # decay floor of 8 (SearchRequestBase.java:39-41)
+    assert BiasSpec.make("r", "p", zoom=17).decay_radius == 8.0
+
+
+def test_scale_clamped_and_defaults():
+    assert BiasSpec.make("r", "p").scale == 0.4
+    assert BiasSpec.make("r", "p").zoom == 12
+    assert BiasSpec.make("r", "p", scale=7.0).scale == 1.0
+    assert BiasSpec.make("r", "p", scale=-3.0).scale == 0.0
+
+
+def test_bias_inactive_at_low_zoom():
+    # hasLocationBias: zoom ≤ 4 ⇒ no bias, importance weight 1.0
+    off = BiasSpec.make("r", "p", zoom=4)
+    assert not off.active
+    assert off.importance_weight == 1.0
+    on = BiasSpec.make("r", "p", zoom=5)
+    assert on.active
+    assert on.importance_weight == 0.4
+    assert on.bias_weight == pytest.approx(0.6)
+
+
+def test_r2_formulas_hand_computed():
+    """OpenSearchResult.java:66-91 against hand arithmetic."""
+    spec = BiasSpec.make("a/b", "", zoom=14)  # radius ≈ 2.34, decayR ≈ 25.77
+    r, dec, w = spec.radius, spec.decay_radius, spec.bias_weight
+    inside = {"repo": "a/b", "path": "x.txt", "score": 0.0, "os_adj": 100.0}
+    outside = {"repo": "c/d", "path": "deep/y.txt", "score": 0.0, "os_adj": 100.0}
+    adjust_by_location_bias([inside, outside], spec)
+    # inside: d = 1 (one hop down to x.txt) < r
+    assert inside["score"] == pytest.approx((1.0 - 0.1 * 1.0 / r) * w)
+    assert inside["os_adj"] == pytest.approx(100.0 - w * 30.0)
+    # outside: no shared prefix ⇒ d = 2 up + 4 down = 6 ≥ r
+    bias = math.exp((6.0 - r) * math.log(0.5) / dec) * w
+    assert outside["score"] == pytest.approx(0.9 * bias)
+    assert outside["os_adj"] == pytest.approx(100.0 - bias * 30.0)
+
+
+def test_q12_boost_py_formula():
+    spec = BiasSpec.make("a/b", "", zoom=14)
+    # at the point itself: max(0, 0-r) = 0 ⇒ full weight 30·(1-scale)
+    assert bias_boost_py(spec, "a/b", "") == pytest.approx(30.0 * 0.6)
+    # far doc decays by 0.5^((d-r)/decayR); d = 2 up + 4 down = 6
+    d = 6.0
+    want = 30.0 * 0.6 * 0.5 ** ((d - spec.radius) / spec.decay_radius)
+    assert bias_boost_py(spec, "c/d", "deep/y.txt") == pytest.approx(want)
+
+
+def test_bbox_parse_and_membership():
+    assert bbox_segments(None) is None
+    assert bbox_segments("a/b/c") == ("a", "b", "c")
+    assert bbox_segments("//a//b/") == ("a", "b")
+    with pytest.raises(ValueError):
+        bbox_segments("///")
+    assert in_bbox_py(("a", "b"), "a/b", "x.txt")
+    assert in_bbox_py(("a", "b"), "a", "b/x.txt")  # window spans repo/path
+    assert not in_bbox_py(("a", "b"), "a/c", "x.txt")
+    assert not in_bbox_py(("a", "b", "c", "d"), "a/b", "c")  # window deeper than doc
+
+
+# ---------------- engine ≡ oracle rank identity ----------------
+
+_CASES = [
+    ("merge stream", dict(zoom=14), None),
+    ("merge stream", dict(zoom=16, scale=0.1), None),
+    ("merge stream", dict(zoom=8, scale=0.9), None),
+    ("street", dict(zoom=14), None),  # short plan path
+    ("merge stream", None, "org0/proj0"),
+    ("merge stream", dict(zoom=14), "org0/proj0/src"),
+    ("", None, "org0/proj0/util"),  # match_all (category-less) + bbox
+]
+
+
+@pytest.mark.parametrize("q,bias_kw,bbox_str", _CASES)
+def test_rank_identity_biased(engine, oracle, corpus, q, bias_kw, bbox_str):
+    row = corpus.iloc[0]
+    kw = {}
+    if bias_kw is not None:
+        kw["bias"] = BiasSpec.make(row["repo"], row["path"], **bias_kw)
+    if bbox_str is not None:
+        kw["bbox"] = bbox_segments(bbox_str)
+    got = engine.search(q, k=10, **kw)
+    want = oracle.search(q, k=10, **kw)
+    assert [h["doc_id"] for h in got] == [h["doc_id"] for h in want]
+    for g, w in zip(got, want):
+        assert g["score"] == pytest.approx(w["score"], abs=1e-12)
+    if bbox_str is not None:
+        window = bbox_segments(bbox_str)
+        for h in got:
+            assert in_bbox_py(window, h["repo"], h["path"])
+
+
+def test_bias_changes_ranking(oracle, corpus):
+    """The point's neighborhood must actually rise: there exists a
+    query+zoom whose biased order differs from the unbiased one
+    (otherwise the operator is dead weight)."""
+    row = corpus.iloc[0]
+    base = [h["doc_id"] for h in oracle.search("merge stream", k=8)]
+    spec = BiasSpec.make(row["repo"], row["path"], zoom=14)
+    biased = [h["doc_id"] for h in oracle.search("merge stream", k=8, bias=spec)]
+    assert base != biased
+    # and zoom ≤ 4 restores the unbiased ranking exactly
+    off = BiasSpec.make(row["repo"], row["path"], zoom=4)
+    assert [h["doc_id"] for h in oracle.search("merge stream", k=8, bias=off)] == base
+
+
+def test_bias_prefers_near_doc(oracle, corpus):
+    """Near-vs-far: under a tight zoom, every returned doc at least as
+    close as the farthest unbiased hit — spot-check that the #1 hit
+    shares the bias point's repo."""
+    row = corpus.iloc[0]
+    spec = BiasSpec.make(row["repo"], "", zoom=13)
+    hits = oracle.search("merge stream", k=5, bias=spec)
+    assert hits and hits[0]["repo"] == row["repo"]
+
+
+# ---------------- request surface ----------------
+
+
+def test_api_bias_params():
+    from photon_spark.api import validate_search
+
+    v = validate_search(
+        {
+            "q": "merge",
+            "bias_repo": "org0/proj0",
+            "bias_path": "src",
+            "zoom": "14",
+            "location_bias_scale": "0.2",
+            "bbox": "org0/proj0",
+        }
+    )
+    assert v["bias"].segs == ("org0", "proj0", "src")
+    assert v["bias"].zoom == 14
+    assert v["bias"].scale == 0.2
+    assert v["bbox"] == ("org0", "proj0")
+
+
+def test_api_bias_param_validation():
+    from photon_spark.api import BadRequest, validate_search
+
+    with pytest.raises(BadRequest):
+        validate_search({"q": "x", "bias_repo": "r", "zoom": "abc"})
+    with pytest.raises(BadRequest):
+        validate_search({"q": "x", "bias_repo": "r", "location_bias_scale": "huge"})
+    with pytest.raises(BadRequest):
+        validate_search({"q": "x", "bbox": "///"})
+    # no point → zoom/scale alone do not create a bias
+    assert validate_search({"q": "x", "zoom": "10"})["bias"] is None
+
+
+def test_api_end_to_end_bias(spark, index_dir):
+    from photon_spark.api import SearchAPI
+
+    srv = SearchAPI(Index(spark, index_dir))
+    out = srv.api({"q": "merge stream", "bias_repo": "org0/proj0", "zoom": "14"})
+    assert out["features"]
