@@ -175,6 +175,35 @@ def main() -> None:
             "samples": lat,
         }
 
+        # the SERVING-plane p50 (query/hot.py): the same fixture set
+        # through the hot backend — pyarrow pruned reads + numpy
+        # decode + the shared plan walk, no Spark job per query. This
+        # is the number a deployed query node sees; the Spark-path
+        # p50 above is the batch-evaluator latency.
+        from photon_spark.query.hot import HotIndex
+
+        hot = HotIndex(out_dir)
+        for q in fixture_queries:
+            hot.search(q, k=10)
+        hlat = []
+        for q in fixture_queries:
+            t0 = time.time()
+            hot.search(q, k=10)
+            hlat.append(round(time.time() - t0, 5))
+        hs = sorted(hlat)
+        hot_query_latency = {
+            "p50_sec": hs[len(hs) // 2],
+            "p95_sec": hs[min(len(hs) - 1, int(len(hs) * 0.95))],
+            "n_queries": len(hs),
+            "samples": hlat,
+        }
+        # cold-path sample: a fresh HotIndex (no memos) on one query
+        t0 = time.time()
+        HotIndex(out_dir).search(fixture_queries[0], k=10)
+        hot_query_latency["cold_open_plus_first_query_sec"] = round(
+            time.time() - t0, 4
+        )
+
         timed(
             "datapipe_minhash_lsh",
             lambda: dd.minhash_lsh_pairs(docs, n_hashes=16, bands=4, threshold=0.3).count(),
@@ -248,6 +277,7 @@ def main() -> None:
                     "unit": "sec",
                     "queries": timings,
                     "query_latency": query_latency,
+                    "hot_query_latency": hot_query_latency,
                     "repeats": repeats,
                     "query_samples": samples,
                     "sf": sf,

@@ -345,7 +345,12 @@ class OracleIndex:
                 continue
             if not self._cat_pass(d, plan.include, plan.exclude):
                 continue
-            meta = self.docs[d]
+            meta = self.docs.get(d)
+            if meta is None:
+                # docID in postings but not in the docs table — a
+                # tombstoned doc whose segment predates compaction;
+                # the engine's ord join drops it the same way
+                continue
             if plan.tag_filters and not tag_predicate_py(
                 plan.tag_filters, meta["lang"], ext_of_path(meta["path"])
             ):
@@ -372,7 +377,11 @@ class OracleIndex:
                 )
             rows.append(
                 {
-                    "doc": d,
+                    # the engine exposes the docs table's sha-int
+                    # ``doc`` for tie-breaks; here meta["doc"] == d
+                    # (the hot backend keys by ordinal instead and
+                    # relies on this indirection)
+                    "doc": meta["doc"],
                     "doc_id": meta["doc_id"],
                     "repo": meta["repo"],
                     "path": meta["path"],
@@ -382,6 +391,7 @@ class OracleIndex:
                     "type": meta["type"],
                     "extra": meta["extra"],
                     "categories": meta["categories"],
+                    "lang_name": meta.get("lang_name"),
                     "os_score": os_score,
                 }
             )

@@ -1,0 +1,393 @@
+"""Hot serving backend — the query-node path, no Spark job per query.
+
+The reference serves queries from an OpenSearch index reader
+(query-then-fetch over node-resident readers), not from a batch
+engine; here Spark is the BUILD/batch plane and this module is the
+search-node plane over the exact same index files. Per-query work is
+
+* a row-group-pruned pyarrow read of the needed dictionary/postings
+  rows (``field=`` hive partitions prune directories; term-sorted
+  files prune row groups by parquet min/max stats — the same two
+  prunings the Spark scan gets from Catalyst),
+* the shared numpy block decode (index/codec.py — identical bytes,
+  identical decoder), and
+* the pure-Python plan walk the rank-identity suite already proves
+  bit-identical to the Spark evaluator (OracleIndex._tree ≡
+  Index._compile_tree).
+
+Identity by construction: HotIndex subclasses
+:class:`photon_spark.oracle.oracle.OracleIndex` and replaces only the
+DATA SOURCES — ``self.docs`` loads from the index's docs table
+(keyed by ordinal, the postings' docID space) and ``self.postings``
+becomes a lazy per-(field, term) fetch — so plan compilation,
+leaf-map construction, tree evaluation, filter/category algebra,
+rescore, and reverse lookup are the same code paths the oracle runs.
+idf parity holds because a (field, term)'s decoded posting count
+equals the dictionary df summed over segments (neither subtracts
+tombstones — Lucene's df-counts-deleted-docs behavior), and the doc
+universe joins against the rewritten docs table exactly like the
+engine's ord join (deleted docs drop there).
+
+Scale model (the 10^12-file story): a serving node holds ONE shard's
+term dictionary memo + doc-values (the docs projection) resident —
+the Lucene norm — and touches only the queried terms' posting blocks
+on disk. What must fit in RAM is per-shard docs metadata, not
+postings; posting reads are O(Σ df of query terms) bytes via
+row-group pruning. Fan-in across shards is the standard top-k merge
+(scores are shard-local idf like OpenSearch's default
+query-then-fetch, documented deviation from DFS mode).
+
+Latency measured at sf0.01 local box: warm p50 ~8 ms, cold
+open+first-query ~70 ms — vs ~1.28 s p50 through the Spark evaluator
+on the same index (bench.py records both per round as
+``hot_query_latency`` / ``query_latency``). The Spark path stays the
+reference evaluator: batch workloads, huge candidate sets, and the
+correctness gate run there.
+
+Reference: opensearch/OpenSearchSearchHandler.java (query-then-fetch
+serving), Server.java (node-resident reader).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow.dataset as pads
+
+from photon_spark.analysis import FIELD_KEYWORD
+from photon_spark.index.codec import decode_doc_block, decode_tfs
+from photon_spark.oracle.oracle import OracleIndex
+from photon_spark.query.plan import Bool, DisMax, Exists, FnMul, Match, PlanNode
+
+_POSTING_COLS = ["term", "n", "doc_bytes", "tf_bytes"]
+
+
+class _LazyFieldPostings:
+    """``term → {ord: tf}`` view of one field's posting blocks,
+    fetched through the owning :class:`HotIndex`'s memoized reader.
+    Implements just the mapping surface the oracle's evaluator uses
+    (``get`` / ``in`` / ``[]``); full-field iteration is deliberately
+    unsupported — enumerating a field is a dictionary scan
+    (:meth:`HotIndex.terms_with_prefix`), never a postings sweep."""
+
+    def __init__(self, hot: "HotIndex", field: str):
+        self._hot = hot
+        self._field = field
+
+    def get(self, term: str, default=None):
+        m = self._hot._postings_memo_get(self._field, term)
+        return default if m is None else m
+
+    def __getitem__(self, term: str):
+        m = self._hot._postings_memo_get(self._field, term)
+        if m is None:
+            raise KeyError(term)
+        return m
+
+    def __contains__(self, term: str) -> bool:
+        return self._hot._postings_memo_get(self._field, term) is not None
+
+
+class _LazyPostings:
+    """``field → _LazyFieldPostings``; always 'contains' a field —
+    absence is decided per term (matching the dict-of-dicts shape the
+    oracle walks)."""
+
+    def __init__(self, hot: "HotIndex"):
+        self._hot = hot
+
+    def get(self, field: str, default=None) -> _LazyFieldPostings:
+        return _LazyFieldPostings(self._hot, field)
+
+    def __getitem__(self, field: str) -> _LazyFieldPostings:
+        return _LazyFieldPostings(self._hot, field)
+
+
+class HotIndex(OracleIndex):
+    """SearchBackend over a built index directory, evaluated on the
+    serving node (pyarrow reads + numpy decode + the oracle's plan
+    walk). Drop-in for :class:`photon_spark.query.executor.Index` on
+    the search/structured/reverse surfaces — same ``run_search``
+    flow, same rescore, rank-identical results (pinned in
+    tests/test_hot.py). Bind to a snapshot like Index: updates write
+    new segments and serving re-opens."""
+
+    # memo caps (entries), mirroring Index._stats_cache discipline
+    MAX_POSTING_MEMO = 200_000
+    MAX_PREFIX_CANDIDATES = 100_000  # Index.MAX_PREFIX_CANDIDATES analog
+
+    def __init__(self, index_dir: str, synonyms=None):
+        # NOTE: deliberately NOT calling OracleIndex.__init__ — the
+        # corpus-analysis constructor is replaced by index-file loads;
+        # every attribute the oracle's methods touch is set up here.
+        self.dir = index_dir
+        self.synonyms = synonyms
+        with open(os.path.join(index_dir, "meta.json")) as f:
+            self.meta = json.load(f)
+        from photon_spark.index.build import INDEX_FORMAT_VERSION
+
+        major = str(self.meta.get("version", "")).split(".")[0]
+        if major != INDEX_FORMAT_VERSION.split(".")[0]:
+            raise ValueError(
+                f"index format {self.meta.get('version')} incompatible with "
+                f"engine {INDEX_FORMAT_VERSION} — rebuild or compact the index"
+            )
+        self.lang_names = {
+            k.lower(): v for k, v in (self.meta.get("lang_names") or {}).items()
+        }
+
+        # resident doc-values (the per-shard docs projection): ord →
+        # metadata row. This is the RAM-resident hot set a search node
+        # keeps (Lucene doc-values / stored fields cache); postings
+        # stay on disk.
+        tbl = pads.dataset(os.path.join(index_dir, "docs")).to_table()
+        self.docs = {}
+        for row in tbl.to_pylist():
+            d = row["ord"]
+            extra = row.get("extra")
+            self.docs[d] = {
+                "doc_id": row["doc_id"],
+                "doc": row["doc"],
+                "repo": row["repo"],
+                "path": row["path"],
+                "commit": row.get("commit"),
+                "lang": row["lang"],
+                "importance": row["importance"],
+                "n_dupes": row.get("n_dupes"),
+                "chunk": row["chunk"],
+                "type": row["type"],
+                # parquet map columns arrive as (key, value) pair
+                # lists; the engine's Spark collect yields dicts
+                "extra": dict(extra) if extra is not None else extra,
+                "categories": row.get("categories"),
+                "lang_name": self.lang_names.get((row["lang"] or "").lower()),
+            }
+        self.n_docs = self.meta["n_docs"]
+        if self.n_docs != len(self.docs):
+            raise RuntimeError(
+                f"docs table rows {len(self.docs)} != meta n_docs {self.n_docs}"
+            )
+
+        self.postings = _LazyPostings(self)
+        self._post_memo: dict[tuple[str, str], dict[int, int] | None] = {}
+        self._fuzzy_cache: dict[tuple, tuple[str, ...]] = {}
+        # lazy pyarrow datasets (one file-listing each)
+        self._post_ds = pads.dataset(
+            os.path.join(index_dir, "postings"), partitioning="hive"
+        )
+        pd_dir = os.path.join(index_dir, "postings_delta")
+        self._post_delta_ds = (
+            pads.dataset(pd_dir, partitioning="hive") if os.path.isdir(pd_dir) else None
+        )
+        self._dict_ds = pads.dataset(
+            os.path.join(index_dir, "dictionary"), partitioning="hive"
+        )
+        self._bloom = ...  # lazy, like Index
+        self._del_meta = False  # lazy deletion-table metadata
+        self._del_ds = None
+
+    # ---------------- posting fetch (memo + pruned read) ----------------
+
+    def _postings_memo_get(self, field: str, term: str):
+        key = (field, term)
+        if key in self._post_memo:
+            return self._post_memo[key]
+        self.prefetch(field, [term])
+        return self._post_memo[key]
+
+    def prefetch(self, field: str, terms: list[str]) -> None:
+        """ONE pruned read + decode for every uncached term of a
+        field (the evaluator's by-field batching; per-term round
+        trips would multiply read latency)."""
+        missing = sorted(
+            {t for t in terms if (field, t) not in self._post_memo}
+        )
+        if not missing:
+            return
+        if len(self._post_memo) > self.MAX_POSTING_MEMO:
+            self._post_memo.clear()
+        flt = (pads.field("field") == field) & pads.field("term").isin(missing)
+        tables = [self._post_ds.to_table(filter=flt, columns=_POSTING_COLS)]
+        if self._post_delta_ds is not None:
+            tables.append(
+                self._post_delta_ds.to_table(filter=flt, columns=_POSTING_COLS)
+            )
+        found: dict[str, dict[int, int]] = {}
+        for tbl in tables:
+            terms_col = tbl.column("term").to_pylist()
+            ns = tbl.column("n").to_pylist()
+            dbs = tbl.column("doc_bytes").to_pylist()
+            tbs = tbl.column("tf_bytes").to_pylist()
+            for t, n, db, tb in zip(terms_col, ns, dbs, tbs):
+                docs = decode_doc_block(db, n)
+                tfs = decode_tfs(tb, n)
+                m = found.setdefault(t, {})
+                for d, tf in zip(docs.tolist(), tfs.tolist()):
+                    m[d] = tf
+        for t in missing:
+            self._post_memo[(field, t)] = found.get(t)
+
+    def _plan_prefetch(self, plan) -> None:
+        """Batch every (field, term) the plan + its filter context
+        will touch into one read per field."""
+        needs: dict[str, set[str]] = {}
+
+        def walk(n: PlanNode) -> None:
+            if isinstance(n, Match):
+                needs.setdefault(n.field, set()).update(
+                    t for cl in n.clauses for t, _ in cl.expansions
+                )
+            elif isinstance(n, DisMax):
+                for c in n.children:
+                    walk(c)
+            elif isinstance(n, Bool):
+                for c in n.must + n.should:
+                    walk(c)
+            elif isinstance(n, FnMul):
+                walk(n.query)
+                needs.setdefault(n.filter_field, set()).update(n.filter_terms)
+            elif isinstance(n, Exists):
+                needs.setdefault(FIELD_KEYWORD, set()).add(n.term)
+
+        walk(plan.root)
+        if plan.filters:
+            from photon_spark.analysis.folding import fold
+
+            kws = needs.setdefault(FIELD_KEYWORD, set())
+            for k, vals in plan.filters.items():
+                for v in vals if isinstance(vals, (list, tuple)) else [vals]:
+                    norm = fold(v) if k == "lang" else str(v).lower()
+                    kws.add(f"{k}:{norm}")
+        for grp in (plan.include or []) + (plan.exclude or []):
+            needs.setdefault("all", set()).update(grp)
+        for field, terms in needs.items():
+            self.prefetch(field, sorted(terms))
+
+    def candidates(self, plan, ext_limit: int) -> list[dict]:
+        self._plan_prefetch(plan)
+        return super().candidates(plan, ext_limit)
+
+    # ---------------- TermDictionary (pyarrow-backed) ----------------
+
+    def term_stats(self, field: str, terms: list[str]) -> dict[str, int]:
+        tbl = self._dict_ds.to_table(
+            filter=(pads.field("field") == field) & pads.field("term").isin(terms),
+            columns=["term", "df"],
+        )
+        out: dict[str, int] = {}
+        for t, df in zip(tbl.column("term").to_pylist(), tbl.column("df").to_pylist()):
+            out[t] = out.get(t, 0) + df  # delta segments sum
+        return out
+
+    def terms_with_prefix(
+        self, field: str, prefix: str, min_len: int, max_len: int
+    ) -> list[str]:
+        """Capped dictionary prefix scan (Index.terms_with_prefix
+        twin): range-pushdown on the term-sorted files, length filter
+        applied after."""
+        flt = pads.field("field") == field
+        if prefix:
+            flt = (
+                flt
+                & (pads.field("term") >= prefix)
+                & (pads.field("term") < prefix + "\uffff")
+            )
+        tbl = self._dict_ds.to_table(filter=flt, columns=["term"])
+        out = sorted(
+            {
+                t
+                for t in tbl.column("term").to_pylist()
+                if min_len <= len(t) <= max_len
+            }
+        )
+        if len(out) > self.MAX_PREFIX_CANDIDATES:
+            import warnings
+
+            warnings.warn(
+                f"fuzzy prefix scan on field {field!r} truncated at "
+                f"{self.MAX_PREFIX_CANDIDATES} candidates",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+            out = out[: self.MAX_PREFIX_CANDIDATES]
+        return out
+
+    def _deletion_route_ok(self, field: str, token: str, edits: int) -> bool:
+        if self._del_meta is False:
+            from photon_spark.index.deletions import read_deletion_meta
+
+            self._del_meta = read_deletion_meta(self.dir)
+        meta = self._del_meta
+        return (
+            meta is not None
+            and field in meta["fields"]
+            and edits <= meta["max_deletes"]
+            and len(token) + edits <= meta["max_term_len"]
+        )
+
+    def fuzzy_candidates(
+        self, field: str, token: str, edits: int, prefix_len: int
+    ) -> list[str]:
+        """Index.fuzzy_candidates twin: deletion-neighborhood lookup
+        when covered (pushdown ``variant IN (...)``), else the capped
+        prefix scan; memoized per request."""
+        ck = (field, token, edits, prefix_len)
+        hit = self._fuzzy_cache.get(ck)
+        if hit is not None:
+            return list(hit)
+        if edits > 0 and self._deletion_route_ok(field, token, edits):
+            from photon_spark.index.deletions import deletion_variants
+
+            if self._del_ds is None:
+                self._del_ds = pads.dataset(
+                    os.path.join(self.dir, "deletions"), partitioning="hive"
+                )
+            variants = sorted(deletion_variants(token, edits))
+            tbl = self._del_ds.to_table(
+                filter=(pads.field("field") == field)
+                & pads.field("variant").isin(variants),
+                columns=["term"],
+            )
+            out = sorted(set(tbl.column("term").to_pylist()))
+        else:
+            out = self.terms_with_prefix(
+                field, token[:prefix_len], len(token) - edits, len(token) + edits
+            )
+        if len(self._fuzzy_cache) > 100_000:
+            self._fuzzy_cache.clear()
+        self._fuzzy_cache[ck] = tuple(out)
+        return out
+
+    def definitely_absent(self, field: str, term: str) -> bool:
+        """The engine's bloom test (one-sided), NOT the oracle's exact
+        membership — the hot path must skip exactly the plans the
+        Spark path skips."""
+        if self._bloom is ...:
+            from photon_spark.index.bloom import TermBloom
+
+            self._bloom = TermBloom.load(self.dir)
+        if self._bloom is None:
+            return False
+        return self._bloom.definitely_absent(field, term)
+
+    # ---------------- leaf maps: dictionary-idf override ----------------
+    #
+    # OracleIndex._leaf_data computes idf from len(plist), which for a
+    # fully-decoded (segments-merged) posting equals the dictionary df
+    # (neither subtracts tombstones), so no override is needed — the
+    # invariant is asserted cheaply in tests/test_hot.py against the
+    # Spark evaluator's dictionary-sourced idf.
+
+    def status(self) -> dict:
+        """/status twin (Index.status) so SearchAPI can bind a
+        HotIndex directly."""
+        return {
+            "status": "Ok",
+            "version": self.meta.get("version"),
+            "n_docs": self.n_docs,
+            "next_ord": self.meta.get("next_ord", self.n_docs),
+            "segments": len(self.meta.get("segments", [])),
+            "import_date": self.meta.get("import_date"),
+            "languages": self.meta.get("languages"),
+        }

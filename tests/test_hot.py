@@ -1,0 +1,170 @@
+"""Hot serving backend (query/hot.py): rank identity vs both the
+Spark engine and the pure-Python oracle, across search / structured /
+reverse / filters / categories / bias / suggest, on a fresh index AND
+on an updated one (delta segments + tombstones).
+
+The identity chain: test_e2e_search pins engine ≡ oracle; this file
+pins hot ≡ oracle on the full e2e query set (cheap — both python) and
+hot ≡ engine directly on a spot set plus the updated-index cases the
+oracle cannot model (the oracle has no segment files).
+"""
+
+import shutil
+
+import pytest
+
+from photon_spark.query.executor import Index
+from photon_spark.query.hot import HotIndex
+
+QUERIES = [
+    "retry", "xyz", "bulk retry", "Müggeln", "mueggeln", "mugglen",
+    "mukklen", "license", "the license return", "Saint-Jean",
+    "tiffany's", "parse config value", "IndexWriter",
+    "BulkRetryHelper737.java", "nonexistentterm42xyz",
+    "import buffer, queue",
+]
+
+
+@pytest.fixture(scope="module")
+def engine(spark, index_dir):
+    return Index(spark, index_dir)
+
+
+@pytest.fixture(scope="module")
+def hot(index_dir):
+    return HotIndex(index_dir)
+
+
+def _ranked(rows):
+    return [(r["doc_id"], r["score"]) for r in rows]
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_hot_vs_oracle_rank_identity(hot, oracle, q):
+    got = _ranked(hot.search(q, k=15))
+    want = _ranked(oracle.search(q, k=15))
+    assert [d for d, _ in got] == [d for d, _ in want], f"order differs for {q!r}"
+    for (d1, s1), (_, s2) in zip(got, want):
+        assert abs(s1 - s2) < 1e-12, f"score differs for {q!r} doc {d1}"
+
+
+@pytest.mark.parametrize(
+    "q,kw",
+    [
+        ("bulk retry", {}),
+        ("mugglen", {}),  # lenient fuzzy retry
+        ("street", {"filters": {"repo": "org0/proj0"}}),
+        ("street", {"layers": ["file"]}),
+        ("main street", {"suggest": True}),
+    ],
+)
+def test_hot_vs_engine_direct(hot, engine, q, kw):
+    got = _ranked(hot.search(q, k=10, **kw))
+    want = _ranked(engine.search(q, k=10, **kw))
+    assert got == want
+
+
+def test_hot_bias_and_bbox(hot, oracle, corpus):
+    from photon_spark.query.geobias import BiasSpec, bbox_segments
+
+    row = corpus.iloc[0]
+    spec = BiasSpec.make(row["repo"], row["path"], zoom=14)
+    got = _ranked(hot.search("merge stream", k=10, bias=spec))
+    want = _ranked(oracle.search("merge stream", k=10, bias=spec))
+    assert got == want
+    bb = bbox_segments("org0/proj0")
+    got = _ranked(hot.search("merge stream", k=10, bbox=bb))
+    want = _ranked(oracle.search("merge stream", k=10, bbox=bb))
+    assert got == want
+
+
+def test_hot_structured_and_reverse(hot, engine):
+    from photon_spark.query.compiler import StructuredQuery
+
+    for kw in (dict(name="retry"), dict(repo="org0/proj0", name="street"),
+               dict(ext="java")):
+        sq = StructuredQuery(**kw)
+        assert _ranked(hot.structured_search(sq, k=8)) == _ranked(
+            engine.structured_search(sq, k=8)
+        )
+    probe = next(iter(hot.docs.values()))
+    got = [h["doc_id"] for h in hot.reverse(probe["repo"], probe["path"], k=5, radius=4)]
+    want = [
+        h["doc_id"] for h in engine.reverse(probe["repo"], probe["path"], k=5, radius=4)
+    ]
+    assert got == want
+
+
+def test_hot_match_all_categories(hot, engine):
+    # category-only search exercises match_all + the FIELD_ALL sets
+    got = _ranked(hot.search("", k=10, include=["#code"]))
+    want = _ranked(engine.search("", k=10, include=["#code"]))
+    assert got == want
+
+
+def test_hot_api_bind(hot):
+    """SearchAPI works over the hot backend — the serving deployment
+    shape (query node without a SparkSession)."""
+    from photon_spark.api import SearchAPI
+
+    srv = SearchAPI(hot)
+    out = srv.api({"q": "bulk retry"})
+    assert out["features"]
+    assert srv.status()["status"] == "Ok"
+
+
+def test_hot_latency_floor(hot):
+    """The point of the hot path: a warm repeat query must serve in
+    single-digit milliseconds (no Spark job, memo-hit reads). Bound
+    generously for CI noise."""
+    import time
+
+    hot.search("bulk retry", k=10)  # warm
+    t0 = time.perf_counter()
+    hot.search("bulk retry", k=10)
+    assert time.perf_counter() - t0 < 0.25
+
+
+def test_hot_on_updated_index(spark, index_dir, tmp_path_factory):
+    """Delta segments + tombstones: hot ≡ engine after apply_updates —
+    upsert-modified content is searchable (delta postings read), and
+    deleted docs drop (postings-only ordinals skipped via the docs
+    join semantics)."""
+    from pyspark.sql import functions as F
+
+    from photon_spark.index.updater import apply_updates
+
+    upd = str(tmp_path_factory.mktemp("hot_upd")) + "/idx"
+    shutil.copytree(index_dir, upd)
+    docs = Index(spark, index_dir).docs()
+    batch_up = (
+        docs.filter(F.col("ord") % 9 == 2)
+        .select(
+            "repo", "path", "commit", "lang", "importance",
+            # keep the title-bearing basename; add new content tokens
+            F.concat(F.lit("zzhotdelta street "), F.col("path")).alias("content"),
+        )
+        .withColumn("op", F.lit("upsert"))
+        .withColumn("ts", F.lit(1))
+    )
+    batch_del = (
+        docs.filter(F.col("ord") % 9 == 5)
+        .select("repo", "path", "commit", "lang", "importance")
+        .withColumn("content", F.lit(None).cast("string"))
+        .withColumn("op", F.lit("delete"))
+        .withColumn("ts", F.lit(1))
+    )
+    apply_updates(spark, upd, batch_up.unionByName(batch_del))
+    engine2 = Index(spark, upd)
+    hot2 = HotIndex(upd)
+    n_hits = 0
+    for q in ("retry", "street", "bulk retry", "main street"):
+        got = _ranked(hot2.search(q, k=10))
+        want = _ranked(engine2.search(q, k=10))
+        assert got == want, f"updated-index divergence for {q!r}"
+        n_hits += len(got)
+    assert n_hits > 0
+    # the delta postings are actually read: a doc updated to contain
+    # 'zzhotdelta' is findable through the hot path via its field
+    fp = hot2.postings.get("all", {})
+    assert fp.get("zzhotdelta"), "delta posting not visible to hot reader"
