@@ -952,6 +952,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["engine_search_biased"] = _engine_biased
+
+    def _engine_hot(s, d):
+        # the SERVING plane (query/hot.py): same flagship query
+        # answered by HotIndex over the same index files — no Spark
+        # job; the DuckDB twin is engine_search_full's (results must
+        # be identical to the Spark evaluator's)
+        from photon_spark.query.hot import HotIndex
+
+        idx = _engine(s, d)  # ensures the index is built + cached
+        hits = HotIndex(idx.dir).search("table merge stream", k=10)
+        rows = [
+            (i + 1, h["doc_id"], h["repo"], h["path"], round(float(h["score"]), 6))
+            for i, h in enumerate(hits)
+        ]
+        return s.createDataFrame(
+            rows, "rank int, doc_id string, repo string, path string, score double"
+        )
+
+    q["engine_search_hot"] = _engine_hot
     # the updater path end-to-end: copy of the base index + a real CDC
     # batch (upsert-modify + delete) through apply_updates, then
     # merge_segments (exact df) — the search result is provably what a
@@ -1919,6 +1938,9 @@ FROM img"""
         ["table", "merge", "stream"], "table merge stream",
         "ROUND(score, 6) AS score",
     )
+    # hot serving plane: identical results to the Spark evaluator by
+    # contract, so the full twin applies verbatim
+    o["engine_search_hot"] = o["engine_search_full"]
     # location-biased twin (Q12 + R2): same plan closed-form with the
     # exp-decay boost in the candidate cut, importance 30·scale, and
     # the R2 linear/exp adjustment + os strip (geobias.py formulas)
