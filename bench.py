@@ -203,6 +203,11 @@ def main() -> None:
         hot_query_latency["cold_open_plus_first_query_sec"] = round(
             time.time() - t0, 4
         )
+        # hot block-max WAND (wand.py kernel, single range)
+        hot.bm25_topk("all", ["table", "merge", "stream"], k=10)
+        t0 = time.time()
+        hot.bm25_topk("all", ["table", "merge", "stream"], k=10)
+        hot_query_latency["wand_topk_sec"] = round(time.time() - t0, 5)
 
         timed(
             "datapipe_minhash_lsh",

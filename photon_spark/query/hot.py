@@ -379,6 +379,91 @@ class HotIndex(OracleIndex):
     # invariant is asserted cheaply in tests/test_hot.py against the
     # Spark evaluator's dictionary-sourced idf.
 
+    # ---------------- block-max WAND (serving node) ----------------
+
+    def bm25_topk(self, field: str, terms: list[str], k: int = 10, required: int = 1):
+        """Block-max WAND top-k on the serving node — the SAME numpy
+        kernel the distributed path runs per doc-range
+        (query/wand.py::_make_kernel), here over one range covering
+        the whole ordinal space (the classic single-node BMW shape:
+        θ bootstraps from the best term, blocks prune on
+        ``ub_block + Σ ub(other terms) < θ``, pruned blocks
+        overlapping a candidate decode for exactness). Returns a
+        pandas DataFrame (doc, score, nm) — value-identical to
+        ``Index.bm25_topk`` (both are exact top-k; pinned in
+        tests/test_hot.py)."""
+        import pandas as pd
+
+        from photon_spark.query import scoring
+        from photon_spark.query.wand import _make_kernel
+
+        stats = self._term_stats_full(field, sorted(set(terms)))
+        if not stats:
+            return pd.DataFrame(
+                {"doc": [], "score": [], "nm": []}
+            ).astype({"doc": "int64", "score": "float64", "nm": "int32"})
+        idf = {t: scoring.idf(df, self.n_docs) for t, (df, _) in stats.items()}
+        max_tf = {t: mt for t, (_, mt) in stats.items()}
+        n_total = int(self.meta.get("next_ord", self.n_docs))
+        cols = [
+            "term", "min_doc", "max_doc", "n", "max_tf", "doc_bytes", "tf_bytes",
+        ]
+        flt = (pads.field("field") == field) & pads.field("term").isin(
+            sorted(idf)
+        )
+        tables = [self._post_ds.to_table(filter=flt, columns=cols)]
+        if self._post_delta_ds is not None:
+            tables.append(self._post_delta_ds.to_table(filter=flt, columns=cols))
+        import pyarrow as pa
+
+        pdf = pa.concat_tables(tables).to_pandas()
+        pdf["rng"] = 0
+        kernel = _make_kernel(
+            idf, k, 1, max(n_total, 1), required, max_tf, self._tombstones()
+        )
+        out = kernel(pdf)
+        out = out.sort_values(
+            ["score", "doc"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        return out.reset_index(drop=True)
+
+    def _term_stats_full(
+        self, field: str, terms: list[str]
+    ) -> dict[str, tuple[int, int]]:
+        """(term → (df summed over segments, max_tf maxed)) from the
+        dictionary files — the Index._term_stats_memo twin."""
+        tbl = self._dict_ds.to_table(
+            filter=(pads.field("field") == field) & pads.field("term").isin(terms),
+            columns=["term", "df", "max_tf"],
+        )
+        out: dict[str, tuple[int, int]] = {}
+        for t, df, mt in zip(
+            tbl.column("term").to_pylist(),
+            tbl.column("df").to_pylist(),
+            tbl.column("max_tf").to_pylist(),
+        ):
+            prev = out.get(t)
+            out[t] = (df, mt) if prev is None else (prev[0] + df, max(prev[1], mt))
+        return out
+
+    def _tombstones(self):
+        """Sorted tombstoned-ordinal array (Index._dead twin), loaded
+        once."""
+        if getattr(self, "_dead_loaded", False):
+            return self._dead
+        import numpy as np
+
+        tomb = os.path.join(self.dir, "tombstones")
+        self._dead = None
+        if os.path.isdir(tomb):
+            t = pads.dataset(tomb, partitioning="hive").to_table(columns=["ord"])
+            if t.num_rows:
+                self._dead = np.unique(
+                    np.asarray(t.column("ord").to_pylist(), dtype=np.int64)
+                )
+        self._dead_loaded = True
+        return self._dead
+
     def status(self) -> dict:
         """/status twin (Index.status) so SearchAPI can bind a
         HotIndex directly."""

@@ -125,6 +125,29 @@ def test_hot_latency_floor(hot):
     assert time.perf_counter() - t0 < 0.25
 
 
+@pytest.mark.parametrize(
+    "terms,required",
+    [
+        (["street", "main"], 1),
+        (["retry", "bulk", "helper"], 2),
+        (["license"], 1),
+        (["nonexistentxyz"], 1),
+    ],
+)
+def test_hot_wand_identity(hot, engine, terms, required):
+    """Single-node block-max WAND ≡ the distributed kernel — same
+    exact top-k (doc, score, nm)."""
+    want = [
+        (r["doc"], round(r["score"], 12), r["nm"])
+        for r in engine.bm25_topk("all", terms, k=8, required=required).collect()
+    ]
+    got = [
+        (int(r.doc), round(float(r.score), 12), int(r.nm))
+        for r in hot.bm25_topk("all", terms, k=8, required=required).itertuples()
+    ]
+    assert got == want
+
+
 def test_hot_on_updated_index(spark, index_dir, tmp_path_factory):
     """Delta segments + tombstones: hot ≡ engine after apply_updates —
     upsert-modified content is searchable (delta postings read), and
@@ -168,3 +191,14 @@ def test_hot_on_updated_index(spark, index_dir, tmp_path_factory):
     # 'zzhotdelta' is findable through the hot path via its field
     fp = hot2.postings.get("all", {})
     assert fp.get("zzhotdelta"), "delta posting not visible to hot reader"
+    # WAND on the updated index: tombstones must suppress deleted
+    # docs identically in both kernels
+    want = [
+        (r["doc"], round(r["score"], 12))
+        for r in engine2.bm25_topk("all", ["street", "zzhotdelta"], k=10).collect()
+    ]
+    got = [
+        (int(r.doc), round(float(r.score), 12))
+        for r in hot2.bm25_topk("all", ["street", "zzhotdelta"], k=10).itertuples()
+    ]
+    assert got == want and got
