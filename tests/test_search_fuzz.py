@@ -68,7 +68,9 @@ def fuzz_pair(spark, tmp_path_factory):
     pdf = pd.concat([pdf, extra], ignore_index=True)
     out = str(tmp_path_factory.mktemp("fuzzidx"))
     build_index(spark, spark.createDataFrame(pdf), out)
-    return Index(spark, out), OracleIndex(pdf)
+    from photon_spark.query.hot import HotIndex
+
+    return Index(spark, out), OracleIndex(pdf), HotIndex(out)
 
 
 @st.composite
@@ -110,7 +112,7 @@ def _query(draw):
 )
 @given(q=_query())
 def test_fuzzed_rank_identity(fuzz_pair, q):
-    engine, oracle = fuzz_pair
+    engine, oracle, _ = fuzz_pair
     got = [(r["doc_id"], r["score"]) for r in engine.search(q, k=10)]
     want = [(r["doc_id"], r["score"]) for r in oracle.search(q, k=10)]
     assert [d for d, _ in got] == [d for d, _ in want], (
@@ -122,8 +124,34 @@ def test_fuzzed_rank_identity(fuzz_pair, q):
 
 def test_degenerate_queries_return_empty(fuzz_pair):
     """Token-free queries must not crash and must agree (both [])."""
-    engine, oracle = fuzz_pair
+    engine, oracle, hot = fuzz_pair
     for q in ["", "   ", ",", "!!!", "\t\n"]:
         got = engine.search(q, k=5)
         want = oracle.search(q, k=5)
         assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want], q
+
+
+@settings(
+    # hot and oracle are both python-side — no Spark job per example,
+    # so this lane affords an order of magnitude more examples than
+    # the engine lane above
+    max_examples=int(os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES_HOT", "120")),
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(q=_query())
+def test_fuzzed_hot_rank_identity(fuzz_pair, q):
+    """The hot serving plane under the same adversarial query model:
+    hot ≡ oracle (engine ≡ oracle is the lane above; transitivity
+    closes hot ≡ engine at fuzz scale)."""
+    _, oracle, hot = fuzz_pair
+    got = [(r["doc_id"], r["score"]) for r in hot.search(q, k=10)]
+    want = [(r["doc_id"], r["score"]) for r in oracle.search(q, k=10)]
+    assert [d for d, _ in got] == [d for d, _ in want], (
+        f"doc order differs for {q!r}"
+    )
+    for (d, s1), (_, s2) in zip(got, want):
+        assert abs(s1 - s2) < 1e-12, f"score differs for {q!r} doc {d}"
