@@ -576,13 +576,25 @@ class UpdateAPI:
                         # The re-open inherits the old backend's
                         # query-time config (synonyms, cache flag) —
                         # a swap must never change serving semantics.
+                        # the swap preserves the backend KIND: a
+                        # hot-plane server re-opens a HotIndex (the
+                        # query node never acquires a SparkSession
+                        # because an updater ran somewhere)
+                        from photon_spark.query.hot import HotIndex
+
                         old = self.search_api.backend
-                        self.search_api.backend = Index(
-                            self.spark,
-                            self.index_dir,
-                            cache=getattr(old, "cache_enabled", True),
-                            synonyms=getattr(old, "synonyms", None),
-                        )
+                        if isinstance(old, HotIndex):
+                            self.search_api.backend = HotIndex(
+                                self.index_dir,
+                                synonyms=getattr(old, "synonyms", None),
+                            )
+                        else:
+                            self.search_api.backend = Index(
+                                self.spark,
+                                self.index_dir,
+                                cache=getattr(old, "cache_enabled", True),
+                                synonyms=getattr(old, "synonyms", None),
+                            )
                         release = getattr(old, "release", None)
                         if release is not None:
                             release()

@@ -148,6 +148,37 @@ def test_hot_wand_identity(hot, engine, terms, required):
     assert got == want
 
 
+def test_update_swap_preserves_hot_backend(
+    spark, index_dir, tmp_path_factory, corpus
+):
+    """A hot-plane server stays hot across an update cycle: the
+    snapshot swap re-opens a HotIndex (type-preserving) and the new
+    doc serves through it."""
+    from photon_spark.api import SearchAPI, UpdateAPI
+    from photon_spark.index.updater import UPDATES_DDL
+
+    out = str(tmp_path_factory.mktemp("hot_swap")) + "/idx"
+    shutil.copytree(index_dir, out)
+
+    search_api = SearchAPI(HotIndex(out))
+    assert search_api.api({"q": "zzhotswap"})["features"] == []
+    row = corpus.iloc[0]
+    batch = spark.createDataFrame(
+        [("upsert", "org9/fresh", "src/zzhotswap.py", "d" * 40, row.lang,
+          "zzhotswap fresh body", 42)],
+        UPDATES_DDL,
+    )
+    upd = UpdateAPI(spark, out, lambda: batch, search_api=search_api)
+    old = search_api.backend
+    upd.trigger()
+    upd.wait(timeout=300)
+    assert upd.last_result is not None and upd.last_result["n_added"] == 1
+    assert search_api.backend is not old
+    assert isinstance(search_api.backend, HotIndex)
+    feats = search_api.api({"q": "zzhotswap"})["features"]
+    assert len(feats) == 1 and feats[0]["properties"]["path"] == "src/zzhotswap.py"
+
+
 def test_hot_on_updated_index(spark, index_dir, tmp_path_factory):
     """Delta segments + tombstones: hot ≡ engine after apply_updates —
     upsert-modified content is searchable (delta postings read), and
