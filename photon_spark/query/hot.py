@@ -115,7 +115,11 @@ class HotIndex(OracleIndex):
 
     # memo caps (entries), mirroring Index._stats_cache discipline
     MAX_POSTING_MEMO = 200_000
-    MAX_PREFIX_CANDIDATES = 100_000  # Index.MAX_PREFIX_CANDIDATES analog
+    # MUST equal Index.MAX_PREFIX_CANDIDATES: the deterministic
+    # term-asc truncation of an over-wide fuzzy fallback is part of
+    # serving semantics — a different cap would make hot and Spark
+    # expand (and rank) differently on cap-hitting queries
+    MAX_PREFIX_CANDIDATES = 10_000
 
     def __init__(self, index_dir: str, synonyms=None):
         # NOTE: deliberately NOT calling OracleIndex.__init__ — the
@@ -288,17 +292,20 @@ class HotIndex(OracleIndex):
         applied after."""
         flt = pads.field("field") == field
         if prefix:
-            flt = (
-                flt
-                & (pads.field("term") >= prefix)
-                & (pads.field("term") < prefix + "\uffff")
-            )
+            # range pushdown: UTF-8 byte order equals code-point
+            # order, so startswith(prefix) \u27fa prefix \u2264 term <
+            # prefix-with-last-char-incremented (a "\uffff" sentinel
+            # would miss astral-plane terms)
+            flt = flt & (pads.field("term") >= prefix)
+            last = prefix[-1]
+            if ord(last) < 0x10FFFF:
+                flt = flt & (pads.field("term") < prefix[:-1] + chr(ord(last) + 1))
         tbl = self._dict_ds.to_table(filter=flt, columns=["term"])
         out = sorted(
             {
                 t
                 for t in tbl.column("term").to_pylist()
-                if min_len <= len(t) <= max_len
+                if min_len <= len(t) <= max_len and t.startswith(prefix)
             }
         )
         if len(out) > self.MAX_PREFIX_CANDIDATES:
