@@ -125,22 +125,26 @@ def validate_search(params: dict, max_results: int = MAX_RESULTS) -> dict:
                 f"invalid layer(s) {bad}; allowed: {sorted(LAYERS)}"
             )
     # location bias (lat/lon analog; SearchRequestFactoryBase.java:
-    # 25-32): bad numbers 400 like a bad Double/Integer queryParam
+    # 25-32): bad numbers 400 like a bad Double/Integer queryParam —
+    # the reference parses zoom/location_bias_scale unconditionally,
+    # so they must 400 even when no bias point accompanies them
+    try:
+        zoom_raw = params.get("zoom")
+        zoom = int(zoom_raw) if zoom_raw is not None else None
+        scale_raw = params.get("location_bias_scale")
+        scale = float(scale_raw) if scale_raw is not None else None
+    except (TypeError, ValueError):
+        raise BadRequest("invalid zoom / location_bias_scale")
     bias = None
     if params.get("bias_repo") or params.get("bias_path"):
         from photon_spark.query.geobias import BiasSpec
 
-        try:
-            zoom = params.get("zoom")
-            scale = params.get("location_bias_scale")
-            bias = BiasSpec.make(
-                str(params.get("bias_repo") or ""),
-                str(params.get("bias_path") or ""),
-                zoom=int(zoom) if zoom is not None else None,
-                scale=float(scale) if scale is not None else None,
-            )
-        except (TypeError, ValueError):
-            raise BadRequest("invalid zoom / location_bias_scale")
+        bias = BiasSpec.make(
+            str(params.get("bias_repo") or ""),
+            str(params.get("bias_path") or ""),
+            zoom=zoom,
+            scale=scale,
+        )
     bbox = None
     if params.get("bbox") is not None:
         from photon_spark.query.geobias import bbox_segments
@@ -428,6 +432,7 @@ class SearchAPI:
                         filters=v["filters"], include=v["include"],
                         exclude=v["exclude"], osm_tag=v["osm_tag"],
                         layers=v["layers"], suggest=v["suggest"],
+                        bias=v["bias"], bbox=v["bbox"],
                     )
                 )
             return out

@@ -457,12 +457,17 @@ class OracleIndex:
             allowed = set(m or {})
         q = coord_segments(repo, path)
         rows = []
-        for d in self.docs.values():
+        # iterate (key, meta): postings/evaluator results are keyed by
+        # the docs-dict KEY (== meta["doc"] for the oracle, the dense
+        # ordinal for the hot backend) — category membership and the
+        # query_string 'allowed' set must probe with THAT key, never
+        # the sha-int column
+        for key, d in self.docs.items():
             if layers and d["type"] not in layers:
                 continue
-            if not self._cat_pass(d["doc"], inc_groups, exc_groups):
+            if not self._cat_pass(key, inc_groups, exc_groups):
                 continue
-            if allowed is not None and d["doc"] not in allowed:
+            if allowed is not None and key not in allowed:
                 continue
             if tfs and not tag_predicate_py(tfs, d["lang"], ext_of_path(d["path"])):
                 continue

@@ -58,6 +58,7 @@ from pyspark.sql import functions as F
 
 from photon_spark.query.reverse import (
     coord_segments,
+    doc_segs_col,
     tree_distance,
     tree_distance_col,
 )
@@ -120,15 +121,6 @@ class BiasSpec:
     @property
     def bias_weight(self) -> float:
         return 1.0 - self.importance_weight
-
-
-def doc_segs_col() -> Column:
-    """The coordinate-segments column for a (repo, path) doc row —
-    the same expression reverse.py evaluates (coord_segments twin)."""
-    return F.filter(
-        F.concat(F.split(F.col("repo"), "/"), F.split(F.col("path"), "/")),
-        lambda s: s != F.lit(""),
-    )
 
 
 def bias_boost_col(spec: BiasSpec) -> Column:

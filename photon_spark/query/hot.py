@@ -187,9 +187,26 @@ class HotIndex(OracleIndex):
         self._dict_ds = pads.dataset(
             os.path.join(index_dir, "dictionary"), partitioning="hive"
         )
+        dd_dir = os.path.join(index_dir, "dictionary_delta")
+        self._dict_delta_ds = (
+            pads.dataset(dd_dir, partitioning="hive") if os.path.isdir(dd_dir) else None
+        )
         self._bloom = ...  # lazy, like Index
         self._del_meta = False  # lazy deletion-table metadata
         self._del_ds = None
+
+    def _dict_read(self, flt, columns):
+        """Dictionary read across base + delta segments (the
+        executor's dictionary_delta union, executor.py:147-155) —
+        callers aggregate df-sum / max_tf-max per term themselves."""
+        import pyarrow as pa
+
+        tables = [self._dict_ds.to_table(filter=flt, columns=columns)]
+        if self._dict_delta_ds is not None:
+            tables.append(
+                self._dict_delta_ds.to_table(filter=flt, columns=columns)
+            )
+        return pa.concat_tables(tables)
 
     # ---------------- posting fetch (memo + pruned read) ----------------
 
@@ -275,9 +292,9 @@ class HotIndex(OracleIndex):
     # ---------------- TermDictionary (pyarrow-backed) ----------------
 
     def term_stats(self, field: str, terms: list[str]) -> dict[str, int]:
-        tbl = self._dict_ds.to_table(
-            filter=(pads.field("field") == field) & pads.field("term").isin(terms),
-            columns=["term", "df"],
+        tbl = self._dict_read(
+            (pads.field("field") == field) & pads.field("term").isin(terms),
+            ["term", "df"],
         )
         out: dict[str, int] = {}
         for t, df in zip(tbl.column("term").to_pylist(), tbl.column("df").to_pylist()):
@@ -297,10 +314,17 @@ class HotIndex(OracleIndex):
             # prefix-with-last-char-incremented (a "\uffff" sentinel
             # would miss astral-plane terms)
             flt = flt & (pads.field("term") >= prefix)
-            last = prefix[-1]
-            if ord(last) < 0x10FFFF:
-                flt = flt & (pads.field("term") < prefix[:-1] + chr(ord(last) + 1))
-        tbl = self._dict_ds.to_table(filter=flt, columns=["term"])
+            nxt = ord(prefix[-1]) + 1
+            if 0xD800 <= nxt <= 0xDFFF:
+                # skip the surrogate gap — lone surrogates cannot be
+                # encoded to UTF-8 (Arrow would raise); code points in
+                # the gap never occur in valid terms, so the widened
+                # bound admits nothing extra (and the python
+                # startswith below is exact regardless)
+                nxt = 0xE000
+            if nxt <= 0x10FFFF:
+                flt = flt & (pads.field("term") < prefix[:-1] + chr(nxt))
+        tbl = self._dict_read(flt, ["term"])
         out = sorted(
             {
                 t
@@ -439,9 +463,9 @@ class HotIndex(OracleIndex):
     ) -> dict[str, tuple[int, int]]:
         """(term → (df summed over segments, max_tf maxed)) from the
         dictionary files — the Index._term_stats_memo twin."""
-        tbl = self._dict_ds.to_table(
-            filter=(pads.field("field") == field) & pads.field("term").isin(terms),
-            columns=["term", "df", "max_tf"],
+        tbl = self._dict_read(
+            (pads.field("field") == field) & pads.field("term").isin(terms),
+            ["term", "df", "max_tf"],
         )
         out: dict[str, tuple[int, int]] = {}
         for t, df, mt in zip(

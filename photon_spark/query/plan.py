@@ -269,6 +269,19 @@ def plan_to_dict(plan: "SearchPlan") -> dict:
             {"kind": t.kind.value, "key": t.key, "value": t.value}
             for t in plan.tag_filters
         ],
+        # Q12/Q14 request context (json-safe projections)
+        "bias": (
+            {
+                "point": list(plan.bias.segs),
+                "zoom": plan.bias.zoom,
+                "scale": plan.bias.scale,
+                "radius": plan.bias.radius,
+                "decay_radius": plan.bias.decay_radius,
+            }
+            if plan.bias is not None
+            else None
+        ),
+        "bbox": list(plan.bbox) if plan.bbox else None,
     }
 
 

@@ -42,6 +42,24 @@ def tree_distance(a: list[str], b: list[str]) -> int:
     return (len(a) - lcp) + (len(b) - lcp)
 
 
+def doc_segs_col() -> Column:
+    """NULL-safe coordinate-segments column for a (repo, path) doc
+    row — the columnar twin of :func:`coord_segments` (NULL repo or
+    path behaves as empty, exactly like the python side's ``or ""``;
+    a bare ``F.split(NULL)`` would NULL the whole coordinate and make
+    every distance/bbox predicate silently drop the doc). The ONE
+    definition of the corpus geometry — reverse (Q15/Q16) and the
+    location-bias/bbox grafts (Q12/R2/Q14, query/geobias.py) both
+    read it."""
+    return F.filter(
+        F.concat(
+            F.split(F.coalesce(F.col("repo"), F.lit("")), "/"),
+            F.split(F.coalesce(F.col("path"), F.lit("")), "/"),
+        ),
+        lambda s: s != F.lit(""),
+    )
+
+
 def tree_distance_col(segs_col: Column, query_segs: list[str]) -> Column:
     """Columnar twin of :func:`tree_distance` for a fixed query point:
     a fold over zipped segments tracking (still-matching, lcp)."""
@@ -135,11 +153,7 @@ def reverse_candidates(
     pred = prune_predicate(repo, path, radius)
     if pred is not None:
         docs = docs.filter(pred)
-    segs = F.filter(
-        F.concat(F.split(F.col("repo"), "/"), F.split(F.col("path"), "/")),
-        lambda s: s != F.lit(""),
-    )
-    with_d = docs.withColumn("distance", tree_distance_col(segs, q))
+    with_d = docs.withColumn("distance", tree_distance_col(doc_segs_col(), q))
     order = (
         [F.asc("distance"), F.desc("importance"), F.asc("doc")]
         if distance_sort

@@ -164,6 +164,43 @@ def test_bias_prefers_near_doc(oracle, corpus):
 # ---------------- request surface ----------------
 
 
+def test_null_repo_coordinate_identity(spark, tmp_path_factory):
+    """A doc with NULL repo has a real coordinate (its path segments)
+    on BOTH planes: the columnar segs expression coalesces NULL to
+    empty like coord_segments' ``or ""`` — a bare split(NULL) would
+    give such docs distance NULL (max bias boost via greatest(), and
+    silent bbox drops) while the python twin computes the true
+    distance (the round-4 review's NULL-propagation finding)."""
+    import pandas as pd
+
+    from photon_spark.index.build import build_index
+    from photon_spark.oracle.oracle import OracleIndex
+    from photon_spark.query.executor import Index as EngineIndex
+
+    rows = [
+        {"repo": None, "path": "docs/alpha_street.md", "commit": "c1",
+         "lang": "en", "content": "alpha street merge", "importance": 0.9},
+        {"repo": "org/x", "path": "docs/beta_street.md", "commit": "c2",
+         "lang": "en", "content": "beta street merge", "importance": 0.5},
+        {"repo": "org/y", "path": "src/gamma_street.py", "commit": "c3",
+         "lang": "en", "content": "gamma street merge", "importance": 0.7},
+    ]
+    pdf = pd.DataFrame(rows)
+    out = str(tmp_path_factory.mktemp("nullrepo"))
+    build_index(spark, spark.createDataFrame(pdf), out)
+    idx = EngineIndex(spark, out)
+    o = OracleIndex(pdf)
+    spec = BiasSpec.make("org/x", "docs", zoom=14)
+    for kw in (dict(bias=spec), dict(bbox=bbox_segments("docs")), {}):
+        got = [(h["doc_id"], round(h["score"], 9)) for h in idx.search("street merge", k=5, **kw)]
+        want = [(h["doc_id"], round(h["score"], 9)) for h in o.search("street merge", k=5, **kw)]
+        assert got == want, f"NULL-repo divergence with {list(kw)}"
+    # the bbox window spelled by the NULL-repo doc's path is served
+    assert [h["path"] for h in idx.search("street merge", k=5, bbox=bbox_segments("docs"))] == [
+        "docs/alpha_street.md"
+    ]
+
+
 def test_api_bias_params():
     from photon_spark.api import validate_search
 
@@ -192,6 +229,12 @@ def test_api_bias_param_validation():
         validate_search({"q": "x", "bias_repo": "r", "location_bias_scale": "huge"})
     with pytest.raises(BadRequest):
         validate_search({"q": "x", "bbox": "///"})
+    # zoom/scale parse unconditionally (the reference's queryParam
+    # parsing 400s without a point too)
+    with pytest.raises(BadRequest):
+        validate_search({"q": "x", "zoom": "abc"})
+    with pytest.raises(BadRequest):
+        validate_search({"q": "x", "location_bias_scale": "huge"})
     # no point → zoom/scale alone do not create a bias
     assert validate_search({"q": "x", "zoom": "10"})["bias"] is None
 

@@ -93,6 +93,22 @@ def test_hot_structured_and_reverse(hot, engine):
         h["doc_id"] for h in engine.reverse(probe["repo"], probe["path"], k=5, radius=4)
     ]
     assert got == want
+    # Q17 on the hot plane: the query_string 'allowed' set is keyed
+    # by the docs-dict key (ordinals here) — a sha-int probe would
+    # filter everything (the round-4 review's id-space finding)
+    got = [
+        h["doc_id"]
+        for h in hot.reverse(
+            probe["repo"], probe["path"], k=5, radius=6, query_string="street"
+        )
+    ]
+    want = [
+        h["doc_id"]
+        for h in engine.reverse(
+            probe["repo"], probe["path"], k=5, radius=6, query_string="street"
+        )
+    ]
+    assert got == want and got
 
 
 def test_hot_match_all_categories(hot, engine):
@@ -222,6 +238,13 @@ def test_hot_on_updated_index(spark, index_dir, tmp_path_factory):
     # 'zzhotdelta' is findable through the hot path via its field
     fp = hot2.postings.get("all", {})
     assert fp.get("zzhotdelta"), "delta posting not visible to hot reader"
+    # ...and the delta DICTIONARY too: term stats and the fuzzy
+    # prefix scan must see delta-only terms exactly like the Spark
+    # Index's dictionary_delta union (df/max_tf aggregated)
+    stats = hot2._term_stats_full("all", ["zzhotdelta"])
+    estats = engine2._term_stats_memo("all", ["zzhotdelta"])
+    assert stats == estats and stats["zzhotdelta"][0] > 0
+    assert hot2.terms_with_prefix("all", "zzhotdel", 1, 20) == ["zzhotdelta"]
     # WAND on the updated index: tombstones must suppress deleted
     # docs identically in both kernels
     want = [
