@@ -218,6 +218,14 @@ class OracleIndex:
     # Index._compile_tree's column expressions. Shared fold orders ⇒
     # bit-identical float64 scores.
 
+    def _leaf_idf(self, field: str, term: str, plist) -> float:
+        """idf source for a Match leaf. Default: the local posting
+        count over the local doc count — exact for a single index.
+        The sharded serving layer overrides the numbers with GLOBAL
+        (df, N) so every shard scores with the same idf (DFS-style
+        query-then-fetch; see query/sharded.py)."""
+        return scoring.idf(len(plist), self.n_docs)
+
     def _leaf_data(self, root: PlanNode):
         match_maps: dict[int, dict[int, tuple[float, int]]] = {}
         hit_sets: dict[int, set[int]] = {}
@@ -231,7 +239,7 @@ class OracleIndex:
                         plist = fp.get(term)
                         if not plist:
                             continue
-                        wmult = scoring.idf(len(plist), self.n_docs) * mult
+                        wmult = self._leaf_idf(n.field, term, plist) * mult
                         for d, tf in plist.items():
                             s = wmult * scoring.tf_weight(float(tf))
                             cm = per_clause.setdefault(d, {})

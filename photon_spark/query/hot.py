@@ -292,6 +292,8 @@ class HotIndex(OracleIndex):
     # ---------------- TermDictionary (pyarrow-backed) ----------------
 
     def term_stats(self, field: str, terms: list[str]) -> dict[str, int]:
+        if not terms:
+            return {}
         tbl = self._dict_read(
             (pads.field("field") == field) & pads.field("term").isin(terms),
             ["term", "df"],
@@ -390,6 +392,21 @@ class HotIndex(OracleIndex):
         self._fuzzy_cache[ck] = tuple(out)
         return out
 
+    def _leaf_idf(self, field: str, term: str, plist) -> float:
+        """Global-stats override hook: when the sharded layer has
+        installed a stats context (``_stats_ctx``: (field, term) →
+        (global df, global N)), score with it so every shard uses the
+        SAME idf; otherwise the local counts are exact (single
+        index)."""
+        ctx = getattr(self, "_stats_ctx", None)
+        if ctx is not None:
+            hit = ctx.get((field, term))
+            if hit is not None:
+                from photon_spark.query import scoring
+
+                return scoring.idf(hit[0], hit[1])
+        return super()._leaf_idf(field, term, plist)
+
     def definitely_absent(self, field: str, term: str) -> bool:
         """The engine's bloom test (one-sided), NOT the oracle's exact
         membership — the hot path must skip exactly the plans the
@@ -412,7 +429,15 @@ class HotIndex(OracleIndex):
 
     # ---------------- block-max WAND (serving node) ----------------
 
-    def bm25_topk(self, field: str, terms: list[str], k: int = 10, required: int = 1):
+    def bm25_topk(
+        self,
+        field: str,
+        terms: list[str],
+        k: int = 10,
+        required: int = 1,
+        stats: dict[str, tuple[int, int]] | None = None,
+        n_docs: int | None = None,
+    ):
         """Block-max WAND top-k on the serving node — the SAME numpy
         kernel the distributed path runs per doc-range
         (query/wand.py::_make_kernel), here over one range covering
@@ -428,12 +453,17 @@ class HotIndex(OracleIndex):
         from photon_spark.query import scoring
         from photon_spark.query.wand import _make_kernel
 
-        stats = self._term_stats_full(field, sorted(set(terms)))
+        # ``stats``/``n_docs``: the sharded layer passes GLOBAL
+        # (df, max_tf) and the global doc count so every shard's
+        # kernel runs under identical idf + upper bounds
+        if stats is None:
+            stats = self._term_stats_full(field, sorted(set(terms)))
         if not stats:
             return pd.DataFrame(
                 {"doc": [], "score": [], "nm": []}
             ).astype({"doc": "int64", "score": "float64", "nm": "int32"})
-        idf = {t: scoring.idf(df, self.n_docs) for t, (df, _) in stats.items()}
+        n = self.n_docs if n_docs is None else n_docs
+        idf = {t: scoring.idf(df, n) for t, (df, _) in stats.items()}
         max_tf = {t: mt for t, (_, mt) in stats.items()}
         n_total = int(self.meta.get("next_ord", self.n_docs))
         cols = [
@@ -463,6 +493,8 @@ class HotIndex(OracleIndex):
     ) -> dict[str, tuple[int, int]]:
         """(term → (df summed over segments, max_tf maxed)) from the
         dictionary files — the Index._term_stats_memo twin."""
+        if not terms:
+            return {}  # isin([]) builds a null-typed Arrow set
         tbl = self._dict_read(
             (pads.field("field") == field) & pads.field("term").isin(terms),
             ["term", "df", "max_tf"],

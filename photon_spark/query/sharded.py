@@ -1,0 +1,195 @@
+"""Sharded hot serving — the multi-node query plane, made testable.
+
+The reference's production index is sharded (5 shards,
+Server.java:139) and served query-then-fetch
+(OpenSearchSearchHandler.java sendQuery, SearchType.QueryThenFetch):
+every shard answers top-k from its local postings and a coordinator
+merges. OpenSearch's default scores each shard with SHARD-LOCAL idf,
+so sharded rankings can drift from a single-index build; the DFS
+variant (dfs_query_then_fetch) first aggregates global term stats and
+removes the drift.
+
+:class:`ShardedHotIndex` implements the DFS variant over
+:class:`photon_spark.query.hot.HotIndex` shards:
+
+1. **stats phase** — one pruned dictionary read per shard for the
+   plan's (field, term) set; df sums and N is the global doc count.
+2. **query phase** — each shard evaluates the SAME grounded plan with
+   the global (df, N) installed (HotIndex._leaf_idf), returning its
+   top ``ext_limit`` by (os_score, sha-int doc).
+3. **fan-in** — since every doc lives in exactly one shard and all
+   shards score with identical idf, the merge of per-shard top-e
+   lists cut to e IS the single-index top-e: sharded serving is
+   RANK-IDENTICAL to one index over the union corpus (pinned in
+   tests/test_sharded.py), not merely approximately so.
+
+That identity is the 10^12-file serving story made concrete: shard
+the corpus across query nodes (each holding resident doc-values +
+memos for its slice, as hot.py describes), and the coordinator's
+merge provably reproduces the monolithic ranking. Grounding surfaces
+(fuzzy candidates, prefix scans, bloom absence) union/AND across
+shards, which preserves the two-pass retry and provably-empty
+short-circuit semantics (absence must be proven by EVERY shard —
+one-sided error per shard keeps the contract one-sided globally).
+
+Deviation from the reference, documented: photon accepts the default
+query-then-fetch drift; we implement DFS because the correctness gate
+(rank identity vs the single-index engine) demands exact merges, and
+the stats phase costs one dictionary read per shard — the same read
+the query phase needs anyway.
+"""
+
+from __future__ import annotations
+
+from photon_spark.query.hot import HotIndex
+from photon_spark.query.plan import Bool, DisMax, Exists, FnMul, Match, PlanNode
+from photon_spark.query.search_flow import run_search
+
+
+def _plan_needs(plan) -> dict[str, set[str]]:
+    """(field → terms) every Match leaf of a grounded plan scores."""
+    needs: dict[str, set[str]] = {}
+
+    def walk(n: PlanNode) -> None:
+        if isinstance(n, Match):
+            needs.setdefault(n.field, set()).update(
+                t for cl in n.clauses for t, _ in cl.expansions
+            )
+        elif isinstance(n, DisMax):
+            for c in n.children:
+                walk(c)
+        elif isinstance(n, Bool):
+            for c in n.must + n.should:
+                walk(c)
+        elif isinstance(n, FnMul):
+            walk(n.query)
+
+    walk(plan.root)
+    return needs
+
+
+class ShardedHotIndex:
+    """SearchBackend over N shard index directories (each built by
+    build_index over a disjoint corpus slice). Serving semantics are
+    rank-identical to a single index over the union corpus."""
+
+    def __init__(self, shard_dirs: list[str], synonyms=None):
+        if not shard_dirs:
+            raise ValueError("need at least one shard")
+        self.shards = [HotIndex(d, synonyms=synonyms) for d in shard_dirs]
+        self.synonyms = synonyms
+        self.n_docs = sum(s.n_docs for s in self.shards)
+        # lang display names are an index-global side input; shards
+        # built from one import share it
+        self.lang_names = dict(self.shards[0].lang_names)
+
+    # ---------------- TermDictionary (grounding: union) ----------------
+
+    def terms_with_prefix(
+        self, field: str, prefix: str, min_len: int, max_len: int
+    ) -> list[str]:
+        out: set[str] = set()
+        for s in self.shards:
+            out.update(s.terms_with_prefix(field, prefix, min_len, max_len))
+        return sorted(out)
+
+    def fuzzy_candidates(
+        self, field: str, token: str, edits: int, prefix_len: int
+    ) -> list[str]:
+        out: set[str] = set()
+        for s in self.shards:
+            out.update(s.fuzzy_candidates(field, token, edits, prefix_len))
+        return sorted(out)
+
+    def definitely_absent(self, field: str, term: str) -> bool:
+        """Absent iff EVERY shard proves absence — each shard's bloom
+        is one-sided, so the conjunction stays one-sided globally."""
+        return all(s.definitely_absent(field, term) for s in self.shards)
+
+    def term_stats(self, field: str, terms: list[str]) -> dict[str, int]:
+        out: dict[str, int] = {}
+        for s in self.shards:
+            for t, df in s.term_stats(field, terms).items():
+                out[t] = out.get(t, 0) + df
+        return out
+
+    # ---------------- DFS stats + fan-in ----------------
+
+    def _global_ctx(self, plan) -> dict[tuple[str, str], tuple[int, int]]:
+        ctx: dict[tuple[str, str], tuple[int, int]] = {}
+        for field, terms in _plan_needs(plan).items():
+            total: dict[str, int] = {}
+            for s in self.shards:
+                for t, (df, _mt) in s._term_stats_full(field, sorted(terms)).items():
+                    total[t] = total.get(t, 0) + df
+            for t, df in total.items():
+                ctx[(field, t)] = (df, self.n_docs)
+        return ctx
+
+    def candidates(self, plan, ext_limit: int) -> list[dict]:
+        ctx = self._global_ctx(plan)
+        rows: list[dict] = []
+        for s in self.shards:
+            s._stats_ctx = ctx
+            try:
+                rows.extend(s.candidates(plan, ext_limit))
+            finally:
+                s._stats_ctx = None
+        rows.sort(key=lambda r: (-r["os_score"], r["doc"]))
+        return rows[:ext_limit]
+
+    # ---------------- public API (the Index/HotIndex surface) ----------------
+
+    def search(self, q: str, k: int = 15, **kw) -> list[dict]:
+        return run_search(self, q, k=k, **kw)
+
+    def structured_search(self, sq, k: int = 15, dedupe: bool = True) -> list[dict]:
+        from photon_spark.query.search_flow import run_structured
+
+        return run_structured(self, sq, k=k, dedupe=dedupe)
+
+    def reverse(self, repo: str, path: str, k: int = 1, **kw) -> list[dict]:
+        rows: list[dict] = []
+        for s in self.shards:
+            rows.extend(s.reverse(repo, path, k=k, **kw))
+        if kw.get("distance_sort", True):
+            rows.sort(key=lambda r: (r["distance"], -r["importance"], r["doc"]))
+        else:
+            rows.sort(key=lambda r: (-r["importance"], r["doc"]))
+        return rows[:k]
+
+    def bm25_topk(self, field: str, terms: list[str], k: int = 10, required: int = 1):
+        """Block-max WAND with global (df, max_tf): each shard runs
+        the kernel under the global upper bounds, fan-in is the top-k
+        merge — exact, like the single-index path."""
+        import pandas as pd
+
+        stats: dict[str, tuple[int, int]] = {}
+        for s in self.shards:
+            for t, (df, mt) in s._term_stats_full(field, sorted(set(terms))).items():
+                prev = stats.get(t)
+                stats[t] = (df, mt) if prev is None else (prev[0] + df, max(prev[1], mt))
+        parts = []
+        for s in self.shards:
+            p = s.bm25_topk(field, terms, k=k, required=required,
+                            stats=stats, n_docs=self.n_docs)
+            # shard-local ordinals are ambiguous across shards — remap
+            # to the content sha-int (the docs table's ``doc``) for a
+            # deterministic global tie-break, and surface doc_id
+            p["doc_id"] = [s.docs[int(d)]["doc_id"] for d in p["doc"]]
+            p["doc"] = [s.docs[int(d)]["doc"] for d in p["doc"]]
+            parts.append(p)
+        out = pd.concat(parts, ignore_index=True)
+        out = out.sort_values(
+            ["score", "doc"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        return out.reset_index(drop=True)
+
+    def status(self) -> dict:
+        per = [s.status() for s in self.shards]
+        return {
+            "status": "Ok" if all(p["status"] == "Ok" for p in per) else "Degraded",
+            "n_docs": self.n_docs,
+            "n_shards": len(self.shards),
+            "shards": per,
+        }

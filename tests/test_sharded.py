@@ -1,0 +1,119 @@
+"""Sharded hot serving (query/sharded.py): DFS-style global stats
+make shard fan-in RANK-IDENTICAL to a single index over the union
+corpus — the 10^12-file serving story, pinned.
+
+Shard assignment keys on the content sha (the post-dedupe identity),
+so duplicates land in one shard and per-shard dedupe equals global
+dedupe — exactly how a real pipeline shards after exact dedup.
+"""
+
+import pytest
+
+from photon_spark.index.build import build_index
+from photon_spark.oracle.oracle import sha256_hex
+from photon_spark.query.executor import Index
+from photon_spark.query.sharded import ShardedHotIndex
+
+QUERIES = [
+    "retry", "bulk retry", "mugglen", "license", "Saint-Jean",
+    "parse config value", "IndexWriter", "BulkRetryHelper737.java",
+    "nonexistentterm42xyz", "main street",
+]
+
+
+@pytest.fixture(scope="module")
+def sharded(spark, corpus, tmp_path_factory):
+    root = tmp_path_factory.mktemp("shards")
+    dirs = []
+    for i in range(3):
+        part = corpus[
+            corpus["content"].map(lambda c, i=i: int(sha256_hex(c), 16) % 3 == i)
+        ]
+        out = str(root / f"shard{i}")
+        build_index(spark, spark.createDataFrame(part), out)
+        dirs.append(out)
+    return ShardedHotIndex(dirs)
+
+
+@pytest.fixture(scope="module")
+def engine(spark, index_dir):
+    return Index(spark, index_dir)
+
+
+def _ranked(rows):
+    return [(r["doc_id"], r["score"]) for r in rows]
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_sharded_rank_identity(sharded, oracle, q):
+    """3-shard fan-in ≡ single-index evaluation (oracle ≡ engine is
+    pinned elsewhere; both lanes close the triangle)."""
+    got = _ranked(sharded.search(q, k=15))
+    want = _ranked(oracle.search(q, k=15))
+    assert [d for d, _ in got] == [d for d, _ in want], f"order differs for {q!r}"
+    for (d, s1), (_, s2) in zip(got, want):
+        assert abs(s1 - s2) < 1e-12, f"score differs for {q!r} doc {d}"
+
+
+def test_sharded_vs_engine_spot(sharded, engine):
+    for q, kw in [
+        ("bulk retry", {}),
+        ("street", {"filters": {"repo": "org0/proj0"}}),
+        ("main street", {"suggest": True}),
+    ]:
+        assert _ranked(sharded.search(q, k=10, **kw)) == _ranked(
+            engine.search(q, k=10, **kw)
+        )
+
+
+def test_sharded_structured_reverse(sharded, engine, corpus):
+    from photon_spark.query.compiler import StructuredQuery
+
+    sq = StructuredQuery(repo="org0/proj0", name="street")
+    assert _ranked(sharded.structured_search(sq, k=8)) == _ranked(
+        engine.structured_search(sq, k=8)
+    )
+    row = corpus.iloc[0]
+    got = [h["doc_id"] for h in sharded.reverse(row["repo"], row["path"], k=5, radius=4)]
+    want = [h["doc_id"] for h in engine.reverse(row["repo"], row["path"], k=5, radius=4)]
+    assert got == want
+
+
+def test_sharded_bias(sharded, oracle, corpus):
+    from photon_spark.query.geobias import BiasSpec
+
+    row = corpus.iloc[0]
+    spec = BiasSpec.make(row["repo"], row["path"], zoom=14)
+    assert _ranked(sharded.search("merge stream", k=10, bias=spec)) == _ranked(
+        oracle.search("merge stream", k=10, bias=spec)
+    )
+
+
+def test_sharded_wand_exact(sharded, engine, spark, index_dir):
+    """Global-stats WAND fan-in ≡ single-index WAND: full result set
+    (k ≥ all matches) compared as (doc_id, score, nm) multisets —
+    ordinal tie-breaks differ between builds by construction."""
+    docs = {r["ord"]: r["doc_id"] for r in Index(spark, index_dir).docs().collect()}
+    for terms, req in ([["street", "main"], 1], [["retry", "bulk", "helper"], 2]):
+        want = sorted(
+            (docs[r["doc"]], round(r["score"], 9), r["nm"])
+            for r in engine.bm25_topk("all", terms, k=400, required=req).collect()
+        )
+        got = sorted(
+            (r.doc_id, round(float(r.score), 9), int(r.nm))
+            for r in sharded.bm25_topk("all", terms, k=400, required=req).itertuples()
+        )
+        assert got == want
+
+
+def test_sharded_grounding_surfaces(sharded, oracle):
+    # fuzzy candidates union across shards == the whole-corpus set
+    assert sharded.fuzzy_candidates("all", "mugglen", 1, 2) == oracle.fuzzy_candidates(
+        "all", "mugglen", 1, 2
+    )
+    # bloom absence requires EVERY shard to prove it (one-sided)
+    assert sharded.definitely_absent("all", "zz-not-a-term-zz")
+    assert not sharded.definitely_absent("all", "street")
+    st = sharded.status()
+    assert st["status"] == "Ok" and st["n_shards"] == 3
+    assert st["n_docs"] == sharded.n_docs
