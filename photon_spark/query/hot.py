@@ -37,12 +37,16 @@ row-group pruning. Fan-in across shards is the standard top-k merge
 (scores are shard-local idf like OpenSearch's default
 query-then-fetch, documented deviation from DFS mode).
 
-Latency measured at sf0.01 local box: warm p50 ~8 ms, cold
-open+first-query ~70 ms — vs ~1.28 s p50 through the Spark evaluator
-on the same index (bench.py records both per round as
-``hot_query_latency`` / ``query_latency``). The Spark path stays the
-reference evaluator: batch workloads, huge candidate sets, and the
-correctness gate run there.
+Latency measured at sf0.1 local box (5k docs, 147k terms): warm p50
+~7 ms (p95 ~8 ms), cold open+first-query ~140 ms — vs ~1.2 s p50
+through the Spark evaluator on the same index (bench.py records both
+per round as ``hot_query_latency`` / ``query_latency``). Plan
+evaluation is the vectorized numpy twin of the oracle walk
+(``_eval_node`` override below) — the per-doc python interpretation
+would cost ~200 ms on a skewed-term query over this shard and
+seconds over a million-doc one. The Spark path stays the reference
+evaluator: batch workloads, huge candidate sets, and the correctness
+gate run there.
 
 Reference: opensearch/OpenSearchSearchHandler.java (query-then-fetch
 serving), Server.java (node-resident reader).
@@ -174,7 +178,8 @@ class HotIndex(OracleIndex):
             )
 
         self.postings = _LazyPostings(self)
-        self._post_memo: dict[tuple[str, str], dict[int, int] | None] = {}
+        self._arr_memo: dict[tuple[str, str], tuple | None] = {}
+        self._post_memo: dict[tuple[str, str], dict[int, int]] = {}
         self._fuzzy_cache: dict[tuple, tuple[str, ...]] = {}
         # lazy pyarrow datasets (one file-listing each)
         self._post_ds = pads.dataset(
@@ -212,21 +217,33 @@ class HotIndex(OracleIndex):
 
     def _postings_memo_get(self, field: str, term: str):
         key = (field, term)
-        if key in self._post_memo:
-            return self._post_memo[key]
-        self.prefetch(field, [term])
-        return self._post_memo[key]
+        hit = self._post_memo.get(key)
+        if hit is not None:
+            return hit
+        arr = self._postings_arrays(field, term)
+        if arr is None:
+            return None
+        m = dict(zip(arr[0].tolist(), arr[1].astype(int).tolist()))
+        self._post_memo[key] = m
+        return m
 
     def prefetch(self, field: str, terms: list[str]) -> None:
         """ONE pruned read + decode for every uncached term of a
         field (the evaluator's by-field batching; per-term round
-        trips would multiply read latency)."""
+        trips would multiply read latency). Decoded postings are
+        memoized twice: as numpy (docs, tfs) array pairs (the
+        vectorized evaluator's shape) and, lazily on first mapping
+        access, as the {ord: tf} dicts the inherited python paths
+        walk."""
+        import numpy as np
+
         missing = sorted(
-            {t for t in terms if (field, t) not in self._post_memo}
+            {t for t in terms if (field, t) not in self._arr_memo}
         )
         if not missing:
             return
-        if len(self._post_memo) > self.MAX_POSTING_MEMO:
+        if len(self._arr_memo) > self.MAX_POSTING_MEMO:
+            self._arr_memo.clear()
             self._post_memo.clear()
         flt = (pads.field("field") == field) & pads.field("term").isin(missing)
         tables = [self._post_ds.to_table(filter=flt, columns=_POSTING_COLS)]
@@ -234,20 +251,34 @@ class HotIndex(OracleIndex):
             tables.append(
                 self._post_delta_ds.to_table(filter=flt, columns=_POSTING_COLS)
             )
-        found: dict[str, dict[int, int]] = {}
+        found: dict[str, list] = {}
         for tbl in tables:
             terms_col = tbl.column("term").to_pylist()
             ns = tbl.column("n").to_pylist()
             dbs = tbl.column("doc_bytes").to_pylist()
             tbs = tbl.column("tf_bytes").to_pylist()
             for t, n, db, tb in zip(terms_col, ns, dbs, tbs):
-                docs = decode_doc_block(db, n)
-                tfs = decode_tfs(tb, n)
-                m = found.setdefault(t, {})
-                for d, tf in zip(docs.tolist(), tfs.tolist()):
-                    m[d] = tf
+                found.setdefault(t, []).append(
+                    (decode_doc_block(db, n), decode_tfs(tb, n))
+                )
         for t in missing:
-            self._post_memo[(field, t)] = found.get(t)
+            parts = found.get(t)
+            if parts is None:
+                self._arr_memo[(field, t)] = None
+            else:
+                # block doc ranges are disjoint within a segment and
+                # ordinals are never reused across segments ⇒ unique
+                self._arr_memo[(field, t)] = (
+                    np.concatenate([d for d, _ in parts]),
+                    np.concatenate([f for _, f in parts]).astype(np.float64),
+                )
+
+    def _postings_arrays(self, field: str, term: str):
+        """(docs int64, tfs float64) arrays or None — memo-first."""
+        key = (field, term)
+        if key not in self._arr_memo:
+            self.prefetch(field, [term])
+        return self._arr_memo[key]
 
     def _plan_prefetch(self, plan) -> None:
         """Batch every (field, term) the plan + its filter context
@@ -288,6 +319,166 @@ class HotIndex(OracleIndex):
     def candidates(self, plan, ext_limit: int) -> list[dict]:
         self._plan_prefetch(plan)
         return super().candidates(plan, ext_limit)
+
+    # ---------------- vectorized plan evaluation ----------------
+    #
+    # The oracle's per-doc python tree walk is exact but O(universe ×
+    # tree) in the interpreter — ~200 ms for a skewed-term query over
+    # a 5k-doc shard and SECONDS over a million-doc shard. This
+    # override evaluates the same tree ONCE over numpy arrays aligned
+    # to the candidate universe, with operation order preserved
+    # element-wise (clause maxima are order-independent; clause sums
+    # fold in clause order; bool children add in declaration order;
+    # dis_max masks nulls before the max exactly like Spark's
+    # ``greatest(CASE WHEN p THEN s END, ...)``), so scores stay
+    # bit-identical to the python walk — pinned by every identity
+    # test and the fuzz lane.
+
+    def _eval_node(self, root):
+        import numpy as np
+
+        from photon_spark.query import scoring
+        from photon_spark.query.plan import required_clauses
+
+        # ---- pass 1: leaf arrays --------------------------------
+        match_leaves: dict[int, list[list[tuple]]] = {}  # nid → [clause → [(docs, s)]]
+        hit_arrays: dict[int, list] = {}  # nid → [docs arrays]
+        parts: list = []
+
+        def walk(n: PlanNode) -> None:
+            if isinstance(n, Match):
+                clauses = []
+                for cl in n.clauses:
+                    exp = []
+                    for term, mult in cl.expansions:
+                        arr = self._postings_arrays(n.field, term)
+                        if arr is None or len(arr[0]) == 0:
+                            continue
+                        docs, tfs = arr
+                        wmult = self._leaf_idf(n.field, term, docs) * mult
+                        s = wmult * (
+                            tfs * (scoring.K1 + 1.0) / (tfs + scoring.K1)
+                        )
+                        exp.append((docs, s))
+                        parts.append(docs)
+                    clauses.append(exp)
+                match_leaves[n.node_id] = clauses
+            elif isinstance(n, DisMax):
+                for c in n.children:
+                    walk(c)
+            elif isinstance(n, Bool):
+                for c in n.must + n.should:
+                    walk(c)
+            elif isinstance(n, FnMul):
+                walk(n.query)
+                arrs = []
+                for t in sorted(set(n.filter_terms)):
+                    arr = self._postings_arrays(n.filter_field, t)
+                    if arr is not None and len(arr[0]):
+                        arrs.append(arr[0])
+                        parts.append(arr[0])
+                hit_arrays[n.node_id] = arrs
+            elif isinstance(n, Exists):
+                arr = self._postings_arrays(FIELD_KEYWORD, n.term)
+                arrs = [arr[0]] if arr is not None and len(arr[0]) else []
+                hit_arrays[n.node_id] = arrs
+                parts.extend(arrs)
+
+        walk(root)
+        if not parts:
+            return None
+        universe = np.unique(np.concatenate(parts))
+        nu = len(universe)
+
+        # ---- pass 2: per-node (score, matched) over the universe --
+        node_sm: dict[int, tuple] = {}
+        for nid, clauses in match_leaves.items():
+            s_acc = np.zeros(nu)
+            m_arr = np.zeros(nu, dtype=np.int64)
+            for exp in clauses:  # clause order = ci ascending
+                if not exp:
+                    continue
+                cs = np.full(nu, -np.inf)
+                for docs, s in exp:
+                    idx = np.searchsorted(universe, docs)
+                    np.maximum.at(cs, idx, s)
+                mask = cs > -np.inf
+                # python folds 0.0 + max_0 + max_1 ... over PRESENT
+                # clauses per doc — same element-wise order here
+                s_acc = np.where(mask, s_acc + np.where(mask, cs, 0.0), s_acc)
+                m_arr += mask
+            node_sm[nid] = (s_acc, m_arr)
+        hit_masks: dict[int, np.ndarray] = {}
+        for nid, arrs in hit_arrays.items():
+            if arrs:
+                hits = np.unique(np.concatenate(arrs))
+                pos = np.searchsorted(hits, universe)
+                pos = np.minimum(pos, len(hits) - 1)
+                hit_masks[nid] = hits[pos] == universe
+            else:
+                hit_masks[nid] = np.zeros(nu, dtype=bool)
+
+        # ---- pass 3: the tree, array-at-a-time --------------------
+        nan = np.nan
+
+        def tree(n: PlanNode):
+            """(val float64 array with NaN = the walk's None,
+            present bool array) — OracleIndex._tree element-wise."""
+            if isinstance(n, Match):
+                s, m = node_sm.get(n.node_id, (np.zeros(nu), np.zeros(nu, dtype=np.int64)))
+                present = m >= required_clauses(n)
+                val = np.where(present, n.boost * s, nan)
+                return val, present
+            if isinstance(n, Exists):
+                hit = hit_masks.get(n.node_id, np.zeros(nu, dtype=bool))
+                return np.zeros(nu), (~hit if n.negate else hit)
+            if isinstance(n, DisMax):
+                ps = [tree(c) for c in n.children]
+                present = ps[0][1].copy()
+                for _, p in ps[1:]:
+                    present |= p
+                best = np.full(nu, -np.inf)
+                anyval = np.zeros(nu, dtype=bool)
+                for v, p in ps:
+                    ok = p & ~np.isnan(v)
+                    np.maximum(best, np.where(ok, v, -np.inf), out=best)
+                    anyval |= ok
+                return np.where(anyval, n.boost * best, nan), present
+            if isinstance(n, Bool):
+                musts = [tree(c) for c in n.must]
+                shoulds = [tree(c) for c in n.should]
+                if musts:
+                    present = musts[0][1].copy()
+                    for _, p in musts[1:]:
+                        present &= p
+                else:
+                    present = np.zeros(nu, dtype=bool)
+                    for _, p in shoulds:
+                        present |= p
+                total = None
+                for v, _ in musts:
+                    total = v if total is None else total + v  # NaN propagates = the walk's early None
+                for v, p in shoulds:
+                    term = np.where(p & ~np.isnan(v), v, 0.0)
+                    total = term if total is None else total + term
+                if total is None:
+                    return np.full(nu, nan), present
+                return n.boost * total, present
+            if isinstance(n, FnMul):
+                qv, qp = tree(n.query)
+                mult = n.const_weight + np.where(
+                    hit_masks.get(n.node_id, np.zeros(nu, dtype=bool)),
+                    n.filter_weight,
+                    0.0,
+                )
+                return qv * mult, qp
+            raise TypeError(f"unknown node {n!r}")
+
+        val, present = tree(root)
+        keep = present & ~np.isnan(val)
+        if not keep.any():
+            return None
+        return dict(zip(universe[keep].tolist(), val[keep].tolist()))
 
     # ---------------- TermDictionary (pyarrow-backed) ----------------
 
