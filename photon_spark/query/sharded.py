@@ -41,30 +41,21 @@ the query phase needs anyway.
 
 from __future__ import annotations
 
+import threading
+
 from photon_spark.query.hot import HotIndex
-from photon_spark.query.plan import Bool, DisMax, Exists, FnMul, Match, PlanNode
 from photon_spark.query.search_flow import run_search
 
 
 def _plan_needs(plan) -> dict[str, set[str]]:
-    """(field → terms) every Match leaf of a grounded plan scores."""
+    """(field → terms) every Match leaf of a grounded plan scores
+    (plan.match_nodes() already walks Bool/DisMax/FnMul; only Match
+    leaves carry idf)."""
     needs: dict[str, set[str]] = {}
-
-    def walk(n: PlanNode) -> None:
-        if isinstance(n, Match):
-            needs.setdefault(n.field, set()).update(
-                t for cl in n.clauses for t, _ in cl.expansions
-            )
-        elif isinstance(n, DisMax):
-            for c in n.children:
-                walk(c)
-        elif isinstance(n, Bool):
-            for c in n.must + n.should:
-                walk(c)
-        elif isinstance(n, FnMul):
-            walk(n.query)
-
-    walk(plan.root)
+    for m in plan.match_nodes():
+        needs.setdefault(m.field, set()).update(
+            t for cl in m.clauses for t, _ in cl.expansions
+        )
     return needs
 
 
@@ -79,6 +70,12 @@ class ShardedHotIndex:
         self.shards = [HotIndex(d, synonyms=synonyms) for d in shard_dirs]
         self.synonyms = synonyms
         self.n_docs = sum(s.n_docs for s in self.shards)
+        # the global-stats context installs by mutating shard state
+        # (s._stats_ctx) during evaluation; serialize queries through
+        # this backend instance so concurrent requests never observe
+        # another query's install/teardown (shard-local-idf fallback
+        # mid-walk would silently reintroduce the drift DFS removes)
+        self._eval_lock = threading.Lock()
         # lang display names are an index-global side input; shards
         # built from one import share it
         self.lang_names = dict(self.shards[0].lang_names)
@@ -127,14 +124,15 @@ class ShardedHotIndex:
         return ctx
 
     def candidates(self, plan, ext_limit: int) -> list[dict]:
-        ctx = self._global_ctx(plan)
-        rows: list[dict] = []
-        for s in self.shards:
-            s._stats_ctx = ctx
-            try:
-                rows.extend(s.candidates(plan, ext_limit))
-            finally:
-                s._stats_ctx = None
+        with self._eval_lock:
+            ctx = self._global_ctx(plan)
+            rows: list[dict] = []
+            for s in self.shards:
+                s._stats_ctx = ctx
+                try:
+                    rows.extend(s.candidates(plan, ext_limit))
+                finally:
+                    s._stats_ctx = None
         rows.sort(key=lambda r: (-r["os_score"], r["doc"]))
         return rows[:ext_limit]
 
@@ -161,7 +159,14 @@ class ShardedHotIndex:
     def bm25_topk(self, field: str, terms: list[str], k: int = 10, required: int = 1):
         """Block-max WAND with global (df, max_tf): each shard runs
         the kernel under the global upper bounds, fan-in is the top-k
-        merge — exact, like the single-index path."""
+        merge. SCORE-exact: the k-th and better scores equal the
+        single-index kernel's (same idf, same upper bounds, every doc
+        in one shard). Tie ORDER among equal scores at the k boundary
+        may differ from a single-index build — each shard's kernel
+        cuts its local k by shard-local ordinal, the same caveat
+        OpenSearch carries (per-shard internal-docid tie-breaks); the
+        coordinator's own merge is deterministic (score desc, content
+        sha asc)."""
         import pandas as pd
 
         stats: dict[str, tuple[int, int]] = {}
@@ -173,13 +178,29 @@ class ShardedHotIndex:
         for s in self.shards:
             p = s.bm25_topk(field, terms, k=k, required=required,
                             stats=stats, n_docs=self.n_docs)
+            if not len(p):
+                continue  # empty object-dtype parts upcast doc to float64 in concat
             # shard-local ordinals are ambiguous across shards — remap
             # to the content sha-int (the docs table's ``doc``) for a
-            # deterministic global tie-break, and surface doc_id
-            p["doc_id"] = [s.docs[int(d)]["doc_id"] for d in p["doc"]]
-            p["doc"] = [s.docs[int(d)]["doc"] for d in p["doc"]]
+            # deterministic global tie-break, and surface doc_id.
+            # A postings-only ordinal (tombstoned doc whose segment
+            # predates compaction) drops, like the engine's docs join.
+            metas = [s.docs.get(int(d)) for d in p["doc"]]
+            keep = [m is not None for m in metas]
+            p = p[keep].reset_index(drop=True)
+            metas = [m for m in metas if m is not None]
+            p["doc_id"] = [m["doc_id"] for m in metas]
+            p["doc"] = [m["doc"] for m in metas]
             parts.append(p)
-        out = pd.concat(parts, ignore_index=True)
+        if not parts:
+            return pd.DataFrame(
+                {"doc": [], "score": [], "nm": [], "doc_id": []}
+            ).astype(
+                {"doc": "int64", "score": "float64", "nm": "int32", "doc_id": "object"}
+            )
+        out = pd.concat(parts, ignore_index=True).astype(
+            {"doc": "int64", "score": "float64", "nm": "int32"}
+        )
         out = out.sort_values(
             ["score", "doc"], ascending=[False, True], kind="mergesort"
         ).head(k)

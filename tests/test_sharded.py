@@ -106,6 +106,22 @@ def test_sharded_wand_exact(sharded, engine, spark, index_dir):
         assert got == want
 
 
+def test_sharded_wand_single_shard_term(sharded, engine, spark, index_dir):
+    """A term whose postings live in one shard: the other shards
+    return empty parts, which must not upcast the sha-int doc column
+    to float64 in the concat (round-4 review finding) — doc stays
+    int64 and values match the single-index result exactly."""
+    docs = {r["ord"]: r["doc_id"] for r in Index(spark, index_dir).docs().collect()}
+    out = sharded.bm25_topk("all", ["asyncconfig"], k=5)
+    assert str(out["doc"].dtype) == "int64"
+    want = sorted(
+        (docs[r["doc"]], round(r["score"], 9))
+        for r in engine.bm25_topk("all", ["asyncconfig"], k=5).collect()
+    )
+    got = sorted((r.doc_id, round(float(r.score), 9)) for r in out.itertuples())
+    assert got == want and got
+
+
 def test_sharded_grounding_surfaces(sharded, oracle):
     # fuzzy candidates union across shards == the whole-corpus set
     assert sharded.fuzzy_candidates("all", "mugglen", 1, 2) == oracle.fuzzy_candidates(
