@@ -154,6 +154,20 @@ def main() -> None:
         ]
         timed("engine_batch10_search", lambda: batch_search(idx, fixture_queries, k=10))
 
+        # the same 10-query workload through the hot serving plane
+        # (query/hot.py): per-query pruned reads instead of one shared
+        # Spark scan — compare against engine_batch10_search to see
+        # where each plane wins (hot: latency; Spark: huge batches)
+        from photon_spark.query.hot import HotIndex as _HotIndex
+
+        _hot_b = _HotIndex(out_dir)
+
+        def _hot_batch() -> None:
+            for q in fixture_queries:
+                _hot_b.search(q, k=10)
+
+        timed("engine_hot_batch10", _hot_batch)
+
         # top-k query p50 latency (the BASELINE.json headline metric):
         # the fixture set served as INDIVIDUAL requests — one warm pass
         # (postings/dictionary caches populated), then one measured
