@@ -178,6 +178,28 @@ class HotIndex(OracleIndex):
                 f"docs table rows {len(self.docs)} != meta n_docs {self.n_docs}"
             )
 
+        # ord-indexed doc-value ARRAYS (the columnar face of the same
+        # resident set): the vectorized candidates() path scores and
+        # cuts without touching the python dicts until the final
+        # ext_limit rows. imp_eff bakes the 1e-5 missing-importance
+        # default (Q11); sha is the global tie-break identity.
+        import numpy as np
+
+        size = max(
+            int(self.meta.get("next_ord", self.n_docs)),
+            (max(self.docs) + 1) if self.docs else 0,
+        )
+        self._dv_live = np.zeros(size, dtype=bool)
+        self._dv_imp = np.full(size, 1e-5)
+        self._dv_other = np.zeros(size, dtype=bool)
+        self._dv_sha = np.zeros(size, dtype=np.int64)
+        for d, m in self.docs.items():
+            self._dv_live[d] = True
+            if m["importance"] is not None:
+                self._dv_imp[d] = m["importance"]
+            self._dv_other[d] = m["type"] == "other"
+            self._dv_sha[d] = m["doc"]
+
         self.postings = _LazyPostings(self)
         self._arr_memo: dict[tuple[str, str], tuple | None] = {}
         self._post_memo: dict[tuple[str, str], dict[int, int]] = {}
@@ -319,7 +341,104 @@ class HotIndex(OracleIndex):
 
     def candidates(self, plan, ext_limit: int) -> list[dict]:
         self._plan_prefetch(plan)
-        return super().candidates(plan, ext_limit)
+        # tag/layer/bbox predicates and the bias distance are python
+        # per-doc functions over metadata — those (rarer) requests take
+        # the inherited walk; everything else scores, filters, and
+        # cuts COLUMNAR so the pre-cut work is numpy over the
+        # candidate universe, not a python loop (O(universe) dict
+        # building was the remaining interpreter cost — seconds on a
+        # million-doc shard)
+        if (
+            plan.kind == "match_all"
+            or plan.tag_filters
+            or plan.layers
+            or plan.bbox is not None
+            or plan.bias is not None
+        ):
+            return super().candidates(plan, ext_limit)
+        import numpy as np
+
+        out = self._eval_node_arrays(plan.root)
+        if out is None:
+            return []
+        docs, score = out
+        keep = self._dv_live[docs]  # tombstoned ordinals drop (docs join)
+        # kw filter context (terms per key OR, keys AND — Q7/Q21)
+        if plan.filters:
+            from photon_spark.analysis.folding import fold
+
+            for kk, vals in sorted(plan.filters.items()):
+                if not isinstance(vals, (list, tuple)):
+                    vals = [vals]
+                arrs = []
+                for v in vals:
+                    norm = fold(v) if kk == "lang" else str(v).lower()
+                    arr = self._postings_arrays(FIELD_KEYWORD, f"{kk}:{norm}")
+                    if arr is not None and len(arr[0]):
+                        arrs.append(arr[0])
+                keep &= self._member_mask(docs, arrs)
+        # category CNF groups (Q20): include = ANY of group, exclude =
+        # NOT ALL of group
+        for grp in plan.include or []:
+            arrs = [
+                a[0]
+                for t in grp
+                if (a := self._postings_arrays("all", t)) is not None and len(a[0])
+            ]
+            keep &= self._member_mask(docs, arrs)
+        for grp in plan.exclude or []:
+            allm = np.ones(len(docs), dtype=bool)
+            for t in grp:
+                a = self._postings_arrays("all", t)
+                allm &= self._member_mask(
+                    docs, [a[0]] if a is not None and len(a[0]) else []
+                )
+            keep &= ~allm
+        if not keep.any():
+            return []
+        docs, score = docs[keep], score[keep]
+        # function-score add-ons in the evaluator's order: type
+        # weight, then importance × factor (bias handled on the
+        # python path above)
+        os_score = score
+        if plan.type_weight:
+            os_score = os_score + np.where(
+                self._dv_other[docs], 0.0, plan.type_weight
+            )
+        os_score = os_score + self._dv_imp[docs] * plan.importance_factor
+        order = np.lexsort((self._dv_sha[docs], -os_score))[:ext_limit]
+        rows = []
+        for i in order.tolist():
+            meta = self.docs[int(docs[i])]
+            rows.append(
+                {
+                    "doc": meta["doc"],
+                    "doc_id": meta["doc_id"],
+                    "repo": meta["repo"],
+                    "path": meta["path"],
+                    "lang": meta["lang"],
+                    "importance": meta["importance"],
+                    "chunk": meta["chunk"],
+                    "type": meta["type"],
+                    "extra": meta["extra"],
+                    "categories": meta["categories"],
+                    "lang_name": meta.get("lang_name"),
+                    "os_score": float(os_score[i]),
+                }
+            )
+        return rows
+
+    @staticmethod
+    def _member_mask(docs, arrs):
+        """Membership of ``docs`` in the union of sorted-able id
+        arrays (empty union → all-False)."""
+        import numpy as np
+
+        if not arrs:
+            return np.zeros(len(docs), dtype=bool)
+        hits = np.unique(np.concatenate(arrs))
+        pos = np.minimum(np.searchsorted(hits, docs), len(hits) - 1)
+        return hits[pos] == docs
 
     # ---------------- vectorized plan evaluation ----------------
     #
@@ -336,6 +455,13 @@ class HotIndex(OracleIndex):
     # test and the fuzz lane.
 
     def _eval_node(self, root):
+        out = self._eval_node_arrays(root)
+        if out is None:
+            return None
+        docs, vals = out
+        return dict(zip(docs.tolist(), vals.tolist()))
+
+    def _eval_node_arrays(self, root):
         import numpy as np
 
         from photon_spark.query import scoring
@@ -480,7 +606,7 @@ class HotIndex(OracleIndex):
         keep = present & ~np.isnan(val)
         if not keep.any():
             return None
-        return dict(zip(universe[keep].tolist(), val[keep].tolist()))
+        return universe[keep], val[keep]
 
     # ---------------- TermDictionary (pyarrow-backed) ----------------
 
