@@ -744,6 +744,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["token_counts"] = lambda s, d: ts.token_counts(_docs(s, d))
     q["quality_score"] = lambda s, d: ts.quality_score(_docs(s, d))
     q["lang_id"] = lambda s, d: ts.lang_id(_docs(s, d))
+    # The Stack / StarCoder code-file filter bank (line shape, alnum
+    # fraction, autogen markers, composed keep verdict)
+    q["code_signals"] = lambda s, d: ts.code_signals(_docs(s, d))
     q["fingerprint"] = lambda s, d: ts.fingerprint(_docs(s, d))
     q["winnow_fingerprints"] = lambda s, d: ts.winnow_fingerprints(_docs(s, d))
     q["repetition_signals"] = lambda s, d: ts.repetition_signals(_docs(s, d))
@@ -1198,6 +1201,32 @@ SELECT doc_id, n_tokens,
        ROUND(stop_ratio, 6) AS stopword_ratio,
        ROUND(alpha_ratio, 6) AS alpha_ratio,
        ROUND(LEAST(n_tokens::DOUBLE / 50.0, 1.0) * 0.4 + stop_ratio * 0.3 + alpha_ratio * 0.3, 6) AS quality
+FROM feat"""
+
+    # code-file filter bank: line shape from a literal-\n split (both
+    # engines keep trailing empties), sum of line lengths recovered as
+    # n_chars minus the separators, markers scanned in the lowered
+    # first-5-line head. Aliases and 6dp rounding match the Spark side.
+    o["code_signals"] = """
+WITH base AS (
+  SELECT doc_id, text, string_split(text, chr(10)) AS lines, length(text) AS nc
+  FROM documents
+), feat AS (
+  SELECT doc_id,
+    CAST(len(lines) AS INTEGER) AS n_lines,
+    CAST(list_max(list_transform(lines, ln -> length(ln))) AS INTEGER) AS max_line_len,
+    ROUND((nc - (len(lines) - 1))::DOUBLE / len(lines), 6) AS avg_line_len,
+    ROUND(CASE WHEN nc > 0
+               THEN length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE / nc
+               ELSE 0.0 END, 6) AS alnum_frac,
+    ROUND(len(list_filter(lines, ln -> length(ln) > 120))::DOUBLE / len(lines), 6) AS long_line_frac,
+    regexp_matches(lower(array_to_string(lines[1:5], chr(10))),
+                   'auto[- ]?generated|do not edit|generated by') AS autogen
+  FROM base
+)
+SELECT doc_id, n_lines, max_line_len, avg_line_len, alnum_frac, long_line_frac, autogen,
+       (max_line_len <= 1000 AND avg_line_len <= 100.0
+        AND alnum_frac >= 0.25 AND NOT autogen) AS keep_code
 FROM feat"""
 
     lang_score = ", ".join(

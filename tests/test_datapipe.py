@@ -295,6 +295,29 @@ def test_quality_and_langid(spark, docs):
     assert langs[0] == "en" and langs[4] == "de" and langs[5] == "es"
 
 
+def test_code_signals(spark):
+    rows = [
+        (1, "def f(x):\n    return x + 1\n"),
+        (2, "x" * 1200),  # one minified line
+        (3, "# AUTO-GENERATED file. DO NOT EDIT\nint x = 1;"),
+        (4, ";;;;;;;;;;"),  # encoded-blob-ish: no alnum
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in ts.code_signals(df).collect()}
+    r1 = out[1]
+    assert r1["n_lines"] == 3 and r1["max_line_len"] == 16
+    assert r1["avg_line_len"] == round(25 / 3, 6)
+    assert r1["autogen"] is False and r1["keep_code"] is True
+    assert out[2]["max_line_len"] == 1200 and out[2]["keep_code"] is False
+    assert out[2]["long_line_frac"] == 1.0
+    assert out[3]["autogen"] is True and out[3]["keep_code"] is False
+    assert out[4]["alnum_frac"] == 0.0 and out[4]["keep_code"] is False
+    r5 = out[5]
+    assert r5["n_lines"] == 1 and r5["max_line_len"] == 0
+    assert r5["avg_line_len"] == 0.0 and r5["keep_code"] is False
+
+
 def test_fingerprints(spark, docs):
     fp = {r["doc_id"]: r for r in ts.fingerprint(docs).collect()}
     assert fp[0]["content_sha256"] == fp[1]["content_sha256"]

@@ -28,6 +28,7 @@ import __spark_entry__ as ent
 FUZZ_ENTRIES = [
     "token_counts",
     "quality_score",
+    "code_signals",
     "lang_id",
     "fingerprint",
     "pii_scrub",
