@@ -872,6 +872,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embedding_near_dup_lsh"] = lambda s, d: dd.embedding_near_dup_lsh(
         _embs(s, d), threshold=0.5, n_tables=12, n_planes=4
     )
+    # SemDeDup in its oracle-exact configuration (n_clusters=1 ⇒
+    # within-cluster = all-pairs, so the SQL twin is exact; centroid
+    # float jitter cannot change a single-cluster assignment). The
+    # clustered production shape is pinned in pytest
+    # (test_datapipe.py::test_semdedup).
+    q["semdedup"] = lambda s, d: dd.semdedup(
+        _embs(s, d), threshold=0.4, n_clusters=1, n_iters=1
+    )
 
     # ---- training-data pipeline: similarity search ----
     def _query_vec(s: SparkSession, d: str) -> list[float]:
@@ -1724,6 +1732,33 @@ WHERE ROUND(list_dot_product(a.v, b.v) /
     # its oracle — a hash-level pin that the bucketed join loses
     # nothing vs brute force
     o["embedding_near_dup_lsh"] = o["embedding_near_dup"]
+
+    # SemDeDup at n_clusters=1: pair list = the all-pairs cosine
+    # filter, then the same recursive-CTE transitive closure as
+    # dedup_survivors, labeled over every vector
+    o["semdedup"] = """
+WITH RECURSIVE v AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+), pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM v a JOIN v b ON a.id < b.id
+  WHERE ROUND(list_dot_product(a.v, b.v) /
+              (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(node, comp) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node
+), cc AS (
+  SELECT node, MIN(comp) AS component FROM reach GROUP BY node
+)
+SELECT v.id AS vec_id,
+       COALESCE(cc.component, v.id) AS component,
+       v.id = COALESCE(cc.component, v.id) AS keep
+FROM v LEFT JOIN cc ON cc.node = v.id"""
 
     o["cosine_topk"] = """
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),

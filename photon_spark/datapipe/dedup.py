@@ -352,6 +352,73 @@ def embedding_near_dup_lsh(
     )
 
 
+def semdedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    n_iters: int = 3,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. '23, public recipe): semantic dedup
+    over an embedding column — k-means partition, WITHIN-cluster
+    cosine pairs above ``threshold``, transitive closure, keep-one
+    per component. Returns ``(id_col, component, keep)`` for every
+    vector: ``component`` = smallest reachable near-dup id (its own
+    id when it has none), ``keep`` = is it the component's keeper.
+
+    Semantics note: near-dups that land in DIFFERENT clusters are
+    not collapsed — that is SemDeDup's accepted approximation (the
+    paper's recall knob is ``n_clusters``); ``n_clusters=1``
+    degrades to exact all-pairs dedup, which is the
+    oracle-exact configuration (the same move as the ANN entries —
+    centroid float jitter cannot matter when every row lands in the
+    single cluster).
+
+    Scale (100 TB): the point vs all-pairs — the pair join is keyed
+    on ``cid`` so candidate volume is Σ|cluster|², not N²; the
+    assignment is a narrow per-row argmax against literal centroids
+    (no crossJoin, see similarity._argmax_cid), and components run
+    the co-keyed min-propagation of :func:`connected_components`.
+    Skew guard at scale: a pathological giant cluster re-splits by
+    raising ``n_clusters`` (the paper uses ~100k clusters at
+    billion-doc scale, keeping |cluster| ~ N/k small).
+    """
+    from photon_spark.datapipe.similarity import ivf_assign, ivf_train
+
+    if centroids is None:
+        centroids = ivf_train(df, n_clusters, n_iters, id_col, vec_col)
+    assigned = ivf_assign(df, centroids, id_col, vec_col)  # (id, cid, v)
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda side: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(F.col(f"{side}.v"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(dot / (norm("a") * norm("b")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    return dedup_survivors(df.select(F.col(id_col)), pairs, id_col=id_col)
+
+
 def line_dedup(
     df: DataFrame,
     id_col: str = "doc_id",

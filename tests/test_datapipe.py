@@ -111,6 +111,39 @@ def test_embedding_near_dup_lsh_matches_brute_force(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_semdedup(spark):
+    """Clustered production shape vs the all-pairs ground truth: two
+    well-separated vector families, each with planted near-dups.
+    k-means (k=2) must put each family in its own cluster, so the
+    within-cluster pair join finds exactly the same components the
+    all-pairs path finds — and the candidate join is cid-keyed, never
+    a cross product."""
+    rng = np.random.RandomState(3)
+    base_a = rng.randn(16).astype("float64") + 10.0
+    base_b = rng.randn(16).astype("float64") - 10.0
+    vecs = []
+    for i in range(12):
+        fam = base_a if i < 6 else base_b
+        vecs.append(fam + rng.randn(16) * (0.001 if i % 3 else 1.0))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # explicit centroids pin the assignment (the k-means quality knob
+    # is the paper's recall trade-off, not what this test pins)
+    cents = [[float(x) for x in base_a], [float(x) for x in base_b]]
+
+    sd = lambda: dd.semdedup(df, threshold=0.999, centroids=cents)  # noqa: E731
+    got = sorted(tuple(r) for r in sd().collect())
+    truth_pairs = dd.embedding_near_dup_pairs(df, threshold=0.999)
+    want = sorted(
+        tuple(r) for r in dd.dedup_survivors(df, truth_pairs, id_col="vec_id").collect()
+    )
+    assert got == want
+    # some collapse actually happened (the fixture plants near-dups)
+    assert any(not r[2] for r in got)
+    plan = sd()._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
 def test_lsh_ann_recall(spark):
     rng = np.random.RandomState(11)
     vecs = rng.randn(200, 16).astype("float32")
