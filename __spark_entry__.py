@@ -752,6 +752,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["repetition_signals"] = lambda s, d: ts.repetition_signals(_docs(s, d))
     # corpus-self unigram LM score (CCNet-shape curation signal)
     q["lm_score"] = lambda s, d: ts.lm_score(_docs(s, d))
+    # CCNet head/middle/tail split: NTILE(3) of descending LM score,
+    # ranked distributedly (stamp_ordinals, no one-partition window)
+    q["quality_buckets"] = lambda s, d: ts.quality_buckets(_docs(s, d), n_buckets=3)
     # corpus-level boilerplate / tokenizer-prep report
     q["top_ngrams"] = lambda s, d: ts.top_ngrams(_docs(s, d), n=2, k=100)
     # C4-style corpus-wide exact line dedup (keep-first, reassembled)
@@ -1318,6 +1321,27 @@ SELECT doc_id,
        ROUND(AVG(ln(cnt)) - ln((SELECT total FROM tot)), 6) AS mean_logprob
 FROM tok JOIN vocab USING (token)
 GROUP BY doc_id"""
+
+    # CCNet tercile split of the LM score: NTILE over the ROUNDED
+    # score (6 dp) + doc_id tiebreak, so rank order — and therefore
+    # every bucket edge — is engine-portable
+    o["quality_buckets"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents
+), vocab AS (
+  SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+), tot AS (
+  SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM vocab
+), scored AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         ROUND(AVG(ln(cnt)) - ln((SELECT total FROM tot)), 6) AS mean_logprob
+  FROM tok JOIN vocab USING (token)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, mean_logprob,
+       CAST(NTILE(3) OVER (ORDER BY mean_logprob DESC, doc_id ASC) AS INTEGER) AS bucket
+FROM scored"""
 
     # corpus top-k 2-grams; (cnt desc, gram asc) is a strict total
     # order (gram unique post-groupBy) so the k-set is deterministic

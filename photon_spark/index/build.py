@@ -220,23 +220,26 @@ def dedupe_docs(with_id: DataFrame) -> DataFrame:
 
 
 def stamp_ordinals(
-    df: DataFrame, partitions: int, base: int = 0
+    df: DataFrame, partitions: int, base: int = 0, sort_cols=None
 ) -> tuple[DataFrame, int]:
-    """Stamp dense ordinals ``base .. base+N-1`` in ``doc`` order onto
-    ``df`` without a single-partition global sort: range-partition +
-    sort by ``doc``, persist, per-partition counts → cumulative
-    offsets, then ``ord = base + offset[pid] + local_row`` decoded
-    from ``monotonically_increasing_id`` (same scheme as
+    """Stamp dense ordinals ``base .. base+N-1`` in ``sort_cols``
+    order (default: the ``doc`` column) onto ``df`` without a
+    single-partition global sort: range-partition + sort by the key,
+    persist, per-partition counts → cumulative offsets, then ``ord =
+    base + offset[pid] + local_row`` decoded from
+    ``monotonically_increasing_id`` (same scheme as
     :func:`write_docs_with_ordinals`). Returns ``(df_with_ord, N,
     cache_handle)`` — the handle is the persisted intermediate; the
     caller unpersists IT (not the derived df) when done.
 
     Used by the updater for delta batches (a large backfill batch
     must not serialize through one task the way an unpartitioned
-    ``row_number`` window does)."""
+    ``row_number`` window does) and by the datapipe's quality
+    bucketing (global score rank at corpus scale)."""
+    keys = sort_cols if sort_cols is not None else [F.col("doc")]
     spread = (
-        df.repartitionByRange(max(1, partitions // 4), "doc")
-        .sortWithinPartitions("doc")
+        df.repartitionByRange(max(1, partitions // 4), *keys)
+        .sortWithinPartitions(*keys)
         .persist()
     )
     rows = (

@@ -304,6 +304,34 @@ def test_lm_score(spark):
     assert out[99]["mean_logprob"] < out[0]["mean_logprob"]
 
 
+def test_quality_buckets(spark):
+    """CCNet tercile split: NTILE(3) of descending lm_score — larger
+    buckets first, ties broken doc_id asc, zero-token docs excluded."""
+    from photon_spark.datapipe.textstats import quality_buckets
+
+    # 7 docs with distinct scores (token "common" is corpus-frequent,
+    # zNN tokens are singletons → more rare tokens = lower score),
+    # plus one empty doc that must not get a bucket.
+    rows = [
+        (0, "common common common common"),
+        (1, "common common common z1"),
+        (2, "common common z2 z3"),
+        (3, "common z4 z5 z6"),
+        (4, "z7 z8 z9 z10"),
+        (5, "z11 z12 z13 z14"),
+        (6, "z15 z16 z17 z18"),
+        (7, "   "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in quality_buckets(df, n_buckets=3).collect()}
+    assert 7 not in out and len(out) == 7
+    # NTILE(3) over 7 rows = sizes 3,2,2; docs 4/5/6 tie on the
+    # all-singleton score and break on doc_id asc
+    assert [out[i]["bucket"] for i in range(7)] == [1, 1, 1, 2, 2, 3, 3]
+    scores = [out[i]["mean_logprob"] for i in range(7)]
+    assert scores == sorted(scores, reverse=True)
+
+
 def test_top_ngrams(spark):
     from photon_spark.datapipe.textstats import top_ngrams
 
