@@ -747,6 +747,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The Stack / StarCoder code-file filter bank (line shape, alnum
     # fraction, autogen markers, composed keep verdict)
     q["code_signals"] = lambda s, d: ts.code_signals(_docs(s, d))
+    # Gopher line/para repetition + bullet/ellipsis style fractions
+    q["line_signals"] = lambda s, d: ts.line_signals(_docs(s, d))
+    # C4 line-retention pass + page flags (clean_text, keep verdict)
+    q["c4_signals"] = lambda s, d: ts.c4_signals(_docs(s, d))
     q["fingerprint"] = lambda s, d: ts.fingerprint(_docs(s, d))
     q["winnow_fingerprints"] = lambda s, d: ts.winnow_fingerprints(_docs(s, d))
     q["repetition_signals"] = lambda s, d: ts.repetition_signals(_docs(s, d))
@@ -757,6 +761,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["quality_buckets"] = lambda s, d: ts.quality_buckets(_docs(s, d), n_buckets=3)
     # corpus-level boilerplate / tokenizer-prep report
     q["top_ngrams"] = lambda s, d: ts.top_ngrams(_docs(s, d), n=2, k=100)
+
+    def _dsir(s, d):
+        # DSIR importance resampling: every-13th doc plays the target
+        # corpus; the rest is the raw pool being selected from
+        from photon_spark.datapipe import dsir as ds
+
+        docs = _docs(s, d)
+        target = docs.filter(F.col("doc_id") % 13 == 5)
+        raw = docs.filter(F.col("doc_id") % 13 != 5)
+        return ds.dsir_select(raw, target, k=50, n_buckets=64)
+
+    q["dsir_select"] = _dsir
     # C4-style corpus-wide exact line dedup (keep-first, reassembled)
     q["line_dedup"] = lambda s, d: dd.line_dedup(_docs(s, d))
     # ExactSubstr (Lee et al. '21): duplicated-window report + removal
@@ -1240,6 +1256,66 @@ SELECT doc_id, n_lines, max_line_len, avg_line_len, alnum_frac, long_line_frac, 
         AND alnum_frac >= 0.25 AND NOT autogen) AS keep_code
 FROM feat"""
 
+    # Gopher line/paragraph repetition + bullet/ellipsis style; the
+    # dup fractions are list_distinct length sums (order-free)
+    o["line_signals"] = """
+WITH base AS (
+  SELECT doc_id,
+         string_split(text, chr(10)) AS lines,
+         regexp_split_to_array(text, '\\n\\n') AS paras
+  FROM documents
+), feat AS (
+  SELECT doc_id, lines,
+         list_transform(lines, x -> trim(x)) AS tl,
+         len(lines) AS nl, len(list_distinct(lines)) AS ndl,
+         COALESCE(list_aggregate(list_transform(lines, x -> length(x)), 'sum'), 0) AS cl,
+         COALESCE(list_aggregate(list_transform(list_distinct(lines), x -> length(x)), 'sum'), 0) AS cdl,
+         len(paras) AS np, len(list_distinct(paras)) AS ndp,
+         COALESCE(list_aggregate(list_transform(paras, x -> length(x)), 'sum'), 0) AS cp,
+         COALESCE(list_aggregate(list_transform(list_distinct(paras), x -> length(x)), 'sum'), 0) AS cdp
+  FROM base
+)
+SELECT doc_id,
+       CAST(nl AS INTEGER) AS n_lines,
+       ROUND((nl - ndl)::DOUBLE / nl, 6) AS dup_line_frac,
+       CASE WHEN cl > 0 THEN ROUND((cl - cdl)::DOUBLE / cl, 6) ELSE 0.0 END AS dup_line_char_frac,
+       CAST(np AS INTEGER) AS n_paras,
+       ROUND((np - ndp)::DOUBLE / np, 6) AS dup_para_frac,
+       CASE WHEN cp > 0 THEN ROUND((cp - cdp)::DOUBLE / cp, 6) ELSE 0.0 END AS dup_para_char_frac,
+       ROUND(len(list_filter(tl, x -> starts_with(x, '•') OR starts_with(x, '-') OR starts_with(x, '*')))::DOUBLE / nl, 6) AS bullet_line_frac,
+       ROUND(len(list_filter(tl, x -> ends_with(x, '...') OR ends_with(x, '…')))::DOUBLE / nl, 6) AS ellipsis_line_frac
+FROM feat"""
+
+    # C4 line-retention pass + page flags; the kept-line predicate is
+    # trim-tail-punct + >=5 whitespace words + no 'javascript'
+    o["c4_signals"] = """
+WITH base AS (
+  SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM documents
+), k AS (
+  SELECT doc_id, text, lines,
+         list_filter(lines, x ->
+             right(trim(x), 1) IN ('.', '!', '?', '"')
+             AND len(list_filter(regexp_split_to_array(x, '[ \\t\\n\\x0b\\f\\r]+'), w -> w <> '')) >= 5
+             AND NOT contains(lower(x), 'javascript')) AS kept
+  FROM base
+), c AS (
+  SELECT doc_id, text, lines, kept,
+         -- array_to_string([]) is NULL in DuckDB; concat_ws is ''
+         COALESCE(array_to_string(kept, chr(10)), '') AS clean,
+         contains(text, '{') AS has_curly,
+         contains(lower(text), 'lorem ipsum') AS has_lorem
+  FROM k
+)
+SELECT doc_id,
+       clean AS clean_text,
+       CAST(len(kept) AS INTEGER) AS n_kept_lines,
+       CAST(len(lines) - len(kept) AS INTEGER) AS n_dropped_lines,
+       CAST(length(clean) - length(regexp_replace(clean, '[.!?]', '', 'g')) AS BIGINT) AS n_sentences,
+       has_curly, has_lorem,
+       (NOT has_curly AND NOT has_lorem
+        AND length(clean) - length(regexp_replace(clean, '[.!?]', '', 'g')) >= 3) AS keep_c4
+FROM c"""
+
     lang_score = ", ".join(
         f"CAST(len(list_filter(toks, x -> x IN ({', '.join(repr(w) for w in m)}))) AS INTEGER) AS score_{lg}"
         for lg, m in sorted(ts.LANG_MARKERS.items())
@@ -1342,6 +1418,48 @@ WITH tok AS (
 SELECT doc_id, n_tokens, mean_logprob,
        CAST(NTILE(3) OVER (ORDER BY mean_logprob DESC, doc_id ASC) AS INTEGER) AS bucket
 FROM scored"""
+
+    # DSIR: hashed {1,2}-gram bucket models on target (doc_id%13=5)
+    # vs raw, add-1-smoothed log ratio, per-doc weight sum, Gumbel
+    # top-k. Every float is rounded to 6 dp before any ordering.
+    o["dsir_select"] = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS tl FROM documents
+), grams AS (
+  SELECT doc_id, unnest(tl) AS g FROM toks
+  UNION ALL
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(tl)), i -> tl[i] || ' ' || tl[i + 1])) AS g
+  FROM toks
+), hg AS (
+  SELECT doc_id, {_sql_h60('g')} % 64 AS bucket FROM grams
+), tb AS (
+  SELECT bucket, COUNT(*) AS ct FROM hg WHERE doc_id % 13 = 5 GROUP BY bucket
+), rb AS (
+  SELECT bucket, COUNT(*) AS cr FROM hg WHERE doc_id % 13 <> 5 GROUP BY bucket
+), tt AS (SELECT CAST(COALESCE(SUM(ct), 0) AS DOUBLE) AS t_total FROM tb),
+   rt AS (SELECT CAST(COALESCE(SUM(cr), 0) AS DOUBLE) AS r_total FROM rb),
+ratio AS (
+  SELECT COALESCE(tb.bucket, rb.bucket) AS bucket,
+         ln((COALESCE(ct, 0) + 1.0) / (t_total + 64.0))
+       - ln((COALESCE(cr, 0) + 1.0) / (r_total + 64.0)) AS lr
+  FROM tb FULL OUTER JOIN rb ON tb.bucket = rb.bucket
+  CROSS JOIN tt CROSS JOIN rt
+), w AS (
+  SELECT hg.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         ROUND(SUM(lr), 6) AS log_weight
+  FROM hg JOIN ratio USING (bucket)
+  WHERE hg.doc_id % 13 <> 5
+  GROUP BY hg.doc_id
+)
+SELECT doc_id, n_grams, log_weight,
+       ROUND(log_weight + ROUND(-ln(-ln(
+           (({_sql_h60("'dsir:' || CAST(doc_id AS VARCHAR)")}) % 1000000 + 0.5)
+           / 1000000.0)), 6), 6) AS sample_key
+FROM w
+ORDER BY sample_key DESC, doc_id ASC
+LIMIT 50"""
 
     # corpus top-k 2-grams; (cnt desc, gram asc) is a strict total
     # order (gram unique post-groupBy) so the k-set is deterministic

@@ -11,12 +11,20 @@ bit-for-bit (see ``__spark_entry__.oracle_sql``).
 """
 
 from photon_spark.datapipe.textstats import (  # noqa: F401
+    c4_signals,
+    code_signals,
     doc_tokens,
     fingerprint,
     lang_id,
+    line_signals,
+    quality_buckets,
     quality_score,
     token_counts,
     winnow_fingerprints,
+)
+from photon_spark.datapipe.dsir import (  # noqa: F401
+    dsir_log_ratio,
+    dsir_select,
 )
 from photon_spark.datapipe.dedup import (  # noqa: F401
     embedding_near_dup_pairs,

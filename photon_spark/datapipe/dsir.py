@@ -1,0 +1,136 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al. '23).
+
+Selects raw-corpus documents whose hashed n-gram distribution matches
+a small target corpus: fit bag-of-hashed-ngram models p (target) and
+q (raw), weight every raw doc by ``log w = Σ_grams (ln p_b − ln q_b)``
+over its gram occurrences' buckets, then resample top-k under Gumbel
+noise (Gumbel-top-k == sampling without replacement ∝ softmax of the
+weights). The public-recipe counterpart of the engine's importance
+field: where photon ranks serving results by OSM importance
+(reference: de/komoot/photon/query/PhotonQueryBuilder.java
+field_value_factor), a training pipeline ranks *documents for
+inclusion* by target-likelihood ratio.
+
+Determinism: gram hashing is the repo's md5-h60 convention and the
+Gumbel draw is hash-seeded per doc, so the selection is rerun-stable
+and has an exact DuckDB twin. All ``ln``/sum float work is rounded to
+6 dp before any ordering decision (the lm_score convention), so
+last-ulp libm drift cannot flip ranks across engines.
+
+Scale (100 TB): the bucket tables are ≤ ``n_buckets`` rows (partial
+aggregation map-side), the log-ratio table broadcasts into the one
+explode→join→groupBy(doc_id) pass over the raw corpus, and the final
+selection is ``orderBy().limit(k)`` — TakeOrdered per-partition
+heaps, never a global sort materialization. Raw text shuffles only
+as (doc_id, bucket) int pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from photon_spark.datapipe.dedup import _md5_h60
+from photon_spark.datapipe.textstats import _grams_with_multiplicity
+
+# Gumbel-draw granularity: u = (h % _U_DENOM + 0.5) / _U_DENOM keeps
+# u strictly inside (0, 1) and identical in integer space on both
+# engines before the (rounded) double transform.
+_U_DENOM = 1_000_000
+
+
+def _hashed_grams(
+    df: DataFrame, id_col: str, text_col: str, n_buckets: int
+) -> DataFrame:
+    """(id, bucket) rows with multiplicity: unigram + bigram
+    occurrences hashed into ``n_buckets`` (DSIR §3 uses hashed
+    {1,2}-gram counts)."""
+    uni = _grams_with_multiplicity(df, id_col, text_col, 1)
+    bi = _grams_with_multiplicity(df, id_col, text_col, 2)
+    return (
+        uni.unionAll(bi)
+        .select(
+            F.col(id_col),
+            (_md5_h60(F.col("gram")) % n_buckets).alias("bucket"),
+        )
+    )
+
+
+def dsir_log_ratio(
+    target: DataFrame,
+    raw: DataFrame,
+    n_buckets: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-bucket log importance ratio ``ln p_b − ln q_b`` with add-1
+    smoothing over the full bucket space: ``p_b = (c_t(b)+1)/(T+B)``,
+    ``q_b = (c_r(b)+1)/(R+B)``. Returns (bucket, lr) — ≤ B rows."""
+    tb = _hashed_grams(target, id_col, text_col, n_buckets).groupBy(
+        "bucket"
+    ).agg(F.count(F.lit(1)).alias("ct"))
+    rb = _hashed_grams(raw, id_col, text_col, n_buckets).groupBy(
+        "bucket"
+    ).agg(F.count(F.lit(1)).alias("cr"))
+    # totals as 1-row cross joins (tiny); add-1 smoothing keeps every
+    # bucket finite even when one side never saw it
+    t_tot = tb.agg(F.sum("ct").cast("double").alias("t_total"))
+    r_tot = rb.agg(F.sum("cr").cast("double").alias("r_total"))
+    joined = (
+        tb.join(rb, "bucket", "full_outer")
+        .crossJoin(F.broadcast(t_tot))
+        .crossJoin(F.broadcast(r_tot))
+    )
+    b = float(n_buckets)
+    lr = F.log(
+        (F.coalesce(F.col("ct"), F.lit(0)).cast("double") + 1.0)
+        / (F.coalesce(F.col("t_total"), F.lit(0.0)) + b)
+    ) - F.log(
+        (F.coalesce(F.col("cr"), F.lit(0)).cast("double") + 1.0)
+        / (F.coalesce(F.col("r_total"), F.lit(0.0)) + b)
+    )
+    return joined.select("bucket", lr.alias("lr"))
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int = 50,
+    n_buckets: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "dsir",
+    gumbel: bool = True,
+) -> DataFrame:
+    """Top-k raw docs by DSIR importance: ``sample_key = log_weight
+    [+ Gumbel(hash(seed, id))]``, ties → id asc. ``gumbel=False``
+    degenerates to deterministic top-k by weight (useful when the
+    caller wants the mode, not a sample). Docs with zero grams have
+    no weight and no row, as in ``lm_score``."""
+    ratio = dsir_log_ratio(target, raw, n_buckets, id_col, text_col)
+    weights = (
+        _hashed_grams(raw, id_col, text_col, n_buckets)
+        .join(F.broadcast(ratio), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.round(F.sum("lr"), 6).alias("log_weight"),
+        )
+    )
+    if gumbel:
+        u = (
+            _md5_h60(
+                F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string"))
+            )
+            % _U_DENOM
+            + F.lit(0.5)
+        ) / F.lit(float(_U_DENOM))
+        key = F.round(
+            F.col("log_weight") + F.round(-F.log(-F.log(u)), 6), 6
+        )
+    else:
+        key = F.col("log_weight")
+    return (
+        weights.withColumn("sample_key", key)
+        .orderBy(F.col("sample_key").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -304,6 +304,84 @@ def test_lm_score(spark):
     assert out[99]["mean_logprob"] < out[0]["mean_logprob"]
 
 
+def test_dsir_select(spark):
+    """DSIR prefers raw docs whose hashed-gram profile matches the
+    target corpus; hash-seeded Gumbel keeps selection rerun-stable."""
+    from photon_spark.datapipe.dsir import dsir_select
+
+    target = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma delta") for i in range(4)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [(0, "alpha beta gamma epsilon"), (1, "alpha beta unrelated"),
+         (2, "zulu yankee xray whiskey"), (3, "quebec papa oscar november"),
+         (4, "")],
+        "doc_id long, text string",
+    )
+    # mode (no noise): target-like docs must outrank target-unlike
+    ranked = dsir_select(raw, target, k=4, n_buckets=32, gumbel=False)
+    ids = [r["doc_id"] for r in ranked.collect()]
+    assert len(ids) == 4 and 4 not in ids  # empty doc has no grams
+    assert set(ids[:2]) == {0, 1}  # alpha/beta docs lead
+    w = {r["doc_id"]: r["log_weight"] for r in ranked.collect()}
+    assert w[0] > w[2] and w[1] > w[3]
+    # Gumbel selection is deterministic across reruns
+    g1 = [tuple(r) for r in dsir_select(raw, target, k=3, n_buckets=32).collect()]
+    g2 = [tuple(r) for r in dsir_select(raw, target, k=3, n_buckets=32).collect()]
+    assert g1 == g2 and len(g1) == 3
+
+
+def test_line_signals(spark):
+    """Gopher line/para repetition: dup fractions count occurrences
+    beyond the first; char fractions weight them by length; bullet /
+    ellipsis fractions run over trimmed lines."""
+    from photon_spark.datapipe.textstats import line_signals
+
+    rows = [
+        # 4 lines: "dup" twice (1 dup of 3 chars), chars 3+3+6+2=14;
+        # paras: ["dup\ndup\nunique", "b…"] distinct → 0 para dup
+        (0, "dup\ndup\nunique\n\nb…"),
+        # bullets: 2 of 3 trimmed lines start with -/•; 1 ends "..."
+        (1, "  - item\n• pt ...\nplain"),
+        (2, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in line_signals(df).collect()}
+    r0 = out[0]
+    assert r0["n_lines"] == 5 and r0["dup_line_frac"] == 0.2
+    # dup chars: one extra "dup" (3) over 3+6+0+2+3=14 total
+    assert r0["dup_line_char_frac"] == round(3 / 14, 6)
+    assert r0["n_paras"] == 2 and r0["dup_para_frac"] == 0.0
+    r1 = out[1]
+    assert r1["bullet_line_frac"] == round(2 / 3, 6)
+    assert r1["ellipsis_line_frac"] == round(1 / 3, 6)
+    r2 = out[2]  # "" → one empty line, zero chars
+    assert r2["n_lines"] == 1 and r2["dup_line_char_frac"] == 0.0
+
+
+def test_c4_signals(spark):
+    """C4 retention: kept lines end in terminal punct, have >=5
+    words, and don't mention javascript; page flags compose keep_c4."""
+    from photon_spark.datapipe.textstats import c4_signals
+
+    good = "this line has five words."
+    rows = [
+        (0, f"{good}\nshort line.\nno terminal punct here at all\n"
+            f"this javascript line has six words.\n{good}\n{good}"),
+        (1, "curly { page with words. " + good),
+        (2, "Lorem Ipsum dolor sit amet line one."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in c4_signals(df).collect()}
+    r0 = out[0]
+    assert r0["n_kept_lines"] == 3 and r0["n_dropped_lines"] == 3
+    assert r0["clean_text"] == "\n".join([good, good, good])
+    assert r0["n_sentences"] == 3 and bool(r0["keep_c4"]) is True
+    assert bool(out[1]["has_curly"]) and bool(out[1]["keep_c4"]) is False
+    assert bool(out[2]["has_lorem"]) and bool(out[2]["keep_c4"]) is False
+
+
 def test_quality_buckets(spark):
     """CCNet tercile split: NTILE(3) of descending lm_score — larger
     buckets first, ties broken doc_id asc, zero-token docs excluded."""

@@ -29,6 +29,9 @@ FUZZ_ENTRIES = [
     "token_counts",
     "quality_score",
     "code_signals",
+    "line_signals",
+    "c4_signals",
+    "quality_buckets",
     "lang_id",
     "fingerprint",
     "pii_scrub",
@@ -50,6 +53,7 @@ FUZZ_ENTRIES = [
     "duplicate_spans",
     "substring_dedup",
     "mixture_sample",
+    "dsir_select",
     "minhash_lsh_pairs",
     "dataset_stats",
     "lm_score",
@@ -66,9 +70,11 @@ _TOKENS = st.sampled_from(
         "192.168.0.1", "a@b.co",                    # PII-shaped
         "...", "!!!", "@@",                          # punctuation runs
         "0", "42",
+        "• item", "- dash.", "fin…",               # line-signal edges
+        "lorem ipsum", "JavaScript", "{",            # c4 page flags
     ]
 )
-_SEPS = st.sampled_from([" ", "  ", "\t", "\n", "\x0b", " ", " . "])
+_SEPS = st.sampled_from([" ", "  ", "\t", "\n", "\x0b", " ", " . ", "\n\n", ".\n"])
 
 
 @st.composite
