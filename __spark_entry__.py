@@ -1634,21 +1634,51 @@ WITH train AS (
   FROM allgrams a LEFT JOIN ev e ON a.gram = e.gram
   WHERE a.doc_id % 97 <> 0
   GROUP BY a.doc_id
+), styl AS (
+  SELECT doc_id,
+         string_split(text, chr(10)) AS lines,
+         regexp_split_to_array(text, '\\n\\n') AS paras
+  FROM train
+), stylf AS (
+  -- Gopher Table A1 line-shape caps over the 6-dp-rounded fractions
+  -- (the line_signals convention)
+  SELECT doc_id,
+    ROUND((len(lines) - len(list_distinct(lines)))::DOUBLE / len(lines), 6) > 0.30
+    OR ROUND((len(paras) - len(list_distinct(paras)))::DOUBLE / len(paras), 6) > 0.30
+    OR (COALESCE(list_aggregate(list_transform(lines, x -> length(x)), 'sum'), 0) > 0
+        AND ROUND((COALESCE(list_aggregate(list_transform(lines, x -> length(x)), 'sum'), 0)
+                   - COALESCE(list_aggregate(list_transform(list_distinct(lines), x -> length(x)), 'sum'), 0))::DOUBLE
+                  / COALESCE(list_aggregate(list_transform(lines, x -> length(x)), 'sum'), 0), 6) > 0.20)
+    OR (COALESCE(list_aggregate(list_transform(paras, x -> length(x)), 'sum'), 0) > 0
+        AND ROUND((COALESCE(list_aggregate(list_transform(paras, x -> length(x)), 'sum'), 0)
+                   - COALESCE(list_aggregate(list_transform(list_distinct(paras), x -> length(x)), 'sum'), 0))::DOUBLE
+                  / COALESCE(list_aggregate(list_transform(paras, x -> length(x)), 'sum'), 0), 6) > 0.20)
+    OR ROUND(len(list_filter(list_transform(lines, x -> trim(x)),
+                             x -> starts_with(x, '•') OR starts_with(x, '-') OR starts_with(x, '*')))::DOUBLE
+             / len(lines), 6) > 0.90
+    OR ROUND(len(list_filter(list_transform(lines, x -> trim(x)),
+                             x -> ends_with(x, '...') OR ends_with(x, '…')))::DOUBLE
+             / len(lines), 6) > 0.30
+    AS style_flagged
+  FROM styl
 )
 SELECT t.doc_id,
        t.doc_id <> k.keep_id AS exact_dup,
        COALESCE(q.quality, 0.0) < 0.45 AS low_quality,
        (COALESCE(a2.top2, 0.0) > 0.08 OR COALESCE(a5.dup5, 0.0) > 0.10) AS repetitive,
+       COALESCE(sf.style_flagged, FALSE) AS style_flagged,
        COALESCE(cont.contaminated, FALSE) AS contaminated,
        NOT (t.doc_id <> k.keep_id
             OR COALESCE(q.quality, 0.0) < 0.45
             OR COALESCE(a2.top2, 0.0) > 0.08 OR COALESCE(a5.dup5, 0.0) > 0.10
+            OR COALESCE(sf.style_flagged, FALSE)
             OR COALESCE(cont.contaminated, FALSE)) AS keep
 FROM train t
 JOIN keeper k ON t.sha = k.sha
 LEFT JOIN qual q ON t.doc_id = q.doc_id
 LEFT JOIN a2 ON t.doc_id = a2.doc_id
 LEFT JOIN a5 ON t.doc_id = a5.doc_id
+LEFT JOIN stylf sf ON t.doc_id = sf.doc_id
 LEFT JOIN cont ON t.doc_id = cont.doc_id"""
 
     from photon_spark.datapipe.pii import PII_STAGES

@@ -22,7 +22,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from photon_spark.datapipe.decontam import decontaminate
-from photon_spark.datapipe.textstats import quality_score, repetition_signals
+from photon_spark.datapipe.textstats import (
+    line_signals,
+    quality_score,
+    repetition_signals,
+)
 
 
 def curate(
@@ -34,10 +38,20 @@ def curate(
     max_top2gram_frac: float = 0.08,
     max_dup5gram_frac: float = 0.10,
     decontam_n: int = 5,
+    max_dup_line_frac: float = 0.30,
+    max_dup_para_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    max_dup_para_char_frac: float = 0.20,
+    max_bullet_frac: float = 0.90,
+    max_ellipsis_frac: float = 0.30,
 ) -> DataFrame:
     """Per-doc verdicts: (id, exact_dup, low_quality, repetitive,
-    contaminated, keep). A doc with no n-gram evidence (too short for
-    repetition/decontamination) is not flagged by those stages."""
+    style_flagged, contaminated, keep). A doc with no n-gram evidence
+    (too short for repetition/decontamination) is not flagged by
+    those stages. ``style_flagged`` applies Gopher's published
+    line-shape caps (Rae et al. '21 Table A1): dup line/para
+    fractions 0.30, their char-weighted variants 0.20, bullet-start
+    0.90, ellipsis-end 0.30 — all over :func:`line_signals`."""
     ids = df.select(
         F.col(id_col), F.sha2(F.col(text_col), 256).alias("sha")
     )
@@ -49,11 +63,41 @@ def curate(
     r = repetition_signals(df, id_col, text_col).select(
         id_col, "top_2gram_frac", "dup_5gram_frac"
     )
-    out = base.join(q, id_col, "left").join(r, id_col, "left")
+    ls = line_signals(df, id_col, text_col).select(
+        id_col,
+        "dup_line_frac",
+        "dup_para_frac",
+        "dup_line_char_frac",
+        "dup_para_char_frac",
+        "bullet_line_frac",
+        "ellipsis_line_frac",
+    )
+    out = (
+        base.join(q, id_col, "left")
+        .join(r, id_col, "left")
+        .join(ls, id_col, "left")
+    )
     low_quality = F.coalesce(F.col("quality"), F.lit(0.0)) < min_quality
     repetitive = (
         F.coalesce(F.col("top_2gram_frac"), F.lit(0.0)) > max_top2gram_frac
     ) | (F.coalesce(F.col("dup_5gram_frac"), F.lit(0.0)) > max_dup5gram_frac)
+    style_flagged = (
+        (F.coalesce(F.col("dup_line_frac"), F.lit(0.0)) > max_dup_line_frac)
+        | (F.coalesce(F.col("dup_para_frac"), F.lit(0.0)) > max_dup_para_frac)
+        | (
+            F.coalesce(F.col("dup_line_char_frac"), F.lit(0.0))
+            > max_dup_line_char_frac
+        )
+        | (
+            F.coalesce(F.col("dup_para_char_frac"), F.lit(0.0))
+            > max_dup_para_char_frac
+        )
+        | (F.coalesce(F.col("bullet_line_frac"), F.lit(0.0)) > max_bullet_frac)
+        | (
+            F.coalesce(F.col("ellipsis_line_frac"), F.lit(0.0))
+            > max_ellipsis_frac
+        )
+    )
     if eval_df is not None:
         c = decontaminate(df, eval_df, id_col, text_col, n=decontam_n).select(
             id_col, "contaminated"
@@ -67,8 +111,15 @@ def curate(
         F.col("exact_dup"),
         low_quality.alias("low_quality"),
         repetitive.alias("repetitive"),
+        style_flagged.alias("style_flagged"),
         contaminated.alias("contaminated"),
         (
-            ~(F.col("exact_dup") | low_quality | repetitive | contaminated)
+            ~(
+                F.col("exact_dup")
+                | low_quality
+                | repetitive
+                | style_flagged
+                | contaminated
+            )
         ).alias("keep"),
     )

@@ -742,6 +742,9 @@ def test_curate_composed_verdicts(spark):
         (3, "zz xq vw kj pq mn"),         # no stopwords, short -> low quality
         (4, "the alpha beta gamma delta epsilon and the end of it here now"),
         (5, clean + " completely fresh extra tail words here"),  # near dup, kept
+        # Gopher style cap: half the lines are duplicates
+        (6, "the same line again here\nthe same line again here\n"
+            "the same line again here\nthe quick brown fox jumps dog"),
     ]
     ev = spark.createDataFrame(
         [(100, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
@@ -760,8 +763,12 @@ def test_curate_composed_verdicts(spark):
     assert out[2]["repetitive"] and not out[2]["keep"]
     assert out[3]["low_quality"] and not out[3]["keep"]
     assert out[4]["contaminated"] and not out[4]["keep"]
+    assert out[6]["style_flagged"] and not out[6]["keep"]
     assert out[0]["keep"] and out[5]["keep"]
-    for flag in ("exact_dup", "low_quality", "repetitive", "contaminated"):
+    for flag in (
+        "exact_dup", "low_quality", "repetitive", "style_flagged",
+        "contaminated",
+    ):
         assert not out[0][flag], flag
 
 
