@@ -221,7 +221,7 @@ def dedupe_docs(with_id: DataFrame) -> DataFrame:
 
 def stamp_ordinals(
     df: DataFrame, partitions: int, base: int = 0, sort_cols=None
-) -> tuple[DataFrame, int]:
+) -> tuple[DataFrame, int, DataFrame]:
     """Stamp dense ordinals ``base .. base+N-1`` in ``sort_cols``
     order (default: the ``doc`` column) onto ``df`` without a
     single-partition global sort: range-partition + sort by the key,

@@ -408,6 +408,25 @@ def test_quality_buckets(spark):
     assert [out[i]["bucket"] for i in range(7)] == [1, 1, 1, 2, 2, 3, 3]
     scores = [out[i]["mean_logprob"] for i in range(7)]
     assert scores == sorted(scores, reverse=True)
+    # n_buckets=4 over 6 docs: NTILE front-loads the remainder —
+    # sizes 2,2,1,1 (not the even-spread 2,1,2,1)
+    df6 = spark.createDataFrame(rows[:6], "doc_id long, text string")
+    out4 = {
+        r["doc_id"]: r["bucket"]
+        for r in quality_buckets(df6, n_buckets=4).collect()
+    }
+    assert [out4[i] for i in range(6)] == [1, 1, 2, 2, 3, 4]
+    # N < n_buckets: each doc its own bucket 1..N, no skipped numbers
+    df2 = spark.createDataFrame(rows[:2], "doc_id long, text string")
+    out2 = {
+        r["doc_id"]: r["bucket"]
+        for r in quality_buckets(df2, n_buckets=4).collect()
+    }
+    assert [out2[i] for i in range(2)] == [1, 2]
+    # return_handle exposes the persisted rank intermediate for release
+    bdf, handle = quality_buckets(df6, n_buckets=3, return_handle=True)
+    assert bdf.count() == 6 and handle is not None
+    handle.unpersist()
 
 
 def test_top_ngrams(spark):
