@@ -773,6 +773,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ds.dsir_select(raw, target, k=50, n_buckets=64)
 
     q["dsir_select"] = _dsir
+
+    def _bpe(s, d):
+        from photon_spark.datapipe import bpe
+
+        return bpe.bpe_train(_docs(s, d), n_merges=3)
+
+    # distributed BPE merge trainer (3 rounds for the gate)
+    q["bpe_train"] = _bpe
+
+    def _bpe_encode(s, d):
+        from photon_spark.datapipe import bpe
+
+        docs = _docs(s, d)
+        merges = [
+            r["pair"] for r in bpe.bpe_train(docs, n_merges=3).collect()
+        ]
+        return bpe.bpe_apply(docs, merges)
+
+    # encode step: train 3 merges on the corpus, re-encode it
+    q["bpe_encode"] = _bpe_encode
     # C4-style corpus-wide exact line dedup (keep-first, reassembled)
     q["line_dedup"] = lambda s, d: dd.line_dedup(_docs(s, d))
     # ExactSubstr (Lee et al. '21): duplicated-window report + removal
@@ -1418,6 +1438,50 @@ WITH tok AS (
 SELECT doc_id, n_tokens, mean_logprob,
        CAST(NTILE(3) OVER (ORDER BY mean_logprob DESC, doc_id ASC) AS INTEGER) AS bucket
 FROM scored"""
+
+    # BPE merge trainer, 3 unrolled rounds: each round counts
+    # adjacent pairs from the space-wrapped doc state, picks
+    # (cnt desc, pair asc), and fuses disjoint " l r " occurrences
+    # (chr(2) sentinel no-ops the replace when a round found no pair)
+    _bpe_parts = [
+        f"""s0 AS (
+  SELECT doc_id,
+         CASE WHEN len({_SQL_TOKS}) > 0
+              THEN ' ' || array_to_string({_SQL_TOKS}, ' ') || ' '
+              ELSE '' END AS s
+  FROM documents
+)"""
+    ]
+    for _k in range(1, 4):
+        _bpe_parts.append(
+            f"""c{_k} AS (
+  SELECT pair, COUNT(*) AS cnt FROM (
+    SELECT unnest(list_transform(range(1, len(tl)), i -> tl[i] || ' ' || tl[i + 1])) AS pair
+    FROM (SELECT list_filter(string_split(s, ' '), x -> x <> '') AS tl FROM s{_k - 1})
+  ) GROUP BY pair
+), m{_k} AS (
+  SELECT {_k} AS step, pair, cnt FROM c{_k} ORDER BY cnt DESC, pair ASC LIMIT 1
+), s{_k} AS (
+  SELECT doc_id, replace(s,
+    ' ' || COALESCE((SELECT pair FROM m{_k}), chr(2)) || ' ',
+    ' ' || COALESCE((SELECT replace(pair, ' ', chr(1)) FROM m{_k}), chr(2)) || ' ') AS s
+  FROM s{_k - 1}
+)"""
+        )
+    _bpe_union = " UNION ALL ".join(f"SELECT * FROM m{_k}" for _k in range(1, 4))
+    o["bpe_train"] = "WITH " + ",\n".join(_bpe_parts) + f"""
+SELECT CAST(step AS INTEGER) AS step, pair,
+       replace(pair, ' ', chr(1)) AS merged,
+       CAST(cnt AS BIGINT) AS pair_count
+FROM ({_bpe_union})
+ORDER BY step"""
+
+    # encode twin: the trainer's final doc state IS the encoding
+    o["bpe_encode"] = "WITH " + ",\n".join(_bpe_parts) + """
+SELECT doc_id,
+       CAST(len(list_filter(string_split(s, ' '), x -> x <> '')) AS INTEGER) AS n_bpe_tokens,
+       COALESCE(array_to_string(list_filter(string_split(s, ' '), x -> x <> ''), ' '), '') AS encoded
+FROM s3"""
 
     # DSIR: hashed {1,2}-gram bucket models on target (doc_id%13=5)
     # vs raw, add-1-smoothed log ratio, per-doc weight sum, Gumbel

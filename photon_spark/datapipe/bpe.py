@@ -1,0 +1,133 @@
+"""Distributed BPE merge training (Sennrich et al. '16 §3.2) over
+whitespace-pretokenized docs.
+
+Each round counts adjacent token pairs corpus-wide (standard
+overlapping adjacent counts), picks the most frequent pair
+(count desc, pair asc — a strict total order), and fuses it into a
+single token for the next round. The returned merge table
+(step, pair, merged, pair_count) IS the trained artifact a tokenizer
+applies at encode time; ``top_ngrams`` is this trainer's round-0
+census.
+
+Application rule (documented variant): a round fuses DISJOINT
+boundary-delimited occurrences left-to-right — the doc state is the
+token stream joined and wrapped with single spaces, and the round
+replaces non-overlapping ``" left right "`` matches. Immediately
+repeated pairs that share a boundary space (``a a a a``) fuse one
+pair per round and the remnant stays countable for later rounds,
+where exact Sennrich processing would fuse both in one pass. This
+keeps the round a single literal string replace with identical
+semantics on every engine (and in the DuckDB oracle), at the cost of
+spreading repeat-runs across rounds.
+
+Scale (100 TB): each round is one narrow map (literal ``replace``
+over the doc state) + one map-combinable pair count + TakeOrdered(1)
+— the driver holds only the n_merges winning pairs, never a
+vocabulary. Lineage grows one replace per round; past ~dozens of
+rounds, localCheckpoint the state DataFrame (noted here rather than
+imposed — the merge table is tiny and rounds are few in practice).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from photon_spark.datapipe.textstats import tokens_col
+
+# fuses the two tokens of a merged pair; \x01 never appears in
+# whitespace-split tokens, so merged tokens stay atomic
+MERGE_JOIN = "\x01"
+
+
+def _pairs_col(s_col) -> "F.Column":
+    """Adjacent-pair strings (overlapping, with multiplicity) from a
+    space-wrapped doc-state string."""
+    tl = F.filter(F.split(s_col, " "), lambda x: x != F.lit(""))
+    return F.when(
+        F.size(tl) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tl) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(tl, i), F.element_at(tl, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train ``n_merges`` BPE merges; returns a DataFrame
+    (step, pair, merged, pair_count) with one row per completed round
+    (fewer if the corpus runs out of adjacent pairs). Deterministic:
+    ties break pair-ascending, and the doc state is derived purely
+    from the input."""
+    spark = df.sparkSession
+    toks = tokens_col(text_col)
+    state = df.select(
+        F.col(id_col),
+        F.when(
+            F.size(toks) > 0,
+            F.concat(F.lit(" "), F.concat_ws(" ", toks), F.lit(" ")),
+        )
+        .otherwise(F.lit(""))
+        .alias("s"),
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        top = (
+            state.select(F.explode(_pairs_col(F.col("s"))).alias("pair"))
+            .groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pair, cnt = top[0]["pair"], int(top[0]["cnt"])
+        merged = pair.replace(" ", MERGE_JOIN)
+        merges.append((step, pair, merged, cnt))
+        state = state.withColumn(
+            "s",
+            F.replace(
+                F.col("s"), F.lit(f" {pair} "), F.lit(f" {merged} ")
+            ),
+        )
+    return spark.createDataFrame(
+        merges, "step int, pair string, merged string, pair_count long"
+    )
+
+
+def bpe_apply(
+    df: DataFrame,
+    merges: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode step: apply a trained merge table (ordered ``pair``
+    strings from :func:`bpe_train`) to the corpus. Returns
+    (id, n_bpe_tokens, encoded) — ``encoded`` is the space-joined
+    post-merge token stream (merged tokens carry ``\\x01``, so the
+    space join stays unambiguous). One narrow chained-replace map per
+    merge; no shuffle at all."""
+    toks = tokens_col(text_col)
+    s = (
+        F.when(
+            F.size(toks) > 0,
+            F.concat(F.lit(" "), F.concat_ws(" ", toks), F.lit(" ")),
+        )
+        .otherwise(F.lit(""))
+    )
+    for pair in merges:
+        merged = pair.replace(" ", MERGE_JOIN)
+        s = F.replace(s, F.lit(f" {pair} "), F.lit(f" {merged} "))
+    tl = F.filter(F.split(s, " "), lambda x: x != F.lit(""))
+    return df.select(
+        F.col(id_col),
+        F.size(tl).alias("n_bpe_tokens"),
+        F.concat_ws(" ", tl).alias("encoded"),
+    )

@@ -304,6 +304,56 @@ def test_lm_score(spark):
     assert out[99]["mean_logprob"] < out[0]["mean_logprob"]
 
 
+def test_bpe_train(spark):
+    """BPE rounds: overlapping adjacent counts pick the winner
+    (ties pair-asc), disjoint boundary-delimited fusion, early stop
+    when no pairs remain."""
+    from photon_spark.datapipe.bpe import bpe_train
+
+    rows = [
+        (0, "low low low low low"),
+        (1, "lower lower newest"),
+        (2, "single"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bpe_train(df, n_merges=3).collect()
+    assert [r["step"] for r in out] == [1, 2, 3]
+    # round 1: "low low" counted at every adjacent index (4 in the
+    # 5-run) and fused disjointly
+    assert (out[0]["pair"], out[0]["merged"], out[0]["pair_count"]) == (
+        "low low", "low\x01low", 4
+    )
+    # round 2: all remaining pairs tie at 1; \x01 < ' ' < 'e' makes
+    # "low\x01low low" the ascending winner
+    assert out[1]["pair"] == "low\x01low low" and out[1]["pair_count"] == 1
+    # no adjacent pairs anywhere -> early stop, empty merge table
+    lone = spark.createDataFrame([(0, "one"), (1, "")], "doc_id long, text string")
+    assert bpe_train(lone, n_merges=3).count() == 0
+
+
+def test_bpe_apply(spark):
+    """Encoding with the trained table reproduces the trainer's final
+    doc state; unseen text encodes with whatever merges apply."""
+    from photon_spark.datapipe.bpe import bpe_apply, bpe_train
+
+    df = spark.createDataFrame(
+        [(0, "low low low low low"), (1, "lower lower newest")],
+        "doc_id long, text string",
+    )
+    merges = [r["pair"] for r in bpe_train(df, n_merges=2).collect()]
+    out = {r["doc_id"]: r for r in bpe_apply(df, merges).collect()}
+    # 5-run: round 1 fuses (1,2) and (4,5); round 2 fuses the
+    # ascending tie winner "low\x01low low"
+    assert out[0]["encoded"] == "low\x01low\x01low low\x01low"
+    assert out[0]["n_bpe_tokens"] == 2
+    assert out[1]["encoded"] == "lower lower newest"
+    # fresh text: only the learned merges apply
+    new = spark.createDataFrame([(9, "low low lower")], "doc_id long, text string")
+    enc = bpe_apply(new, merges).collect()[0]
+    assert enc["encoded"] == "low\x01low lower" and enc["n_bpe_tokens"] == 2
+
+
 def test_dsir_select(spark):
     """DSIR prefers raw docs whose hashed-gram profile matches the
     target corpus; hash-seeded Gumbel keeps selection rerun-stable."""

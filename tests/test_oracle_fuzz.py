@@ -54,6 +54,8 @@ FUZZ_ENTRIES = [
     "substring_dedup",
     "mixture_sample",
     "dsir_select",
+    "bpe_train",
+    "bpe_encode",
     "minhash_lsh_pairs",
     "dataset_stats",
     "lm_score",
