@@ -1286,7 +1286,7 @@ WITH base AS (
   FROM documents
 ), feat AS (
   SELECT doc_id, lines,
-         list_transform(lines, x -> trim(x)) AS tl,
+         list_transform(lines, x -> trim(x, ' ')) AS tl,
          len(lines) AS nl, len(list_distinct(lines)) AS ndl,
          COALESCE(list_aggregate(list_transform(lines, x -> length(x)), 'sum'), 0) AS cl,
          COALESCE(list_aggregate(list_transform(list_distinct(lines), x -> length(x)), 'sum'), 0) AS cdl,
@@ -1314,7 +1314,7 @@ WITH base AS (
 ), k AS (
   SELECT doc_id, text, lines,
          list_filter(lines, x ->
-             right(trim(x), 1) IN ('.', '!', '?', '"')
+             right(trim(x, ' '), 1) IN ('.', '!', '?', '"')
              AND len(list_filter(regexp_split_to_array(x, '[ \\t\\n\\x0b\\f\\r]+'), w -> w <> '')) >= 5
              AND NOT contains(lower(x), 'javascript')) AS kept
   FROM base
@@ -1443,11 +1443,17 @@ FROM scored"""
     # adjacent pairs from the space-wrapped doc state, picks
     # (cnt desc, pair asc), and fuses disjoint " l r " occurrences
     # (chr(2) sentinel no-ops the replace when a round found no pair)
+    # bpe strips the reserved control chars (\x01 merge join, \x02
+    # sentinel) from input before tokenizing — mirror that here
+    _sql_toks_san = _SQL_TOKS.replace(
+        "lower(text)",
+        "lower(replace(replace(text, chr(1), ''), chr(2), ''))",
+    )
     _bpe_parts = [
         f"""s0 AS (
   SELECT doc_id,
-         CASE WHEN len({_SQL_TOKS}) > 0
-              THEN ' ' || array_to_string({_SQL_TOKS}, ' ') || ' '
+         CASE WHEN len({_sql_toks_san}) > 0
+              THEN ' ' || array_to_string({_sql_toks_san}, ' ') || ' '
               ELSE '' END AS s
   FROM documents
 )"""
@@ -1717,10 +1723,10 @@ WITH train AS (
         AND ROUND((COALESCE(list_aggregate(list_transform(paras, x -> length(x)), 'sum'), 0)
                    - COALESCE(list_aggregate(list_transform(list_distinct(paras), x -> length(x)), 'sum'), 0))::DOUBLE
                   / COALESCE(list_aggregate(list_transform(paras, x -> length(x)), 'sum'), 0), 6) > 0.20)
-    OR ROUND(len(list_filter(list_transform(lines, x -> trim(x)),
+    OR ROUND(len(list_filter(list_transform(lines, x -> trim(x, ' ')),
                              x -> starts_with(x, '•') OR starts_with(x, '-') OR starts_with(x, '*')))::DOUBLE
              / len(lines), 6) > 0.90
-    OR ROUND(len(list_filter(list_transform(lines, x -> trim(x)),
+    OR ROUND(len(list_filter(list_transform(lines, x -> trim(x, ' ')),
                              x -> ends_with(x, '...') OR ends_with(x, '…')))::DOUBLE
              / len(lines), 6) > 0.30
     AS style_flagged

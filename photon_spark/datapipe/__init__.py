@@ -22,7 +22,7 @@ from photon_spark.datapipe.textstats import (  # noqa: F401
     token_counts,
     winnow_fingerprints,
 )
-from photon_spark.datapipe.bpe import bpe_train  # noqa: F401
+from photon_spark.datapipe.bpe import bpe_apply, bpe_train  # noqa: F401
 from photon_spark.datapipe.dsir import (  # noqa: F401
     dsir_log_ratio,
     dsir_select,

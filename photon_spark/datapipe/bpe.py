@@ -32,11 +32,31 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from photon_spark.datapipe.textstats import tokens_col
-
-# fuses the two tokens of a merged pair; \x01 never appears in
-# whitespace-split tokens, so merged tokens stay atomic
+# fuses the two tokens of a merged pair. \x01 (and the oracle's \x02
+# no-op sentinel) are RESERVED: both are stripped from input text
+# before tokenization (_state_col), so a literal \x01 in a document
+# can never collide with a merged token and \x02 never defeats the
+# sentinel. Stripping (not splitting) is the documented
+# normalization: "a\x01b" becomes the single token "ab".
 MERGE_JOIN = "\x01"
+_RESERVED = ("\x01", "\x02")
+
+
+def _state_col(text_col: str) -> "F.Column":
+    """Space-wrapped doc-state string (the single cross-engine
+    convention shared by bpe_train, bpe_apply, and the DuckDB oracle
+    s0 CTE): reserved control chars stripped, lowercased whitespace
+    tokens joined and wrapped with single spaces; '' when empty."""
+    san = F.col(text_col)
+    for ch in _RESERVED:
+        san = F.replace(san, F.lit(ch), F.lit(""))
+    toks = F.filter(
+        F.split(F.lower(san), r"\s+"), lambda x: x != F.lit("")
+    )
+    return F.when(
+        F.size(toks) > 0,
+        F.concat(F.lit(" "), F.concat_ws(" ", toks), F.lit(" ")),
+    ).otherwise(F.lit(""))
 
 
 def _pairs_col(s_col) -> "F.Column":
@@ -66,37 +86,44 @@ def bpe_train(
     ties break pair-ascending, and the doc state is derived purely
     from the input."""
     spark = df.sparkSession
-    toks = tokens_col(text_col)
+    # persist each round's state so round k is ONE corpus pass — an
+    # unpersisted chain would re-scan + re-replay k-1 replaces per
+    # round (quadratic in n_merges); keep at most two states cached
+    # (the previous one until the current one is materialized)
     state = df.select(
-        F.col(id_col),
-        F.when(
-            F.size(toks) > 0,
-            F.concat(F.lit(" "), F.concat_ws(" ", toks), F.lit(" ")),
-        )
-        .otherwise(F.lit(""))
-        .alias("s"),
-    )
+        F.col(id_col), _state_col(text_col).alias("s")
+    ).persist()
+    prev = None
     merges: list[tuple[int, str, str, int]] = []
-    for step in range(1, n_merges + 1):
-        top = (
-            state.select(F.explode(_pairs_col(F.col("s"))).alias("pair"))
-            .groupBy("pair")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .orderBy(F.col("cnt").desc(), F.col("pair").asc())
-            .limit(1)
-            .collect()
-        )
-        if not top:
-            break
-        pair, cnt = top[0]["pair"], int(top[0]["cnt"])
-        merged = pair.replace(" ", MERGE_JOIN)
-        merges.append((step, pair, merged, cnt))
-        state = state.withColumn(
-            "s",
-            F.replace(
-                F.col("s"), F.lit(f" {pair} "), F.lit(f" {merged} ")
-            ),
-        )
+    try:
+        for step in range(1, n_merges + 1):
+            top = (
+                state.select(F.explode(_pairs_col(F.col("s"))).alias("pair"))
+                .groupBy("pair")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+                .limit(1)
+                .collect()
+            )
+            if prev is not None:  # state is materialized now
+                prev.unpersist()
+                prev = None
+            if not top:
+                break
+            pair, cnt = top[0]["pair"], int(top[0]["cnt"])
+            merged = pair.replace(" ", MERGE_JOIN)
+            merges.append((step, pair, merged, cnt))
+            prev = state
+            state = state.withColumn(
+                "s",
+                F.replace(
+                    F.col("s"), F.lit(f" {pair} "), F.lit(f" {merged} ")
+                ),
+            ).persist()
+    finally:
+        state.unpersist()
+        if prev is not None:
+            prev.unpersist()
     return spark.createDataFrame(
         merges, "step int, pair string, merged string, pair_count long"
     )
@@ -114,14 +141,7 @@ def bpe_apply(
     post-merge token stream (merged tokens carry ``\\x01``, so the
     space join stays unambiguous). One narrow chained-replace map per
     merge; no shuffle at all."""
-    toks = tokens_col(text_col)
-    s = (
-        F.when(
-            F.size(toks) > 0,
-            F.concat(F.lit(" "), F.concat_ws(" ", toks), F.lit(" ")),
-        )
-        .otherwise(F.lit(""))
-    )
+    s = _state_col(text_col)
     for pair in merges:
         merged = pair.replace(" ", MERGE_JOIN)
         s = F.replace(s, F.lit(f" {pair} "), F.lit(f" {merged} "))

@@ -352,6 +352,13 @@ def test_bpe_apply(spark):
     new = spark.createDataFrame([(9, "low low lower")], "doc_id long, text string")
     enc = bpe_apply(new, merges).collect()[0]
     assert enc["encoded"] == "low\x01low lower" and enc["n_bpe_tokens"] == 2
+    # reserved control chars are stripped from input, so a literal
+    # \x01 token can never impersonate a merged pair
+    dirty = spark.createDataFrame(
+        [(0, "a\x01b c"), (1, "\x02only")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in bpe_apply(dirty, merges).collect()}
+    assert got[0]["encoded"] == "ab c" and got[1]["encoded"] == "only"
 
 
 def test_dsir_select(spark):
@@ -477,6 +484,11 @@ def test_quality_buckets(spark):
     bdf, handle = quality_buckets(df6, n_buckets=3, return_handle=True)
     assert bdf.count() == 6 and handle is not None
     handle.unpersist()
+    # empty corpus still hands back a live (empty) handle, never None
+    empty = spark.createDataFrame([(0, "  ")], "doc_id long, text string")
+    edf, ehandle = quality_buckets(empty, n_buckets=3, return_handle=True)
+    assert edf.count() == 0 and ehandle is not None
+    ehandle.unpersist()
 
 
 def test_top_ngrams(spark):

@@ -73,6 +73,8 @@ _TOKENS = st.sampled_from(
         "...", "!!!", "@@",                          # punctuation runs
         "0", "42",
         "• item", "- dash.", "fin…",               # line-signal edges
+        "a\x01b",                                    # reserved-char strip
+
         "lorem ipsum", "JavaScript", "{",            # c4 page flags
     ]
 )

@@ -23,6 +23,12 @@ TABLES = [
 
 
 def value_hash(rows: list[tuple], cols: list[str]) -> str:
+    # NB: \x01/\x02 are field/row separators and therefore in-band
+    # for values that legitimately contain \x01 (the bpe entries'
+    # merged tokens). Both engines hash the SAME rendered strings, so
+    # a mismatch can only be masked if two DIFFERING rows align
+    # across a separator — negligible, but don't add entries whose
+    # values embed \x02.
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     norm = []
     for r in rows:
