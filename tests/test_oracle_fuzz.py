@@ -9,6 +9,16 @@ Here hypothesis generates adversarial documents — unicode whitespace
 punctuation runs, exact duplicates — writes them as a documents table,
 and asserts the entry's Spark result equals its DuckDB oracle
 row-for-row, using the same float normalization as the gate's hasher.
+
+Known, deliberate exclusion: U+0130 ('İ') — Java/Spark applies the
+Unicode FULL lowercase mapping (İ → i + combining dot above) while
+DuckDB applies the simple mapping (İ → i), so any lower()-based
+oracle diverges on it. The engine is self-consistent; only the twin
+differs. The alphabet below therefore probes folding with éüß/ĐđŊ
+(verified identical mappings) and leaves İ out; a probe script lives
+in the git history of this note. DuckDB's one-arg trim() strips
+unicode spaces where Spark strips ASCII space only — oracles pin
+trim(x, ' ') wherever trimming matters (found by this fuzzer).
 """
 
 from __future__ import annotations
