@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from photon_spark.datapipe import dedup as dd
+from photon_spark.datapipe import hashvec as hv
 from photon_spark.datapipe import multimodal as mm
 from photon_spark.datapipe import similarity as sim
 from photon_spark.datapipe import textstats as ts
@@ -918,6 +919,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (test_datapipe.py::test_semdedup).
     q["semdedup"] = lambda s, d: dd.semdedup(
         _embs(s, d), threshold=0.4, n_clusters=1, n_iters=1
+    )
+    # text → vector bridge (datapipe/hashvec.py): feature-hashed
+    # TF-IDF sparse vectors and the bucket-join sparse cosine top-k
+    # over them — the path a corpus with no embedding column takes
+    # into the ANN/near-dup machinery above
+    # max_df_frac=0.99: the fixture corpus has a ~31-word vocabulary,
+    # so the production 0.5 stopword cut would leave a near-empty
+    # vector table; 0.99 keeps every bucket participating (the cut
+    # semantics are still exercised — the oracle carries the same
+    # predicate) while the default 0.5 stays pinned in pytest
+    q["hashed_tfidf"] = lambda s, d: hv.hashed_tfidf(
+        _docs(s, d), dim=256, max_df_frac=0.99
+    )
+    q["sparse_cosine_pairs"] = lambda s, d: hv.sparse_cosine_pairs(
+        _docs(s, d), dim=256, max_df_frac=0.99, k=20
     )
 
     # ---- training-data pipeline: similarity search ----
@@ -1974,6 +1990,44 @@ WHERE ROUND(list_dot_product(a.v, b.v) /
     # its oracle — a hash-level pin that the bucketed join loses
     # nothing vs brute force
     o["embedding_near_dup_lsh"] = o["embedding_near_dup"]
+
+    # hashvec.hashed_tfidf twin: same md5-h60 bucket hash, same
+    # tf·ln((N+1)/(df+1)) weighting, same max-df 0.99 stopword cut
+    # as the queries() entry, l2 norm per doc, 6-d.p. rounding at
+    # the very end only
+    _sql_hashvec_unit = f"""
+toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, {_sql_h60("tok")} % 256 AS bucket, COUNT(*) AS tf
+  FROM toks GROUP BY doc_id, bucket
+), n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+dfb AS (SELECT bucket, COUNT(*) AS dfb FROM tf GROUP BY bucket),
+w AS (
+  SELECT tf.doc_id, tf.bucket,
+         tf.tf * ln(((SELECT n_docs FROM n) + 1.0) / (dfb.dfb + 1.0)) AS w
+  FROM tf JOIN dfb USING (bucket)
+  WHERE dfb.dfb <= (SELECT n_docs FROM n) * 0.99
+), nrm AS (
+  SELECT doc_id, sqrt(SUM(w * w)) AS nv FROM w GROUP BY doc_id
+)"""
+    o["hashed_tfidf"] = f"""
+WITH {_sql_hashvec_unit}
+SELECT w.doc_id, w.bucket, ROUND(w.w / nrm.nv, 6) AS weight
+FROM w JOIN nrm USING (doc_id)
+WHERE nrm.nv > 0"""
+
+    o["sparse_cosine_pairs"] = f"""
+WITH {_sql_hashvec_unit}, unit AS (
+  SELECT w.doc_id, w.bucket, w.w / nrm.nv AS u
+  FROM w JOIN nrm USING (doc_id) WHERE nrm.nv > 0
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(SUM(a.u * b.u), 6) AS sim
+FROM unit a JOIN unit b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+ORDER BY sim DESC, id_a, id_b
+LIMIT 20"""
 
     # SemDeDup at n_clusters=1: pair list = the all-pairs cosine
     # filter, then the same recursive-CTE transitive closure as

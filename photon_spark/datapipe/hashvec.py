@@ -1,0 +1,179 @@
+"""Feature-hashed TF-IDF document vectors + sparse cosine similarity.
+
+The rest of the datapipe's embedding consumers (``similarity.py`` ANN,
+``dedup.embedding_near_dup*``, ``semdedup``) take a dense
+``array<float>`` column as given.  This module closes the loop on the
+text side: it derives a document vector FROM the text itself with the
+hashing trick (Weinberger et al. '09 "Feature Hashing for Large Scale
+Multitask Learning"), the standard way to vectorize an unbounded
+vocabulary without building or broadcasting a dictionary — the bucket
+of a token is a pure hash, so the map stage is embarrassingly parallel
+and the vector dimensionality is fixed up front.
+
+Reference analog: photon's Elasticsearch mapping scores documents from
+analyzed term statistics (es/mappings.json, query/PhotonQueryBuilder);
+here the same tf/idf statistics are folded into a fixed-width vector so
+the OTHER half of the pipeline (cosine dedup / ANN) can run on corpora
+that ship no embedding column.
+
+Output is the SPARSE representation ``(doc_id, bucket, weight)`` —
+at web scale a dense 2^20-wide array per doc would multiply the
+shuffle width by dim/avg_nnz for no information gain; the sparse rows
+join/aggregate co-keyed on ``bucket`` exactly like a posting list
+(this is the same (term, doc, tf) run shape as ``index/build.py``).
+
+Scale (100 TB):
+
+* ``hashed_tfidf`` — one explode + two map-combinable groupBys
+  (doc×bucket tf, bucket df) + one broadcast-sized N; the df table is
+  at most ``dim`` rows, so the idf join broadcasts.  The l2 norm is a
+  per-doc window over ≤ dim rows.  No vocabulary is ever collected or
+  broadcast — that is the point of the hashing trick.
+* ``max_df_frac`` doubles as the skew guard: stopword-grade buckets
+  (df > frac·N) are dropped BEFORE the norm and before any
+  bucket-keyed self-join, which is both the classic tf-idf stopword
+  cut and the thing that bounds the hottest join key.  For the pair
+  stage at true web scale you tighten it (or set an absolute
+  ``max_df``) so a single bucket's pair blow-up stays bounded —
+  the same df-cap every production LSH/sparse-similarity system
+  applies (e.g. Spark MLlib's CountVectorizer maxDF).
+* ``sparse_cosine_pairs`` — the bucket-keyed self-join emits one row
+  per co-occurring bucket per pair (not per token), partial-aggregated
+  map-side; the final overall top-k is a TakeOrdered, never a global
+  sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from photon_spark.datapipe.dedup import _md5_h60
+from photon_spark.datapipe.textstats import tokens_col
+
+__all__ = ["hashed_tfidf", "sparse_cosine_pairs"]
+
+
+def hashed_tfidf(
+    df: DataFrame,
+    dim: int = 1024,
+    max_df_frac: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """l2-normalized hashed TF-IDF vectors, sparse rows
+    ``(doc_id, bucket, weight)`` with ``weight`` rounded to 6 d.p.
+    (cross-engine float convention, see ``__spark_entry__``).
+
+    bucket = md5-h60(token) mod ``dim``; weight before normalization
+    is ``tf * ln((N + 1) / (df + 1))`` where N is the number of
+    distinct input docs and df the number of docs hitting the bucket;
+    buckets with ``df > max_df_frac * N`` (stopword-grade, and the
+    skew-heavy join keys downstream) are dropped before normalizing.
+    Docs whose every bucket was dropped vanish from the output (their
+    norm would be 0).
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_col(text_col)).alias("token")
+    )
+    tf = (
+        toks.select(
+            id_col, (_md5_h60(F.col("token")) % F.lit(dim)).alias("bucket")
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # N: one scalar — computed in-plan and cross-joined (broadcast of
+    # a single row) so the whole thing stays one lazy DataFrame
+    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    # df per bucket: ≤ dim rows, map-combined; joins back broadcast
+    dfb = tf.groupBy("bucket").agg(F.count(F.lit(1)).alias("dfb"))
+    w = (
+        tf.join(F.broadcast(dfb), "bucket")
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("dfb") <= F.col("n_docs") * F.lit(max_df_frac))
+        .select(
+            F.col(id_col),
+            F.col("bucket"),
+            (
+                F.col("tf")
+                * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("dfb") + F.lit(1.0)))
+            ).alias("w"),
+        )
+    )
+    nrm = F.sqrt(F.sum(F.col("w") * F.col("w")).over(Window.partitionBy(id_col)))
+    return (
+        w.withColumn("_n", nrm)
+        .filter(F.col("_n") > F.lit(0.0))
+        .select(
+            F.col(id_col),
+            F.col("bucket"),
+            F.round(F.col("w") / F.col("_n"), 6).alias("weight"),
+        )
+    )
+
+
+def sparse_cosine_pairs(
+    df: DataFrame,
+    dim: int = 1024,
+    max_df_frac: float = 0.5,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overall top-``k`` most cosine-similar doc pairs under the
+    :func:`hashed_tfidf` vectorization — ``(id_a, id_b, sim)`` with
+    ``id_a < id_b``, ``sim`` rounded to 6 d.p., ordered
+    (sim desc, id_a, id_b) for determinism.
+
+    The dot product of two l2-normalized sparse vectors IS their
+    cosine, and it decomposes bucket-wise: self-join on ``bucket``,
+    multiply the two weights, sum per pair.  Normalization happens
+    BEFORE rounding here (the 6-d.p. output rounding of
+    ``hashed_tfidf`` is a display convention, not an input to this
+    math) — so the pair sim matches a dense-vector cosine to float64.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_col(text_col)).alias("token")
+    )
+    tf = (
+        toks.select(
+            id_col, (_md5_h60(F.col("token")) % F.lit(dim)).alias("bucket")
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    dfb = tf.groupBy("bucket").agg(F.count(F.lit(1)).alias("dfb"))
+    w = (
+        tf.join(F.broadcast(dfb), "bucket")
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("dfb") <= F.col("n_docs") * F.lit(max_df_frac))
+        .select(
+            F.col(id_col),
+            "bucket",
+            (
+                F.col("tf")
+                * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("dfb") + F.lit(1.0)))
+            ).alias("w"),
+        )
+    )
+    nrm = F.sqrt(F.sum(F.col("w") * F.col("w")).over(Window.partitionBy(id_col)))
+    unit = (
+        w.withColumn("_n", nrm)
+        .filter(F.col("_n") > F.lit(0.0))
+        .select(id_col, "bucket", (F.col("w") / F.col("_n")).alias("u"))
+    )
+    a = unit.select(
+        F.col(id_col).alias("id_a"), F.col("bucket"), F.col("u").alias("ua")
+    )
+    b = unit.select(
+        F.col(id_col).alias("id_b"), F.col("bucket"), F.col("u").alias("ub")
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.round(F.sum(F.col("ua") * F.col("ub")), 6).alias("sim"))
+    )
+    return pairs.orderBy(F.col("sim").desc(), "id_a", "id_b").limit(k)

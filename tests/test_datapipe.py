@@ -998,3 +998,73 @@ def test_mixture_sample(spark):
     assert 10 <= got["src1"] <= 40
     # no live stratum -> empty, not an error
     assert mixture_sample(df, {"absent": 1}).count() == 0
+
+
+def test_hashed_tfidf_matches_dense_numpy(spark, docs):
+    """hashvec vs an independent dense numpy tf-idf: same buckets,
+    same weights (6 d.p.), unit l2 norms, and the sparse pair cosine
+    equals the dense-vector cosine."""
+    import hashlib
+    from collections import Counter
+
+    from photon_spark.datapipe import hashvec as hv
+
+    dim, frac = 64, 0.99
+    rows = docs.select("doc_id", "text").collect()
+    toks = {r["doc_id"]: r["text"].lower().split() for r in rows}
+
+    def bucket(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % dim
+
+    n = len(rows)
+    tf = {d: Counter(bucket(t) for t in ts_) for d, ts_ in toks.items()}
+    df_b = Counter(b for c in tf.values() for b in c)
+    dense = {}
+    for d, c in tf.items():
+        v = np.zeros(dim)
+        for b, f in c.items():
+            if df_b[b] <= frac * n:
+                v[b] = f * np.log((n + 1.0) / (df_b[b] + 1.0))
+        nv = np.linalg.norm(v)
+        if nv > 0:
+            dense[d] = v / nv
+
+    got = hv.hashed_tfidf(docs, dim=dim, max_df_frac=frac).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], {})[r["bucket"]] = r["weight"]
+    assert set(by_doc) == set(dense)
+    for d, buckets in by_doc.items():
+        exp = {b: round(float(w), 6) for b, w in enumerate(dense[d]) if w != 0}
+        assert buckets == pytest.approx(exp, abs=2e-6)
+        # unit norm (on the unrounded engine side ⇒ ~1 after rounding)
+        assert sum(w * w for w in buckets.values()) == pytest.approx(1.0, abs=1e-4)
+
+    pairs = hv.sparse_cosine_pairs(docs, dim=dim, max_df_frac=frac, k=50).collect()
+    sims = {(r["id_a"], r["id_b"]): r["sim"] for r in pairs}
+    ids = sorted(dense)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            s = float(dense[a] @ dense[b])
+            # the bucket join only emits co-occurring buckets — an
+            # orthogonal pair never appears, matching dot == 0
+            if any(dense[a][k] != 0 and dense[b][k] != 0 for k in range(dim)):
+                want[(a, b)] = round(s, 6)
+    assert sims == pytest.approx(want, abs=2e-6)
+    # exact dup docs 0/1 are identical vectors → cosine 1
+    assert sims[(0, 1)] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_hashed_tfidf_max_df_cut(spark, docs):
+    """Stopword-grade buckets (df > frac·N) are dropped: with
+    frac=0 every bucket is cut and the output is empty; a tight frac
+    removes exactly the buckets shared by too many docs."""
+    from photon_spark.datapipe import hashvec as hv
+
+    assert hv.hashed_tfidf(docs, dim=64, max_df_frac=0.0).count() == 0
+    # frac=3/7: buckets present in >3 of the 7 docs are dropped —
+    # "the" (docs 0,1,2) survives, but any bucket in ≥4 docs is out
+    out = hv.hashed_tfidf(docs, dim=64, max_df_frac=3 / 7)
+    dfb = out.groupBy("bucket").count().collect()
+    assert dfb and max(r["count"] for r in dfb) <= 3
