@@ -936,6 +936,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(s, d), dim=256, max_df_frac=0.99, k=20
     )
 
+    # production ingest screen: every 5th doc is the incoming batch,
+    # the rest are the already-indexed corpus; exact = sha match
+    # (seen or earlier-in-batch), near = MinHash band collision vs
+    # seen with est-Jaccard >= 0.3, else fresh
+    def _incremental(s: SparkSession, d: str) -> DataFrame:
+        docs = _docs(s, d)
+        return dd.incremental_dedup(
+            docs.filter(F.col("doc_id") % 5 == 0),
+            docs.filter(F.col("doc_id") % 5 != 0),
+            threshold=0.3,
+        )
+
+    q["incremental_dedup"] = _incremental
+
     # ---- training-data pipeline: similarity search ----
     def _query_vec(s: SparkSession, d: str) -> list[float]:
         row = _embs(s, d).filter(F.col("vec_id") == 0).select("embedding").head()
@@ -2028,6 +2042,82 @@ FROM unit a JOIN unit b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
 ORDER BY sim DESC, id_a, id_b
 LIMIT 20"""
+
+    # incremental_dedup twin: sha screen (seen-min, else earlier
+    # batch-min), then the 16-hash/4-band MinHash machinery of the
+    # minhash_lsh_pairs oracle restricted to remaining-new × seen,
+    # best match = highest est then smallest seen id
+    _coeffs16i = dd.minhash_coeffs(16)
+    _coef16i_vals = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(_coeffs16i)
+    )
+    o["incremental_dedup"] = f"""
+WITH newd AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+), seend AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0
+), nsha AS (
+  SELECT doc_id, sha256(text) AS sha FROM newd
+), smin AS (
+  SELECT sha256(text) AS sha, MIN(doc_id) AS m FROM seend GROUP BY 1
+), bmin AS (
+  SELECT sha, MIN(doc_id) AS m FROM nsha GROUP BY 1
+), classed AS (
+  SELECT n.doc_id,
+         COALESCE(smin.m,
+                  CASE WHEN n.doc_id > bmin.m THEN bmin.m END) AS match_id
+  FROM nsha n
+  LEFT JOIN smin USING (sha)
+  JOIN bmin USING (sha)
+), rem AS (
+  SELECT doc_id FROM classed WHERE match_id IS NULL
+), base AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)])) AS gram
+  FROM base WHERE len(toks) >= 3
+), h AS (
+  SELECT doc_id, {_sql_h60("gram")} % {dd.MINHASH_P} AS h FROM sh
+), coef AS (
+  SELECT * FROM (VALUES {_coef16i_vals}) AS t(hash_idx, a, b)
+), mh AS (
+  SELECT h.doc_id, coef.hash_idx, MIN((coef.a * h.h + coef.b) % {dd.MINHASH_P}) AS m
+  FROM h CROSS JOIN coef GROUP BY h.doc_id, coef.hash_idx
+), sig AS (
+  SELECT doc_id, list(m ORDER BY hash_idx) AS s FROM mh GROUP BY doc_id
+), banded AS (
+  SELECT doc_id, i AS band,
+         md5(array_to_string(s[i*4+1:i*4+4], ',')) AS bh
+  FROM sig, (SELECT unnest(range(0, 4)) AS i)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_n, b.doc_id AS id_s
+  FROM banded a
+  JOIN rem ON rem.doc_id = a.doc_id
+  JOIN banded b ON a.band = b.band AND a.bh = b.bh
+  WHERE b.doc_id % 5 <> 0
+), est AS (
+  SELECT c.id_n, c.id_s,
+         ROUND(len([x for x in range(1, 17) if sa.s[x] = sb.s[x]]) / 16.0, 6) AS est
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.id_n
+  JOIN sig sb ON sb.doc_id = c.id_s
+), best AS (
+  SELECT id_n, id_s, est FROM (
+    SELECT *, row_number() OVER (PARTITION BY id_n ORDER BY est DESC, id_s ASC) AS rn
+    FROM est WHERE est >= 0.3
+  ) WHERE rn = 1
+)
+SELECT doc_id, 'exact' AS verdict, match_id, CAST(NULL AS DOUBLE) AS est_jaccard
+FROM classed WHERE match_id IS NOT NULL
+UNION ALL
+SELECT id_n AS doc_id, 'near' AS verdict, id_s AS match_id, est AS est_jaccard
+FROM best
+UNION ALL
+SELECT r.doc_id, 'fresh' AS verdict, CAST(NULL AS BIGINT) AS match_id,
+       CAST(NULL AS DOUBLE) AS est_jaccard
+FROM rem r LEFT JOIN best ON best.id_n = r.doc_id
+WHERE best.id_n IS NULL"""
 
     # SemDeDup at n_clusters=1: pair list = the all-pairs cosine
     # filter, then the same recursive-CTE transitive closure as

@@ -786,3 +786,134 @@ def substring_dedup(
         F.size(kept).cast("long").alias("n_tokens_kept"),
         (F.size("_toks") - F.size(kept)).cast("long").alias("n_tokens_dropped"),
     )
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    seen_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_shingle: int = 3,
+    n_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Classify an ingest batch against an already-indexed corpus —
+    the production shape of dedup: the corpus is deduped once, and
+    every subsequent batch is screened BEFORE indexing so only fresh
+    content reaches the updater (``index/updater.py`` upserts).
+
+    One row per ``new_df`` doc: ``(doc_id, verdict, match_id,
+    est_jaccard)`` with
+
+    * ``verdict='exact'`` — sha256(text) matches a seen doc
+      (``match_id`` = smallest seen id with that sha) or an earlier
+      batch doc (``match_id`` = smallest batch id; the FIRST holder
+      of a batch-new sha is not exact — it goes on to the near
+      check); ``est_jaccard`` NULL.
+    * ``verdict='near'`` — a MinHash band collision against the SEEN
+      side with signature-estimated Jaccard ≥ ``threshold``;
+      ``match_id`` = the best seen match (highest est, ties to the
+      smallest seen id). Batch-internal NEAR dups are deliberately
+      out of scope — they are the in-corpus pass's job
+      (:func:`dedup_survivors`) once the batch lands.
+    * ``verdict='fresh'`` — everything else; NULL match/est.
+
+    Scale (100 TB corpus, bounded batch): the sha screen is one
+    groupBy on the batch shas + a join keyed on sha — and because the
+    batch is small, BOTH lookups broadcast the batch side, so the
+    seen corpus is never shuffled (Spark picks this up from size
+    estimates; at a 10^12-doc corpus you additionally pre-filter with
+    the index's term-bloom analog on sha prefixes). The near screen
+    joins band buckets new×seen — in production the seen signatures
+    are an index artifact (written once at build time, exactly like
+    ``index/deletions.py``'s derived table), so the per-batch cost is
+    hashing the BATCH only plus a broadcast band join.
+    """
+    sha = F.sha2(F.col(text_col), 256)
+    new_sha = new_df.select(F.col(id_col).alias("nid"), sha.alias("sha"))
+    seen_min = seen_df.select(sha.alias("sha"), F.col(id_col)).groupBy("sha").agg(
+        F.min(id_col).alias("_seen_match")
+    )
+    batch_min = new_sha.groupBy("sha").agg(F.min("nid").alias("_batch_min"))
+    classed = (
+        new_sha.join(seen_min, "sha", "left")
+        .join(batch_min, "sha")
+        .select(
+            "nid",
+            F.coalesce(
+                F.col("_seen_match"),
+                F.when(F.col("nid") > F.col("_batch_min"), F.col("_batch_min")),
+            ).alias("_exact_match"),
+        )
+    )
+    exact = classed.filter(F.col("_exact_match").isNotNull()).select(
+        F.col("nid").alias(id_col),
+        F.lit("exact").alias("verdict"),
+        F.col("_exact_match").alias("match_id"),
+        F.lit(None).cast("double").alias("est_jaccard"),
+    )
+    remaining = classed.filter(F.col("_exact_match").isNull()).select("nid")
+
+    rows = n_hashes // bands
+
+    def _banded(df: DataFrame, label: str) -> DataFrame:
+        sig = minhash_signatures(df, id_col, text_col, k_shingle, n_hashes)
+        return sig.select(
+            F.col(id_col).alias(label),
+            F.col("signature").alias(f"sig_{label}"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",", F.slice("signature", b * rows + 1, rows)
+                            )
+                        ).alias("bh"),
+                    ),
+                )
+            ).alias("bb"),
+        ).select(
+            label, f"sig_{label}",
+            F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"),
+        )
+    cand_new = _banded(
+        new_df.join(remaining, new_df[id_col] == remaining["nid"], "left_semi"),
+        "id_n",
+    )
+    cand_seen = _banded(seen_df, "id_s")
+    est = (
+        F.aggregate(
+            F.zip_with("sig_id_n", "sig_id_s", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ).cast("double")
+        / F.lit(float(n_hashes))
+    )
+    near_best = (
+        cand_new.join(cand_seen, ["band", "bh"])
+        .select("id_n", "id_s", "sig_id_n", "sig_id_s")
+        .distinct()
+        .withColumn("est", F.round(est, 6))
+        .filter(F.col("est") >= F.lit(threshold))
+        .groupBy("id_n")
+        .agg(F.max(F.struct(F.col("est"), (-F.col("id_s")).alias("_neg"))).alias("_b"))
+        .select(
+            F.col("id_n").alias(id_col),
+            F.lit("near").alias("verdict"),
+            (-F.col("_b._neg")).alias("match_id"),
+            F.col("_b.est").alias("est_jaccard"),
+        )
+    )
+    fresh = (
+        remaining.join(near_best, remaining["nid"] == near_best[id_col], "left_anti")
+        .select(
+            F.col("nid").alias(id_col),
+            F.lit("fresh").alias("verdict"),
+            F.lit(None).cast("long").alias("match_id"),
+            F.lit(None).cast("double").alias("est_jaccard"),
+        )
+    )
+    return exact.unionByName(near_best).unionByName(fresh)

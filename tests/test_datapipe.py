@@ -1068,3 +1068,43 @@ def test_hashed_tfidf_max_df_cut(spark, docs):
     out = hv.hashed_tfidf(docs, dim=64, max_df_frac=3 / 7)
     dfb = out.groupBy("bucket").count().collect()
     assert dfb and max(r["count"] for r in dfb) <= 3
+
+
+def test_incremental_dedup(spark):
+    """Ingest screen: exact-vs-seen, exact-vs-earlier-batch, near
+    (MinHash vs seen only), and fresh all classified; first holder of
+    a batch-new sha falls through to the near check."""
+    from photon_spark.datapipe import dedup as dd
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away"
+    near = base + " again"  # 15/16 shared minhashes, 3 band collisions
+    seen = spark.createDataFrame(
+        [(10, base), (11, "totally unrelated seen content about spark shuffles here"),
+         (12, base)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (20, base),                 # exact vs seen → match 10 (min seen)
+            (21, "brand new words nothing shares any shingle with these ones"),  # fresh
+            (22, near),                 # near dup of seen 10/12
+            (23, "repeated batch novelty text that no seen doc contains at all"),
+            (24, "repeated batch novelty text that no seen doc contains at all"),
+            # 23 = first holder → not exact (goes to near check → fresh);
+            # 24 = exact vs batch → match 23
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dd.incremental_dedup(new, seen, threshold=0.3).collect()}
+    assert set(out) == {20, 21, 22, 23, 24}
+    assert (out[20]["verdict"], out[20]["match_id"]) == ("exact", 10)
+    assert out[20]["est_jaccard"] is None
+    assert out[21]["verdict"] == "fresh" and out[21]["match_id"] is None
+    assert out[22]["verdict"] == "near"
+    assert out[22]["match_id"] in (10, 12)  # best seen match, ties → min id
+    assert out[22]["match_id"] == 10
+    assert out[22]["est_jaccard"] >= 0.3
+    assert out[23]["verdict"] == "fresh"  # first holder is not a dup
+    assert (out[24]["verdict"], out[24]["match_id"]) == ("exact", 23)
+    # empty batch → empty result, not an error
+    assert dd.incremental_dedup(new.limit(0), seen).count() == 0
