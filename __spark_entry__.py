@@ -596,6 +596,47 @@ def _chunk_engine(spark: SparkSession, sf_dir: str):
     return _ENGINE_CACHE[key]
 
 
+def _merged_engine(spark: SparkSession, sf_dir: str):
+    """Merged-index engine (cached per sf_dir): the corpus is split
+    in half by content hash, each half built independently, and the
+    two indexes merged by index/merger.py — the per-partition-build-
+    then-merge workflow. merge ≡ fresh-build identity (pinned in
+    tests/test_merger.py) is what licenses the full-build oracle SQL
+    to stand as this entry's twin."""
+    from photon_spark.index.build import INDEX_FORMAT_VERSION, build_index
+    from photon_spark.index.merger import merge_indexes
+    from photon_spark.query.executor import Index
+
+    key = "merged:" + os.path.abspath(sf_dir)
+    if key not in _ENGINE_CACHE:
+        src = _docs(spark, sf_dir).select(*_corpus_mapping_cols())
+        out = os.path.join(
+            tempfile.gettempdir(),
+            f"photon_spark_mergedidx_{INDEX_FORMAT_VERSION}_"
+            + os.path.abspath(sf_dir).replace("/", "_"),
+        )
+        if not os.path.exists(os.path.join(out, "meta.json")):
+            tmp = f"{out}.build.{os.getpid()}"
+            build_index(
+                spark, src.filter(F.crc32(F.col("content")) % 2 == 0),
+                f"{tmp}/half0",
+            )
+            build_index(
+                spark, src.filter(F.crc32(F.col("content")) % 2 == 1),
+                f"{tmp}/half1",
+            )
+            merge_indexes(spark, [f"{tmp}/half0", f"{tmp}/half1"], f"{tmp}/m")
+            try:
+                os.rename(f"{tmp}/m", out)
+            except OSError:
+                pass
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+        _ENGINE_CACHE[key] = Index(spark, out)
+    return _ENGINE_CACHE[key]
+
+
 def _chunk_suggest_df(spark: SparkSession, sf_dir: str, q: str, k: int = 10) -> DataFrame:
     """suggestAddresses over the CHUNKED build. For q='docs' the plan
     provably selects exactly the chunk sub-docs: the name branch is
@@ -1051,6 +1092,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["engine_search_hot"] = _engine_hot
+
+    # split-build-then-merge (index/merger.py): same flagship query
+    # through an index assembled from two independently built halves;
+    # the full-build oracle stands because merge ≡ fresh build
+    def _engine_merged(s, d):
+        idx = _merged_engine(s, d)
+        hits = idx.search("table merge stream", k=10)
+        rows = [
+            (i + 1, h["doc_id"], h["repo"], h["path"], round(float(h["score"]), 6))
+            for i, h in enumerate(hits)
+        ]
+        return s.createDataFrame(
+            rows, "rank int, doc_id string, repo string, path string, score double"
+        )
+
+    q["engine_merged_search"] = _engine_merged
     # the updater path end-to-end: copy of the base index + a real CDC
     # batch (upsert-modify + delete) through apply_updates, then
     # merge_segments (exact df) — the search result is provably what a
@@ -2391,6 +2448,10 @@ FROM img"""
     # hot serving plane: identical results to the Spark evaluator by
     # contract, so the full twin applies verbatim
     o["engine_search_hot"] = o["engine_search_full"]
+    # split-build-then-merge: merge ≡ fresh build (test_merger.py
+    # pins docs/dictionary/postings/rank identity), so the full
+    # twin applies verbatim here too
+    o["engine_merged_search"] = o["engine_search_full"]
     # location-biased twin (Q12 + R2): same plan closed-form with the
     # exp-decay boost in the candidate cut, importance 30·scale, and
     # the R2 linear/exp adjustment + os strip (geobias.py formulas)

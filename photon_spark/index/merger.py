@@ -1,0 +1,230 @@
+"""Offline merge of independently built indexes — the index-level
+SPIMI merge phase (Manning et al., IIR §4.3; Lucene's addIndexes /
+segment docBase remap).
+
+``query/sharded.py`` serves MULTIPLE indexes without merging (DFS
+global stats at query time); this module is the other half of the
+10^12-file strategy: build per-partition indexes independently — each
+a checkpointed, resumable job over its corpus slice — then merge them
+into one serving artifact with NO re-tokenization. Reference analog:
+photon imports into one OpenSearch index, but OpenSearch itself
+builds per-shard Lucene segments and merges them; this is that merge
+expressed over the engine's own artifact format.
+
+The merged index is **byte-for-byte rank-identical to a fresh build
+of the concatenated corpus** (pinned in tests/test_merger.py):
+
+* Ordinals are RE-STAMPED over the union docs in ``doc`` (sha-int)
+  order — the exact order :func:`build.write_docs_with_ordinals`
+  uses — so even score-tie ordering (candidate cut + WAND tie-break
+  by ord) matches a fresh build. A Lucene-style docBase offset would
+  be cheaper but tie-orders differently; identity beats the saved
+  shuffle here because the remap join is one int-keyed co-shuffle of
+  rows the merge must shuffle anyway for re-encoding.
+* Cross-index content collisions (same sha in two inputs) collapse
+  by the SAME rule as :func:`build.dedupe_docs` — min
+  (repo, path, commit, chunk) representative, side index as the
+  final tie-break — and ONLY the winning side's postings survive
+  (zone tokens depend on the representative's repo/path/lang, so the
+  loser's posting rows describe metadata the merged docs table no
+  longer carries). ``n_dupes`` sums across sides, so ``n_input``
+  accounting matches the fresh build too.
+* df / max_tf are recomputed exactly from the merged live rows, and
+  deletions + bloom are rebuilt from the merged dictionary: delta
+  segments and tombstones of the INPUTS are folded in (decode reads
+  base+delta and drops dead ords), so merging updated indexes equals
+  building the updated corpus.
+
+Scale (10^12 files): one decode scan per input (postings I/O only —
+the corpus text is never read), one int-keyed join against the
+(side, old_ord → new_ord) mapping, one range shuffle to re-encode,
+and the same partial+final dictionary agg as the build. Everything is
+proportional to postings volume; nothing is proportional to the
+number of inputs.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import os
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from photon_spark.index.build import (
+    INDEX_FORMAT_VERSION,
+    _make_block_encoder,
+    _POSTINGS_DDL,
+    write_docs_by_repo,
+    write_docs_with_ordinals,
+)
+from photon_spark.index.updater import read_posting_rows
+
+# meta fields that must agree across inputs: analyzer/codec knobs the
+# postings were built under (a mismatch would mix incompatible token
+# streams or block shapes into one artifact)
+_COMPAT_KEYS = (
+    "version", "block_size", "n_buckets", "chunk_lines", "extra_tags",
+    "lang_names", "languages",
+)
+
+_DOC_COLS = [
+    "doc_id", "doc", "repo", "path", "commit", "lang", "importance",
+    "n_dupes", "chunk", "categories", "type", "extra",
+]
+
+
+def merge_indexes(
+    spark: SparkSession,
+    index_dirs: list[str],
+    out_dir: str,
+    partitions: int | None = None,
+) -> dict:
+    """Merge ``index_dirs`` into a fresh index at ``out_dir``;
+    returns the new meta dict. Inputs are untouched."""
+    if len(index_dirs) < 2:
+        raise ValueError("merge_indexes needs at least two inputs")
+    metas = []
+    for d in index_dirs:
+        with open(os.path.join(d, "meta.json")) as f:
+            metas.append(json.load(f))
+    for k in _COMPAT_KEYS:
+        vals = {json.dumps(m.get(k), sort_keys=True) for m in metas}
+        if len(vals) != 1:
+            raise ValueError(
+                f"merge_indexes: inputs disagree on {k!r}: {sorted(vals)}"
+            )
+    major = str(metas[0].get("version", "")).split(".")[0]
+    if major != INDEX_FORMAT_VERSION.split(".")[0]:
+        raise ValueError(
+            f"index format {metas[0].get('version')} incompatible with "
+            f"engine {INDEX_FORMAT_VERSION}"
+        )
+    partitions = int(
+        partitions or spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    os.makedirs(out_dir, exist_ok=True)
+
+    # ---- 1) live docs per side (delta docs live in docs/; deletes
+    # are tombstoned ords) ------------------------------------------
+    sides: list[DataFrame] = []
+    for i, d in enumerate(index_dirs):
+        docs = spark.read.parquet(os.path.join(d, "docs"))
+        tdir = os.path.join(d, "tombstones")
+        if os.path.isdir(tdir):
+            dead = spark.read.parquet(tdir).select("ord").distinct()
+            docs = docs.join(F.broadcast(dead), "ord", "left_anti")
+        sides.append(docs.withColumn("_side", F.lit(i)))
+    union = reduce(lambda a, b: a.unionByName(b), sides)
+
+    # ---- 2) cross-index content collapse: same rule as
+    # build.dedupe_docs, side index as the final tie-break ----------
+    rep_cols = [c for c in _DOC_COLS if c not in ("doc_id", "n_dupes")]
+    collapsed = (
+        union.groupBy("doc_id")
+        .agg(
+            F.min_by(
+                F.struct(
+                    F.col("_side"), F.col("ord").alias("_old_ord"), *rep_cols
+                ),
+                F.struct("repo", "path", "commit", "chunk", "_side"),
+            ).alias("_rep"),
+            F.sum("n_dupes").alias("n_dupes"),
+        )
+        .select("doc_id", "_rep.*", "n_dupes")
+        .persist()
+    )
+
+    # ---- 3) re-stamp ordinals in fresh-build (sha-int) order ------
+    n_docs, n_input = write_docs_with_ordinals(
+        spark,
+        collapsed.select(*_DOC_COLS),
+        os.path.join(out_dir, "docs"),
+        partitions,
+    )
+    write_docs_by_repo(spark, out_dir, partitions)
+
+    # ---- 4) (side, old ord) → new ord; losers of a collision have
+    # no mapping row, so the inner join drops their postings --------
+    new_ords = spark.read.parquet(os.path.join(out_dir, "docs")).select(
+        "doc_id", F.col("ord").alias("_new")
+    )
+    mapping = (
+        collapsed.select("doc_id", "_side", "_old_ord")
+        .join(new_ords, "doc_id")
+        .select("_side", F.col("_old_ord").alias("doc"), "_new")
+    )
+
+    # ---- 5) decode + remap + re-encode postings; exact dictionary -
+    rows = reduce(
+        lambda a, b: a.unionByName(b),
+        (
+            read_posting_rows(spark, d).withColumn("_side", F.lit(i))
+            for i, d in enumerate(index_dirs)
+        ),
+    )
+    from pyspark import StorageLevel
+
+    remapped = (
+        rows.join(mapping, ["_side", "doc"])
+        .select("field", "term", F.col("_new").alias("doc"), "tf")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    block_size = int(metas[0]["block_size"])
+    n_buckets = int(metas[0]["n_buckets"])
+    (
+        remapped.repartitionByRange(partitions, "field", "term", "doc")
+        .sortWithinPartitions("field", "term", "doc")
+        .mapInArrow(_make_block_encoder(block_size, n_buckets), _POSTINGS_DDL)
+        .write.mode("overwrite")
+        .partitionBy("field")
+        .parquet(os.path.join(out_dir, "postings"))
+    )
+    (
+        remapped.groupBy("field", "term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.max("tf").alias("max_tf"),
+        )
+        .withColumn(
+            "bucket",
+            (F.crc32(F.encode(F.col("term"), "utf-8")) % n_buckets).cast("int"),
+        )
+        .repartitionByRange(partitions, "field", "term")
+        .sortWithinPartitions("field", "term")
+        .write.mode("overwrite")
+        .partitionBy("field")
+        .parquet(os.path.join(out_dir, "dictionary"))
+    )
+    remapped.unpersist()
+    collapsed.unpersist()
+
+    # ---- 6) derived tables from the merged exact dictionary -------
+    if any(os.path.isdir(os.path.join(d, "deletions")) for d in index_dirs):
+        from photon_spark.index.deletions import build_deletion_index
+
+        build_deletion_index(spark, out_dir)
+    from photon_spark.index.bloom import BLOOM_FILE, build_bloom
+
+    if any(os.path.exists(os.path.join(d, BLOOM_FILE)) for d in index_dirs):
+        build_bloom(
+            spark.read.parquet(os.path.join(out_dir, "dictionary")), out_dir
+        )
+
+    meta = {k: metas[0].get(k) for k in _COMPAT_KEYS}
+    meta.update(
+        {
+            "n_input_files": n_input,
+            "n_docs": n_docs,
+            "next_ord": n_docs,
+            "import_date": _dt.datetime.now(_dt.timezone.utc).isoformat(),
+            "merged_from": [os.path.abspath(d) for d in index_dirs],
+        }
+    )
+    # meta.json is written LAST — its presence marks a complete index
+    # (same completion contract as build_index / the entry cache)
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+    return meta

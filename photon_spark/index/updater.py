@@ -450,6 +450,61 @@ def apply_updates(
     return out
 
 
+def _decode_blocks_kernel(it):
+    """mapInArrow kernel: posting blocks → (field, term, doc, tf)
+    rows (numpy block decode, no per-posting Python)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from photon_spark.index.codec import decode_doc_block, decode_tfs
+
+    for batch in it:
+        fields = batch.column("field").to_pylist()
+        terms = batch.column("term").to_pylist()
+        ns = batch.column("n").to_pylist()
+        doc_b = batch.column("doc_bytes").to_pylist()
+        tf_b = batch.column("tf_bytes").to_pylist()
+        if not terms:
+            continue
+        docs = [decode_doc_block(b, n) for b, n in zip(doc_b, ns)]
+        tfs = [decode_tfs(b, n) for b, n in zip(tf_b, ns)]
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(np.repeat(np.asarray(fields, dtype=object), ns)),
+                pa.array(np.repeat(np.asarray(terms, dtype=object), ns)),
+                pa.array(np.concatenate(docs), pa.int64()),
+                pa.array(
+                    np.concatenate(tfs).astype(np.int32), pa.int32()
+                ),
+            ],
+            names=["field", "term", "doc", "tf"],
+        )
+
+
+def read_posting_rows(
+    spark: SparkSession, index_dir: str, drop_tombstones: bool = True
+) -> DataFrame:
+    """Decoded LIVE posting rows ``(field, term, doc, tf)`` from the
+    base + delta blocks of an index, minus tombstoned ordinals — the
+    shared decode path of :func:`merge_segments` and
+    ``merger.merge_indexes``."""
+    pcols = ["field", "term", "n", "doc_bytes", "tf_bytes"]
+    blocks = spark.read.parquet(os.path.join(index_dir, "postings")).select(*pcols)
+    pd_dir = os.path.join(index_dir, "postings_delta")
+    if os.path.isdir(pd_dir):
+        blocks = blocks.unionByName(
+            spark.read.parquet(pd_dir).select(*pcols)
+        )
+    rows = blocks.mapInArrow(_decode_blocks_kernel, _TOKENS_DDL)
+    tomb_dir = os.path.join(index_dir, "tombstones")
+    if drop_tombstones and os.path.isdir(tomb_dir):
+        dead = spark.read.parquet(tomb_dir).select(
+            F.col("ord").alias("doc")
+        ).distinct()
+        rows = rows.join(F.broadcast(dead), "doc", "left_anti")
+    return rows
+
+
 def merge_segments(spark: SparkSession, index_dir: str) -> dict:
     """Lucene force-merge analog (NO re-tokenization): decode base +
     delta postings to rows, DROP tombstoned ordinals, re-encode into
@@ -463,60 +518,14 @@ def merge_segments(spark: SparkSession, index_dir: str) -> dict:
     I/O only; at 10^12 scale this is the periodic segment-merge job
     (OpenSearch forcemerge), far cheaper than :func:`compact`'s full
     rebuild."""
-    from photon_spark.index.build import _make_block_encoder, _TOKENS_DDL
+    from photon_spark.index.build import _make_block_encoder
 
     meta_path = os.path.join(index_dir, "meta.json")
     with open(meta_path) as f:
         meta = json.load(f)
     partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    pcols = ["field", "term", "n", "doc_bytes", "tf_bytes"]
-    blocks = spark.read.parquet(os.path.join(index_dir, "postings")).select(*pcols)
-    pd_dir = os.path.join(index_dir, "postings_delta")
-    if os.path.isdir(pd_dir):
-        blocks = blocks.unionByName(
-            spark.read.parquet(pd_dir).select(*pcols)
-        )
-
-    # decode block rows → (field, term, doc, tf) posting rows
-    import pyarrow as pa
-
-    from photon_spark.index.codec import decode_doc_block, decode_tfs
-
-    def _decode_with_field(it):
-        import numpy as np
-
-        for batch in it:
-            fields = batch.column("field").to_pylist()
-            terms = batch.column("term").to_pylist()
-            ns = batch.column("n").to_pylist()
-            doc_b = batch.column("doc_bytes").to_pylist()
-            tf_b = batch.column("tf_bytes").to_pylist()
-            if not terms:
-                continue
-            docs = [decode_doc_block(b, n) for b, n in zip(doc_b, ns)]
-            tfs = [decode_tfs(b, n) for b, n in zip(tf_b, ns)]
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(np.repeat(np.asarray(fields, dtype=object), ns)),
-                    pa.array(np.repeat(np.asarray(terms, dtype=object), ns)),
-                    pa.array(np.concatenate(docs), pa.int64()),
-                    pa.array(
-                        np.concatenate(tfs).astype(np.int32), pa.int32()
-                    ),
-                ],
-                names=["field", "term", "doc", "tf"],
-            )
-
-    rows = blocks.mapInArrow(_decode_with_field, _TOKENS_DDL)
-
-    # drop tombstoned ordinals (liveDocs) — restores EXACT df
-    tomb_dir = os.path.join(index_dir, "tombstones")
-    if os.path.isdir(tomb_dir):
-        dead = spark.read.parquet(tomb_dir).select(
-            F.col("ord").alias("doc")
-        ).distinct()
-        rows = rows.join(F.broadcast(dead), "doc", "left_anti")
+    rows = read_posting_rows(spark, index_dir)
 
     # persisted: the postings re-encode AND the dictionary recompute
     # both consume the decoded rows — without this the base+delta

@@ -1,0 +1,57 @@
+"""spark-submit job: merge independently built indexes into one.
+
+The per-partition-build-then-merge workflow at cluster scale:
+
+    zip -r photon_spark.zip photon_spark
+    spark-submit --py-files photon_spark.zip \\
+        photon_spark/jobs/merge.py \\
+        --inputs /idx/part0 /idx/part1 ... --output /idx/merged \\
+        [--partitions 2048]
+
+Each input is an index directory produced by ``jobs/build_index.py``
+(possibly since updated by the CDC updater — delta segments and
+tombstones are folded in). The merged index is rank-identical to a
+fresh build over the concatenated live corpora (index/merger.py).
+In local mode ``python photon_spark/jobs/merge.py ...`` is
+equivalent. Prints one JSON line of merge metrics.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument(
+        "--inputs", nargs="+", required=True,
+        help="two or more index directories to merge",
+    )
+    p.add_argument("--output", required=True, help="merged index directory")
+    p.add_argument("--partitions", type=int, default=None)
+    p.add_argument("--master", default=None, help="override master (tests); spark-submit sets it otherwise")
+    args = p.parse_args(argv)
+
+    from photon_spark.index.merger import merge_indexes
+    from photon_spark.session import get_spark
+
+    spark = get_spark(master=args.master, app_name="photon_spark_merge")
+    meta = merge_indexes(
+        spark, args.inputs, args.output, partitions=args.partitions
+    )
+    print(json.dumps({
+        "n_inputs": len(args.inputs),
+        "n_docs": meta["n_docs"],
+        "n_input_files": meta["n_input_files"],
+        "output": os.path.abspath(args.output),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,191 @@
+"""Index-level merge (index/merger.py): merge(build(A), build(B)) is
+identical — docs, exact dictionary, decoded postings, AND search
+order including score ties — to build(A ∪ B). The per-partition-
+build-then-merge workflow is the 10^12-file strategy the module
+documents; these pins are what make it safe."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from photon_spark.index.build import build_index
+from photon_spark.index.merger import merge_indexes
+from photon_spark.index.updater import read_posting_rows
+from photon_spark.query.executor import Index
+
+
+@pytest.fixture(scope="module")
+def dirs(spark, corpus, tmp_path_factory):
+    """Half/half split builds + full build + their merge."""
+    base = str(tmp_path_factory.mktemp("merge"))
+    df = spark.createDataFrame(corpus.head(160))
+    a = df.filter(F.crc32(F.col("content")) % 2 == 0)
+    b = df.filter(F.crc32(F.col("content")) % 2 == 1)
+    build_index(spark, a, f"{base}/a")
+    build_index(spark, b, f"{base}/b")
+    build_index(spark, df, f"{base}/full")
+    merge_indexes(spark, [f"{base}/a", f"{base}/b"], f"{base}/m")
+    return base
+
+
+def _canon_docs(spark, path):
+    return (
+        spark.read.parquet(path)
+        .withColumn("extra", F.array_sort(F.map_entries("extra")))
+    )
+
+
+def test_merge_docs_identical(spark, dirs):
+    m = _canon_docs(spark, f"{dirs}/m/docs")
+    f_ = _canon_docs(spark, f"{dirs}/full/docs")
+    assert m.count() == f_.count() > 0
+    # ordinals re-stamped in fresh-build order ⇒ full-row identity,
+    # ord column included
+    assert m.exceptAll(f_).count() == 0
+    assert f_.exceptAll(m).count() == 0
+
+
+def test_merge_dictionary_and_postings_identical(spark, dirs):
+    cols = ["field", "term", "df", "max_tf"]
+    dm = spark.read.parquet(f"{dirs}/m/dictionary").select(*cols)
+    df_ = spark.read.parquet(f"{dirs}/full/dictionary").select(*cols)
+    assert dm.exceptAll(df_).count() == 0
+    assert df_.exceptAll(dm).count() == 0
+    pm = read_posting_rows(spark, f"{dirs}/m")
+    pf = read_posting_rows(spark, f"{dirs}/full")
+    assert pm.exceptAll(pf).count() == 0
+    assert pf.exceptAll(pm).count() == 0
+
+
+def test_merge_search_rank_identical(spark, dirs):
+    im, iff = Index(spark, f"{dirs}/m"), Index(spark, f"{dirs}/full")
+    assert im.n_docs == iff.n_docs
+    for q in ("return license", "selfindex", "blockvalue trace", "handler map"):
+        hm = [(h["doc_id"], round(float(h["score"]), 9)) for h in im.search(q, k=10)]
+        hf = [(h["doc_id"], round(float(h["score"]), 9)) for h in iff.search(q, k=10)]
+        assert hm == hf
+    assert any(
+        im.search(q, k=10) for q in ("return license", "selfindex")
+    ), "fixture queries must actually hit"
+
+
+def test_merge_meta_and_bloom(spark, dirs):
+    import json
+    import os
+
+    with open(f"{dirs}/m/meta.json") as fh:
+        meta = json.load(fh)
+    with open(f"{dirs}/full/meta.json") as fh:
+        full = json.load(fh)
+    assert meta["n_docs"] == full["n_docs"]
+    assert meta["n_input_files"] == full["n_input_files"]
+    assert meta["next_ord"] == full["next_ord"]
+    assert meta["version"] == full["version"]
+    assert len(meta["merged_from"]) == 2
+    # derived tables rebuilt from the merged dictionary
+    assert os.path.isdir(f"{dirs}/m/deletions")
+    im = Index(spark, f"{dirs}/m")
+    assert im.definitely_absent("all", "zzqqneverseen")
+    assert not im.definitely_absent("all", "return")
+
+
+def test_merge_cross_index_collision(spark, tmp_path):
+    """Same content sha in both inputs with different metadata: the
+    merged index keeps the min-(repo,path,commit,chunk) representative
+    (build.dedupe_docs rule), sums n_dupes, and serves ONLY the
+    winner's zone terms — identical to the fresh union build."""
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    rows_a = [
+        ("repoB", "zz/loser_path.txt", "c1", "en", shared, 0.5),
+        ("repoA", "solo/a_only.txt", "c2", "en", "unique alpha side words", 0.1),
+    ]
+    rows_b = [
+        ("repoA", "aa/winner_path.txt", "c1", "en", shared, 0.5),
+        ("repoZ", "solo/b_only.txt", "c3", "en", "unique bravo side words", 0.1),
+    ]
+    ddl = "repo string, path string, commit string, lang string, content string, importance double"
+    base = str(tmp_path)
+    build_index(spark, spark.createDataFrame(rows_a, ddl), f"{base}/a")
+    build_index(spark, spark.createDataFrame(rows_b, ddl), f"{base}/b")
+    build_index(
+        spark, spark.createDataFrame(rows_a + rows_b, ddl), f"{base}/full"
+    )
+    merge_indexes(spark, [f"{base}/a", f"{base}/b"], f"{base}/m")
+
+    m = _canon_docs(spark, f"{base}/m/docs")
+    f_ = _canon_docs(spark, f"{base}/full/docs")
+    assert m.exceptAll(f_).count() == 0 and f_.exceptAll(m).count() == 0
+    winner = m.filter(F.col("path") == "aa/winner_path.txt").collect()
+    assert len(winner) == 1 and winner[0]["n_dupes"] == 2
+    assert m.filter(F.col("path") == "zz/loser_path.txt").count() == 0
+    # loser's postings are gone: its path zone term matches nothing
+    pm = read_posting_rows(spark, f"{base}/m")
+    pf = read_posting_rows(spark, f"{base}/full")
+    assert pm.exceptAll(pf).count() == 0 and pf.exceptAll(pm).count() == 0
+    assert pm.filter(F.col("term").contains("loser")).count() == 0
+    assert pm.filter(F.col("term").contains("winner")).count() > 0
+
+
+def test_merge_after_updates_equals_updated_build(spark, tmp_path):
+    """Merging an UPDATED index folds its delta segments and
+    tombstones: merge(A′, B) ≡ build(current corpus)."""
+    from photon_spark.index.updater import apply_updates
+
+    ddl = (
+        "repo string, path string, commit string, lang string, "
+        "content string, importance double"
+    )
+    rows_a = [
+        ("r1", "keep/one.txt", "c1", "en", "stable alpha content here", 0.3),
+        ("r1", "mod/two.txt", "c1", "en", "original beta content here", 0.3),
+        ("r1", "del/three.txt", "c1", "en", "doomed gamma content here", 0.3),
+    ]
+    rows_b = [
+        ("r2", "keep/four.txt", "c1", "en", "stable delta content here", 0.3),
+    ]
+    base = str(tmp_path)
+    build_index(spark, spark.createDataFrame(rows_a, ddl), f"{base}/a")
+    build_index(spark, spark.createDataFrame(rows_b, ddl), f"{base}/b")
+    batch = spark.createDataFrame(
+        [
+            ("upsert", "r1", "mod/two.txt", "c2", "en", "updated beta content here", 1),
+            ("delete", "r1", "del/three.txt", None, None, None, 2),
+        ],
+        "op string, repo string, path string, commit string, lang string, content string, ts long",
+    )
+    apply_updates(spark, f"{base}/a", batch)
+    current = [
+        rows_a[0],
+        ("r1", "mod/two.txt", "c2", "en", "updated beta content here", 0.0),
+    ] + rows_b
+    build_index(spark, spark.createDataFrame(current, ddl), f"{base}/full")
+    merge_indexes(spark, [f"{base}/a", f"{base}/b"], f"{base}/m")
+
+    im, iff = Index(spark, f"{base}/m"), Index(spark, f"{base}/full")
+    assert im.n_docs == iff.n_docs == 3
+    for q in ("updated beta", "stable", "doomed gamma", "original"):
+        hm = [(h["doc_id"], round(float(h["score"]), 9)) for h in im.search(q, k=10)]
+        hf = [(h["doc_id"], round(float(h["score"]), 9)) for h in iff.search(q, k=10)]
+        assert hm == hf
+    assert not im.search("doomed", k=5)  # deleted doc stays gone
+    # exact df restored (no stale-df debt carried into the merge)
+    cols = ["field", "term", "df", "max_tf"]
+    dm = spark.read.parquet(f"{base}/m/dictionary").select(*cols)
+    df_ = spark.read.parquet(f"{base}/full/dictionary").select(*cols)
+    assert dm.exceptAll(df_).count() == 0 and df_.exceptAll(dm).count() == 0
+
+
+def test_merge_compat_guard(spark, tmp_path):
+    ddl = (
+        "repo string, path string, commit string, lang string, "
+        "content string, importance double"
+    )
+    rows = [("r", "p.txt", "c", "en", "some words here", 0.1)]
+    base = str(tmp_path)
+    build_index(spark, spark.createDataFrame(rows, ddl), f"{base}/a")
+    build_index(
+        spark, spark.createDataFrame(rows, ddl), f"{base}/b", block_size=16
+    )
+    with pytest.raises(ValueError, match="block_size"):
+        merge_indexes(spark, [f"{base}/a", f"{base}/b"], f"{base}/m")
+    with pytest.raises(ValueError, match="at least two"):
+        merge_indexes(spark, [f"{base}/a"], f"{base}/m2")
