@@ -41,13 +41,19 @@ def main(argv: list[str] | None = None) -> int:
     from photon_spark.session import get_spark
 
     spark = get_spark(master=args.master, app_name="photon_spark_merge")
+    import time
+
+    t0 = time.time()
     meta = merge_indexes(
         spark, args.inputs, args.output, partitions=args.partitions
     )
+    elapsed = time.time() - t0
     print(json.dumps({
         "n_inputs": len(args.inputs),
         "n_docs": meta["n_docs"],
         "n_input_files": meta["n_input_files"],
+        "merge_seconds": round(elapsed, 3),
+        "docs_per_sec": round(meta["n_docs"] / elapsed, 1) if elapsed else None,
         "output": os.path.abspath(args.output),
     }))
     return 0

@@ -72,6 +72,9 @@ FUZZ_ENTRIES = [
     "top_ngrams",
     "line_dedup",
     "chunk_documents",
+    "hashed_tfidf",
+    "sparse_cosine_pairs",
+    "incremental_dedup",
 ]
 
 _TOKENS = st.sampled_from(

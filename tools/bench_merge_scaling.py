@@ -1,0 +1,112 @@
+"""Two-cluster-size scaling evidence for the MERGE job (index-level
+merge, photon_spark/jobs/merge.py) — the second job type of the
+per-partition-build-then-merge workflow, measured under the same
+sandbox protocol as tools/bench_scaling.py: same input, fixed
+shuffle partitions, two parallelism levels in fresh JVMs.
+
+The half indexes are built ONCE (untimed, at the high parallelism
+level — merge never modifies its inputs), then the merge runs at N
+and 4N. Prints one JSON summary line; paste the numbers into
+BENCH/BASELINE.md's merge section.
+
+Usage: python tools/bench_merge_scaling.py [n_files] [N] [fourN]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def run_job(args: list[str]) -> dict:
+    out = subprocess.run(
+        [sys.executable] + args,
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    if not lines:
+        raise RuntimeError(f"job failed: {out.stderr[-2000:]}")
+    return json.loads(lines[-1])
+
+
+def main() -> int:
+    n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 45000
+    n_lo = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    n_hi = int(sys.argv[3]) if len(sys.argv) > 3 else 4 * n_lo
+
+    from photon_spark.corpus import write_corpus
+
+    corpus = write_corpus(
+        "/tmp/photon_scale_corpus", n_files=n_files, seed=42,
+        min_lines=100, max_lines=300,
+    )
+
+    # split the corpus in half by content hash and build each half
+    # once — this is setup, not the measured job
+    from photon_spark.session import get_spark
+    from pyspark.sql import functions as F
+    from photon_spark.index.build import build_index
+
+    halves = "/tmp/photon_merge_scale_halves"
+    if not all(
+        os.path.exists(os.path.join(halves, h, "meta.json"))
+        for h in ("h0", "h1")
+    ):
+        shutil.rmtree(halves, ignore_errors=True)
+        spark = get_spark(master=f"local[{n_hi}]", shuffle_partitions=32)
+        src = spark.read.parquet(corpus)
+        build_index(
+            spark, src.filter(F.crc32(F.col("content")) % 2 == 0),
+            os.path.join(halves, "h0"), partitions=32,
+        )
+        build_index(
+            spark, src.filter(F.crc32(F.col("content")) % 2 == 1),
+            os.path.join(halves, "h1"), partitions=32,
+        )
+        spark.stop()
+
+    results = {}
+    for cpus in (n_lo, n_hi):
+        out_dir = f"/tmp/photon_merge_scale_out_{cpus}"
+        shutil.rmtree(out_dir, ignore_errors=True)
+        r = run_job(
+            [
+                "photon_spark/jobs/merge.py",
+                "--inputs",
+                os.path.join(halves, "h0"),
+                os.path.join(halves, "h1"),
+                "--output", out_dir,
+                "--partitions", "32",
+                "--master", f"local[{cpus}]",
+            ]
+        )
+        results[cpus] = r
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+    t_lo = results[n_lo]["merge_seconds"]
+    t_hi = results[n_hi]["merge_seconds"]
+    eff = (t_lo / t_hi) / (n_hi / n_lo)
+    print(json.dumps({
+        "n_files": n_files,
+        "n_docs": results[n_hi]["n_docs"],
+        f"local{n_lo}_merge_s": t_lo,
+        f"local{n_hi}_merge_s": t_hi,
+        f"local{n_lo}_docs_per_sec": results[n_lo]["docs_per_sec"],
+        f"local{n_hi}_docs_per_sec": results[n_hi]["docs_per_sec"],
+        "speedup": round(t_lo / t_hi, 3),
+        "scaling_efficiency": round(eff, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
