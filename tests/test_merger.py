@@ -189,3 +189,22 @@ def test_merge_compat_guard(spark, tmp_path):
         merge_indexes(spark, [f"{base}/a", f"{base}/b"], f"{base}/m")
     with pytest.raises(ValueError, match="at least two"):
         merge_indexes(spark, [f"{base}/a"], f"{base}/m2")
+
+
+def test_merge_equals_sharded_fanin(spark, dirs):
+    """Triangle closure: the two multi-index strategies agree — the
+    OFFLINE merge (this module) and the ONLINE sharded fan-in
+    (query/sharded.py DFS global stats) serve identical ranked
+    results over the same two half-indexes."""
+    from photon_spark.query.sharded import ShardedHotIndex
+
+    sharded = ShardedHotIndex([f"{dirs}/a", f"{dirs}/b"])
+    im = Index(spark, f"{dirs}/m")
+    hit = 0
+    for q in ("return license", "selfindex", "blockvalue trace",
+              "handler map", "zzznohit"):
+        hm = [(h["doc_id"], round(float(h["score"]), 9)) for h in im.search(q, k=10)]
+        hs = [(h["doc_id"], round(float(h["score"]), 9)) for h in sharded.search(q, k=10)]
+        assert hm == hs, q
+        hit += bool(hm)
+    assert hit >= 1
