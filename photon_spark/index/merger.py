@@ -106,6 +106,15 @@ def merge_indexes(
         partitions or spark.conf.get("spark.sql.shuffle.partitions")
     )
     os.makedirs(out_dir, exist_ok=True)
+    # the reader discovers delta segments / tombstones by DIRECTORY
+    # existence — leftovers from a previous life of out_dir would be
+    # silently folded into the fresh merge; clear them up front
+    import shutil as _sh
+
+    for sub in ("postings_delta", "dictionary_delta", "tombstones"):
+        p = os.path.join(out_dir, sub)
+        if os.path.isdir(p):
+            _sh.rmtree(p)
 
     # ---- 1) live docs per side (delta docs live in docs/; deletes
     # are tombstoned ords) ------------------------------------------

@@ -208,3 +208,43 @@ def test_merge_equals_sharded_fanin(spark, dirs):
         assert hm == hs, q
         hit += bool(hm)
     assert hit >= 1
+
+
+def test_merged_index_accepts_updates(spark, tmp_path):
+    """A merged index is a first-class index: the CDC updater can
+    keep applying batches to it (meta carries every key the updater
+    reads), and a stale delta dir in the output location never leaks
+    into a fresh merge."""
+    import os
+
+    from photon_spark.index.updater import apply_updates
+
+    ddl = (
+        "repo string, path string, commit string, lang string, "
+        "content string, importance double"
+    )
+    rows_a = [("r1", "alpha_beta.txt", "c", "en", "alpha beta gamma words", 0.2)]
+    rows_b = [("r2", "delta_epsilon.txt", "c", "en", "delta epsilon zeta words", 0.2)]
+    base = str(tmp_path)
+    build_index(spark, spark.createDataFrame(rows_a, ddl), f"{base}/a")
+    build_index(spark, spark.createDataFrame(rows_b, ddl), f"{base}/b")
+    # poison the output dir with a stale tombstones dir — must be
+    # cleared, not folded in
+    os.makedirs(f"{base}/m/tombstones", exist_ok=True)
+    spark.createDataFrame([(0,)], "ord long").write.mode("overwrite").parquet(
+        f"{base}/m/tombstones"
+    )
+    merge_indexes(spark, [f"{base}/a", f"{base}/b"], f"{base}/m")
+    im = Index(spark, f"{base}/m")
+    assert im.n_docs == 2
+    assert im.search("alpha beta", k=5)  # ord 0 NOT tombstoned
+
+    batch = spark.createDataFrame(
+        [("upsert", "r3", "eta_theta.txt", "c2", "en", "eta theta iota words", 1)],
+        "op string, repo string, path string, commit string, lang string, content string, ts long",
+    )
+    apply_updates(spark, f"{base}/m", batch)
+    im2 = Index(spark, f"{base}/m", cache=False)
+    assert im2.n_docs == 3
+    assert im2.search("eta theta", k=5)
+    assert im2.search("alpha beta", k=5)

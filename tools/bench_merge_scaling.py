@@ -56,7 +56,7 @@ def main() -> int:
     from pyspark.sql import functions as F
     from photon_spark.index.build import build_index
 
-    halves = "/tmp/photon_merge_scale_halves"
+    halves = f"/tmp/photon_merge_scale_halves_{n_files}"
     if not all(
         os.path.exists(os.path.join(halves, h, "meta.json"))
         for h in ("h0", "h1")
