@@ -248,3 +248,43 @@ def test_merged_index_accepts_updates(spark, tmp_path):
     assert im2.n_docs == 3
     assert im2.search("eta theta", k=5)
     assert im2.search("alpha beta", k=5)
+
+
+def test_merge_three_way_and_associative(spark, corpus, tmp_path):
+    """N-way merge in one call ≡ tiered merge of merges ≡ fresh
+    build: the merge is associative, so a 1000-partition build can
+    assemble its artifact in any tree shape."""
+    base = str(tmp_path)
+    df = spark.createDataFrame(corpus.head(90))
+    parts = [
+        df.filter(F.crc32(F.col("content")) % 3 == i) for i in range(3)
+    ]
+    for i, p in enumerate(parts):
+        build_index(spark, p, f"{base}/p{i}")
+    build_index(spark, df, f"{base}/full")
+    merge_indexes(
+        spark, [f"{base}/p0", f"{base}/p1", f"{base}/p2"], f"{base}/m3"
+    )
+    merge_indexes(spark, [f"{base}/p0", f"{base}/p1"], f"{base}/m01")
+    merge_indexes(spark, [f"{base}/m01", f"{base}/p2"], f"{base}/mt")
+
+    cols = ["field", "term", "df", "max_tf"]
+    full = spark.read.parquet(f"{base}/full/dictionary").select(*cols)
+    for m in ("m3", "mt"):
+        dm = spark.read.parquet(f"{base}/{m}/dictionary").select(*cols)
+        assert dm.exceptAll(full).count() == 0
+        assert full.exceptAll(dm).count() == 0
+        pm = read_posting_rows(spark, f"{base}/{m}")
+        pf = read_posting_rows(spark, f"{base}/full")
+        assert pm.exceptAll(pf).count() == 0
+        assert pf.exceptAll(pm).count() == 0
+    i3, it, iff = (
+        Index(spark, f"{base}/m3"),
+        Index(spark, f"{base}/mt"),
+        Index(spark, f"{base}/full"),
+    )
+    assert i3.n_docs == it.n_docs == iff.n_docs
+    for q in ("return license", "selfindex"):
+        hf = [(h["doc_id"], round(float(h["score"]), 9)) for h in iff.search(q, k=10)]
+        assert [(h["doc_id"], round(float(h["score"]), 9)) for h in i3.search(q, k=10)] == hf
+        assert [(h["doc_id"], round(float(h["score"]), 9)) for h in it.search(q, k=10)] == hf
