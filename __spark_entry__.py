@@ -2114,9 +2114,9 @@ WITH newd AS (
 ), seend AS (
   SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0
 ), nsha AS (
-  SELECT doc_id, sha256(text) AS sha FROM newd
+  SELECT doc_id, sha256(COALESCE(text, '')) AS sha FROM newd
 ), smin AS (
-  SELECT sha256(text) AS sha, MIN(doc_id) AS m FROM seend GROUP BY 1
+  SELECT sha256(COALESCE(text, '')) AS sha, MIN(doc_id) AS m FROM seend GROUP BY 1
 ), bmin AS (
   SELECT sha, MIN(doc_id) AS m FROM nsha GROUP BY 1
 ), classed AS (

@@ -819,6 +819,11 @@ def incremental_dedup(
       (:func:`dedup_survivors`) once the batch lands.
     * ``verdict='fresh'`` — everything else; NULL match/est.
 
+    NULL text hashes as the empty string (so NULL-text docs still get
+    a verdict row — they group with empty docs for the exact screen
+    and fall through to fresh on the near screen, which sees no
+    shingles).
+
     Scale (100 TB corpus, bounded batch): the sha screen is one
     groupBy on the batch shas + a join keyed on sha — and because the
     batch is small, BOTH lookups broadcast the batch side, so the
@@ -830,7 +835,7 @@ def incremental_dedup(
     ``index/deletions.py``'s derived table), so the per-batch cost is
     hashing the BATCH only plus a broadcast band join.
     """
-    sha = F.sha2(F.col(text_col), 256)
+    sha = F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256)
     new_sha = new_df.select(F.col(id_col).alias("nid"), sha.alias("sha"))
     seen_min = seen_df.select(sha.alias("sha"), F.col(id_col)).groupBy("sha").agg(
         F.min(id_col).alias("_seen_match")
@@ -899,20 +904,32 @@ def incremental_dedup(
         .withColumn("est", F.round(est, 6))
         .filter(F.col("est") >= F.lit(threshold))
         .groupBy("id_n")
-        .agg(F.max(F.struct(F.col("est"), (-F.col("id_s")).alias("_neg"))).alias("_b"))
+        # best match = highest est, ties to the SMALLEST seen id —
+        # min_by over (-est, id_s) keeps the id comparison in its own
+        # type (string ids order correctly; unary minus on the id
+        # would cast-to-double)
+        .agg(
+            F.min_by(
+                F.struct(F.col("est"), F.col("id_s")),
+                F.struct((-F.col("est")).alias("_ne"), F.col("id_s")),
+            ).alias("_b")
+        )
         .select(
             F.col("id_n").alias(id_col),
             F.lit("near").alias("verdict"),
-            (-F.col("_b._neg")).alias("match_id"),
+            F.col("_b.id_s").alias("match_id"),
             F.col("_b.est").alias("est_jaccard"),
         )
     )
+    id_type = new_df.schema[id_col].dataType
     fresh = (
         remaining.join(near_best, remaining["nid"] == near_best[id_col], "left_anti")
         .select(
             F.col("nid").alias(id_col),
             F.lit("fresh").alias("verdict"),
-            F.lit(None).cast("long").alias("match_id"),
+            # NULL typed as the id column itself — a hardcoded long
+            # would coerce string ids numerically in the union
+            F.lit(None).cast(id_type).alias("match_id"),
             F.lit(None).cast("double").alias("est_jaccard"),
         )
     )

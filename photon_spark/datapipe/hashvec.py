@@ -54,25 +54,18 @@ from photon_spark.datapipe.textstats import tokens_col
 __all__ = ["hashed_tfidf", "sparse_cosine_pairs"]
 
 
-def hashed_tfidf(
+def _unit_rows(
     df: DataFrame,
-    dim: int = 1024,
-    max_df_frac: float = 0.5,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+    dim: int,
+    max_df_frac: float,
+    id_col: str,
+    text_col: str,
 ) -> DataFrame:
-    """l2-normalized hashed TF-IDF vectors, sparse rows
-    ``(doc_id, bucket, weight)`` with ``weight`` rounded to 6 d.p.
-    (cross-engine float convention, see ``__spark_entry__``).
-
-    bucket = md5-h60(token) mod ``dim``; weight before normalization
-    is ``tf * ln((N + 1) / (df + 1))`` where N is the number of
-    distinct input docs and df the number of docs hitting the bucket;
-    buckets with ``df > max_df_frac * N`` (stopword-grade, and the
-    skew-heavy join keys downstream) are dropped before normalizing.
-    Docs whose every bucket was dropped vanish from the output (their
-    norm would be 0).
-    """
+    """UNROUNDED l2-normalized sparse rows ``(id, bucket, u)`` — the
+    single definition of the vectorization both public functions
+    share: bucket = md5-h60(token) mod dim, weight =
+    tf · ln((N+1)/(df+1)), buckets with df > max_df_frac·N dropped
+    BEFORE the norm, zero-norm docs dropped."""
     toks = df.select(
         F.col(id_col), F.explode(tokens_col(text_col)).alias("token")
     )
@@ -105,11 +98,28 @@ def hashed_tfidf(
     return (
         w.withColumn("_n", nrm)
         .filter(F.col("_n") > F.lit(0.0))
-        .select(
-            F.col(id_col),
-            F.col("bucket"),
-            F.round(F.col("w") / F.col("_n"), 6).alias("weight"),
-        )
+        .select(id_col, "bucket", (F.col("w") / F.col("_n")).alias("u"))
+    )
+
+
+def hashed_tfidf(
+    df: DataFrame,
+    dim: int = 1024,
+    max_df_frac: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """l2-normalized hashed TF-IDF vectors, sparse rows
+    ``(doc_id, bucket, weight)`` with ``weight`` rounded to 6 d.p.
+    (cross-engine float convention, see ``__spark_entry__``).
+
+    Docs whose every bucket was dropped by the max-df cut vanish from
+    the output (their norm would be 0)."""
+    unit = _unit_rows(df, dim, max_df_frac, id_col, text_col)
+    return unit.select(
+        F.col(id_col),
+        F.col("bucket"),
+        F.round(F.col("u"), 6).alias("weight"),
     )
 
 
@@ -128,42 +138,12 @@ def sparse_cosine_pairs(
 
     The dot product of two l2-normalized sparse vectors IS their
     cosine, and it decomposes bucket-wise: self-join on ``bucket``,
-    multiply the two weights, sum per pair.  Normalization happens
-    BEFORE rounding here (the 6-d.p. output rounding of
-    ``hashed_tfidf`` is a display convention, not an input to this
-    math) — so the pair sim matches a dense-vector cosine to float64.
-    """
-    toks = df.select(
-        F.col(id_col), F.explode(tokens_col(text_col)).alias("token")
-    )
-    tf = (
-        toks.select(
-            id_col, (_md5_h60(F.col("token")) % F.lit(dim)).alias("bucket")
-        )
-        .groupBy(id_col, "bucket")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
-    dfb = tf.groupBy("bucket").agg(F.count(F.lit(1)).alias("dfb"))
-    w = (
-        tf.join(F.broadcast(dfb), "bucket")
-        .crossJoin(F.broadcast(n_docs))
-        .filter(F.col("dfb") <= F.col("n_docs") * F.lit(max_df_frac))
-        .select(
-            F.col(id_col),
-            "bucket",
-            (
-                F.col("tf")
-                * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("dfb") + F.lit(1.0)))
-            ).alias("w"),
-        )
-    )
-    nrm = F.sqrt(F.sum(F.col("w") * F.col("w")).over(Window.partitionBy(id_col)))
-    unit = (
-        w.withColumn("_n", nrm)
-        .filter(F.col("_n") > F.lit(0.0))
-        .select(id_col, "bucket", (F.col("w") / F.col("_n")).alias("u"))
-    )
+    multiply the two weights, sum per pair.  Both functions consume
+    the same :func:`_unit_rows` vectorization, unrounded — the 6-d.p.
+    output rounding of ``hashed_tfidf`` is a display convention, not
+    an input to this math — so the pair sim matches a dense-vector
+    cosine to float64."""
+    unit = _unit_rows(df, dim, max_df_frac, id_col, text_col)
     a = unit.select(
         F.col(id_col).alias("id_a"), F.col("bucket"), F.col("u").alias("ua")
     )

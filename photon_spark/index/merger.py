@@ -106,15 +106,24 @@ def merge_indexes(
         partitions or spark.conf.get("spark.sql.shuffle.partitions")
     )
     os.makedirs(out_dir, exist_ok=True)
-    # the reader discovers delta segments / tombstones by DIRECTORY
-    # existence — leftovers from a previous life of out_dir would be
-    # silently folded into the fresh merge; clear them up front
+    # the reader discovers delta segments / tombstones / deletions /
+    # bloom by FILE existence — leftovers from a previous life of
+    # out_dir would be silently folded into (or served next to) the
+    # fresh merge; clear them all up front. deletions/ and the bloom
+    # are re-created below only when an input carries them, so a
+    # stale one would otherwise survive a config change.
     import shutil as _sh
 
-    for sub in ("postings_delta", "dictionary_delta", "tombstones"):
+    for sub in (
+        "postings_delta", "dictionary_delta", "tombstones", "deletions",
+    ):
         p = os.path.join(out_dir, sub)
         if os.path.isdir(p):
             _sh.rmtree(p)
+    from photon_spark.index.bloom import BLOOM_FILE as _BLOOM
+
+    if os.path.exists(os.path.join(out_dir, _BLOOM)):
+        os.remove(os.path.join(out_dir, _BLOOM))
 
     # ---- 1) live docs per side (delta docs live in docs/; deletes
     # are tombstoned ords) ------------------------------------------

@@ -1108,3 +1108,35 @@ def test_incremental_dedup(spark):
     assert (out[24]["verdict"], out[24]["match_id"]) == ("exact", 23)
     # empty batch → empty result, not an error
     assert dd.incremental_dedup(new.limit(0), seen).count() == 0
+
+
+def test_incremental_dedup_null_text_and_string_ids(spark):
+    """Review pins: NULL text still gets a verdict row (hashes as
+    empty), and string doc ids tie-break near matches to the SMALLEST
+    seen id without numeric casting."""
+    from photon_spark.datapipe import dedup as dd
+
+    seen = spark.createDataFrame(
+        [("s1", ""), ("s2", None)], "doc_id string, text string"
+    )
+    new = spark.createDataFrame(
+        [("n1", None), ("n2", "totally novel words in this one here")],
+        "doc_id string, text string",
+    )
+    out = {r["doc_id"]: r for r in dd.incremental_dedup(new, seen).collect()}
+    assert set(out) == {"n1", "n2"}
+    # NULL text == empty text for the sha screen; min seen id wins
+    assert (out["n1"]["verdict"], out["n1"]["match_id"]) == ("exact", "s1")
+    assert out["n2"]["verdict"] == "fresh"
+
+    # near tie-break on string ids: two identical seen docs → match
+    # the lexicographically smallest seen id
+    base = "the quick brown fox jumps over the lazy dog and runs far away"
+    seen2 = spark.createDataFrame(
+        [("zz", base), ("aa", base)], "doc_id string, text string"
+    )
+    new2 = spark.createDataFrame(
+        [("q1", base + " again")], "doc_id string, text string"
+    )
+    got = dd.incremental_dedup(new2, seen2, threshold=0.3).collect()[0]
+    assert (got["verdict"], got["match_id"]) == ("near", "aa")

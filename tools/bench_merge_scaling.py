@@ -54,9 +54,12 @@ def main() -> int:
     # once — this is setup, not the measured job
     from photon_spark.session import get_spark
     from pyspark.sql import functions as F
-    from photon_spark.index.build import build_index
+    from photon_spark.index.build import INDEX_FORMAT_VERSION, build_index
 
-    halves = f"/tmp/photon_merge_scale_halves_{n_files}"
+    # keyed by corpus size AND index format so stale-format or
+    # smaller-run halves are never reused (the gate caches embed the
+    # version in the path for the same reason)
+    halves = f"/tmp/photon_merge_scale_halves_{n_files}_{INDEX_FORMAT_VERSION}"
     if not all(
         os.path.exists(os.path.join(halves, h, "meta.json"))
         for h in ("h0", "h1")
