@@ -288,3 +288,31 @@ def test_merge_three_way_and_associative(spark, corpus, tmp_path):
         hf = [(h["doc_id"], round(float(h["score"]), 9)) for h in iff.search(q, k=10)]
         assert [(h["doc_id"], round(float(h["score"]), 9)) for h in i3.search(q, k=10)] == hf
         assert [(h["doc_id"], round(float(h["score"]), 9)) for h in it.search(q, k=10)] == hf
+
+
+def test_merge_chunked_builds(spark, corpus, tmp_path):
+    """Merging chunk-enabled builds (O2 fan-out) preserves the
+    identity too — chunk is part of the collapse key and of the meta
+    compat check."""
+    base = str(tmp_path)
+    df = spark.createDataFrame(corpus.head(60))
+    a = df.filter(F.crc32(F.col("content")) % 2 == 0)
+    b = df.filter(F.crc32(F.col("content")) % 2 == 1)
+    build_index(spark, a, f"{base}/a", chunk_lines=8)
+    build_index(spark, b, f"{base}/b", chunk_lines=8)
+    build_index(spark, df, f"{base}/full", chunk_lines=8)
+    merge_indexes(spark, [f"{base}/a", f"{base}/b"], f"{base}/m")
+
+    m = _canon_docs(spark, f"{base}/m/docs")
+    f_ = _canon_docs(spark, f"{base}/full/docs")
+    assert m.exceptAll(f_).count() == 0 and f_.exceptAll(m).count() == 0
+    assert m.filter(F.col("chunk").isNotNull()).count() > 0  # fan-out real
+    pm = read_posting_rows(spark, f"{base}/m")
+    pf = read_posting_rows(spark, f"{base}/full")
+    assert pm.exceptAll(pf).count() == 0 and pf.exceptAll(pm).count() == 0
+    # chunk_lines mismatch is a compat error, not silent corruption
+    build_index(spark, a, f"{base}/a_nochunk")
+    with pytest.raises(ValueError, match="chunk_lines"):
+        merge_indexes(
+            spark, [f"{base}/a_nochunk", f"{base}/b"], f"{base}/m2"
+        )
