@@ -316,3 +316,20 @@ def test_merge_chunked_builds(spark, corpus, tmp_path):
         merge_indexes(
             spark, [f"{base}/a_nochunk", f"{base}/b"], f"{base}/m2"
         )
+
+
+def test_hot_plane_serves_merged_index(spark, dirs):
+    """query/hot.py reads a merged index like any other — the
+    serving-node path agrees with the Spark evaluator over the merge
+    output."""
+    from photon_spark.query.hot import HotIndex
+
+    hot = HotIndex(f"{dirs}/m")
+    im = Index(spark, f"{dirs}/m")
+    hit = 0
+    for q in ("return license", "selfindex", "handler map"):
+        hh = [(h["doc_id"], round(float(h["score"]), 9)) for h in hot.search(q, k=10)]
+        hs = [(h["doc_id"], round(float(h["score"]), 9)) for h in im.search(q, k=10)]
+        assert hh == hs, q
+        hit += bool(hh)
+    assert hit >= 1
