@@ -48,6 +48,7 @@ from __future__ import annotations
 import datetime as _dt
 import json
 import os
+import time
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
@@ -125,6 +126,9 @@ def merge_indexes(
     if os.path.exists(os.path.join(out_dir, _BLOOM)):
         os.remove(os.path.join(out_dir, _BLOOM))
 
+    stage_s: dict[str, float] = {}
+    t_stage = time.time()
+
     # ---- 1) live docs per side (delta docs live in docs/; deletes
     # are tombstoned ords) ------------------------------------------
     sides: list[DataFrame] = []
@@ -163,6 +167,7 @@ def merge_indexes(
         partitions,
     )
     write_docs_by_repo(spark, out_dir, partitions)
+    stage_s["docs"] = round(time.time() - t_stage, 3)
 
     # ---- 4) (side, old ord) → new ord; losers of a collision have
     # no mapping row, so the inner join drops their postings --------
@@ -174,6 +179,13 @@ def merge_indexes(
         .join(new_ords, "doc_id")
         .select("_side", F.col("_old_ord").alias("doc"), "_new")
     )
+    # the mapping has exactly n_docs narrow rows and n_docs is KNOWN
+    # by now — broadcast it whenever it plausibly fits, so the posting
+    # rows (orders of magnitude more) are remapped in place instead of
+    # being shuffled+sorted for a merge join. Past the threshold the
+    # co-keyed shuffle join is the right plan and AQE handles it.
+    if n_docs <= 5_000_000:
+        mapping = F.broadcast(mapping)
 
     # ---- 5) decode + remap + re-encode postings; exact dictionary -
     rows = reduce(
@@ -192,14 +204,10 @@ def merge_indexes(
     )
     block_size = int(metas[0]["block_size"])
     n_buckets = int(metas[0]["n_buckets"])
-    (
-        remapped.repartitionByRange(partitions, "field", "term", "doc")
-        .sortWithinPartitions("field", "term", "doc")
-        .mapInArrow(_make_block_encoder(block_size, n_buckets), _POSTINGS_DDL)
-        .write.mode("overwrite")
-        .partitionBy("field")
-        .parquet(os.path.join(out_dir, "postings"))
-    )
+    # dictionary first: ONE pass materializes the persisted decode
+    # (the dominant scan); everything downstream reads cache / the
+    # written dictionary
+    t_stage = time.time()
     (
         remapped.groupBy("field", "term")
         .agg(
@@ -216,20 +224,57 @@ def merge_indexes(
         .partitionBy("field")
         .parquet(os.path.join(out_dir, "dictionary"))
     )
+    stage_s["decode+dictionary"] = round(time.time() - t_stage, 3)
+    t_stage = time.time()
+
+    # postings ∥ deletions ∥ bloom CONCURRENTLY — the same overlap
+    # the build uses (build_index's thread pool): postings re-encodes
+    # the cached rows; deletions + bloom read the just-written
+    # dictionary. Serializing these was the merge's one scaling sin —
+    # at high parallelism the deletion/bloom jobs hid entirely inside
+    # the build's postings write but added full wall-clock here.
+    def _write_postings() -> None:
+        (
+            remapped.repartitionByRange(partitions, "field", "term", "doc")
+            .sortWithinPartitions("field", "term", "doc")
+            .mapInArrow(_make_block_encoder(block_size, n_buckets), _POSTINGS_DDL)
+            .write.mode("overwrite")
+            .partitionBy("field")
+            .parquet(os.path.join(out_dir, "postings"))
+        )
+
+    def _write_deletions() -> None:
+        if any(
+            os.path.isdir(os.path.join(d, "deletions")) for d in index_dirs
+        ):
+            from photon_spark.index.deletions import build_deletion_index
+
+            build_deletion_index(spark, out_dir)
+
+    def _write_bloom() -> None:
+        from photon_spark.index.bloom import BLOOM_FILE, build_bloom
+
+        if any(
+            os.path.exists(os.path.join(d, BLOOM_FILE)) for d in index_dirs
+        ):
+            build_bloom(
+                spark.read.parquet(os.path.join(out_dir, "dictionary")),
+                out_dir,
+            )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        futs = [
+            ex.submit(_write_postings),
+            ex.submit(_write_deletions),
+            ex.submit(_write_bloom),
+        ]
+        for fut in futs:
+            fut.result()
+    stage_s["postings+derived"] = round(time.time() - t_stage, 3)
     remapped.unpersist()
     collapsed.unpersist()
-
-    # ---- 6) derived tables from the merged exact dictionary -------
-    if any(os.path.isdir(os.path.join(d, "deletions")) for d in index_dirs):
-        from photon_spark.index.deletions import build_deletion_index
-
-        build_deletion_index(spark, out_dir)
-    from photon_spark.index.bloom import BLOOM_FILE, build_bloom
-
-    if any(os.path.exists(os.path.join(d, BLOOM_FILE)) for d in index_dirs):
-        build_bloom(
-            spark.read.parquet(os.path.join(out_dir, "dictionary")), out_dir
-        )
 
     meta = {k: metas[0].get(k) for k in _COMPAT_KEYS}
     meta.update(
@@ -239,6 +284,7 @@ def merge_indexes(
             "next_ord": n_docs,
             "import_date": _dt.datetime.now(_dt.timezone.utc).isoformat(),
             "merged_from": [os.path.abspath(d) for d in index_dirs],
+            "stage_seconds": stage_s,
         }
     )
     # meta.json is written LAST — its presence marks a complete index

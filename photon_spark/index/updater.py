@@ -450,34 +450,49 @@ def apply_updates(
     return out
 
 
+_BLOCK_LISTS_DDL = (
+    "field string, term string, docs array<long>, tfs array<int>"
+)
+
+
 def _decode_blocks_kernel(it):
-    """mapInArrow kernel: posting blocks → (field, term, doc, tf)
-    rows (numpy block decode, no per-posting Python)."""
+    """mapInArrow kernel: posting blocks → (field, term, docs[], tfs[])
+    LIST rows — the numpy block decode stays in Python (the codec),
+    but the per-posting row explosion happens JVM-side afterward
+    (``explode(arrays_zip(...))``), so neither the field/term strings
+    nor the posting rows are ever materialized one-at-a-time in
+    Python."""
     import numpy as np
     import pyarrow as pa
 
     from photon_spark.index.codec import decode_doc_block, decode_tfs
 
     for batch in it:
-        fields = batch.column("field").to_pylist()
-        terms = batch.column("term").to_pylist()
         ns = batch.column("n").to_pylist()
         doc_b = batch.column("doc_bytes").to_pylist()
         tf_b = batch.column("tf_bytes").to_pylist()
-        if not terms:
+        if not ns:
             continue
         docs = [decode_doc_block(b, n) for b, n in zip(doc_b, ns)]
         tfs = [decode_tfs(b, n) for b, n in zip(tf_b, ns)]
+        offs = np.zeros(len(ns) + 1, dtype=np.int64)
+        np.cumsum(np.asarray(ns, dtype=np.int64), out=offs[1:])
+        offs_arr = pa.array(offs, pa.int32())
         yield pa.RecordBatch.from_arrays(
             [
-                pa.array(np.repeat(np.asarray(fields, dtype=object), ns)),
-                pa.array(np.repeat(np.asarray(terms, dtype=object), ns)),
-                pa.array(np.concatenate(docs), pa.int64()),
-                pa.array(
-                    np.concatenate(tfs).astype(np.int32), pa.int32()
+                batch.column("field"),
+                batch.column("term"),
+                pa.ListArray.from_arrays(
+                    offs_arr, pa.array(np.concatenate(docs), pa.int64())
+                ),
+                pa.ListArray.from_arrays(
+                    offs_arr,
+                    pa.array(
+                        np.concatenate(tfs).astype(np.int32), pa.int32()
+                    ),
                 ),
             ],
-            names=["field", "term", "doc", "tf"],
+            names=["field", "term", "docs", "tfs"],
         )
 
 
@@ -495,7 +510,18 @@ def read_posting_rows(
         blocks = blocks.unionByName(
             spark.read.parquet(pd_dir).select(*pcols)
         )
-    rows = blocks.mapInArrow(_decode_blocks_kernel, _TOKENS_DDL)
+    rows = (
+        blocks.mapInArrow(_decode_blocks_kernel, _BLOCK_LISTS_DDL)
+        .select(
+            "field", "term",
+            F.explode(F.arrays_zip("docs", "tfs")).alias("_z"),
+        )
+        .select(
+            "field", "term",
+            F.col("_z.docs").alias("doc"),
+            F.col("_z.tfs").alias("tf"),
+        )
+    )
     tomb_dir = os.path.join(index_dir, "tombstones")
     if drop_tombstones and os.path.isdir(tomb_dir):
         dead = spark.read.parquet(tomb_dir).select(
