@@ -3,9 +3,10 @@
 query/RequestFactoryBase.java:19-20,105-149 returning HTTP 400;
 GeocodeJSON assembly searcher/GeoJsonFormatter.java:19-139).
 
-No HTTP server here (the serving story is batch / spark-submit); the
-layer is the validated-params → engine → formatted-JSON contract a
-front-end would mount.
+No HTTP machinery in THIS module — it is the validated-params →
+engine → formatted-JSON contract; ``photon_spark/jobs/serve.py``
+mounts it on a stdlib HTTP server (photon's actual deployment shape:
+GET /api /reverse /structured /status /metrics /nominatim-update).
 """
 
 from __future__ import annotations

@@ -1,0 +1,275 @@
+"""HTTP serving front-end — the photon server surface mounted on the
+engine (reference: App.java:352-455 routes + CORS + reverse-only +
+nominatim-update wiring; this module is the thin HTTP shell over
+``photon_spark.api``, which implements the validated-params →
+engine → GeocodeJSON contract).
+
+    # serving node (no Spark needed — hot plane):
+    python photon_spark/jobs/serve.py --index /path/to/index --port 2322
+
+    # or through the Spark evaluator:
+    python photon_spark/jobs/serve.py --index /path/to/index \\
+        --backend spark --master "local[8]"
+
+Routes (GET): ``/api`` (alias ``/search``), ``/structured``,
+``/reverse``, ``/status``, ``/metrics`` (404 unless ``--metrics``),
+``/nominatim-update`` + ``/nominatim-update/status`` (only with
+``--updates-dir``, the CDC drop-box). Query params repeat the
+reference's (`q`, `limit`, `lang`, `repo`, `osm_tag`, `layer`,
+`include`/`exclude`, bias/bbox, `debug`, ...); the `Accept-Language`
+header feeds language resolution exactly like the reference
+(RequestFactoryBase.parseLanguage). Errors map BadRequest → 400,
+NotFound → 404 (reverse-only mode / disabled metrics), query timeout
+→ 504.
+
+Multi-executor deployment: one serving process per query node over a
+shared index directory (hot plane reads are pruned pyarrow I/O; the
+Spark backend instead submits to the session's cluster). The server
+is stdlib ``ThreadingHTTPServer`` — the engine work is the
+interesting part; swap in any WSGI front if preferred.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+
+from photon_spark.api import (  # noqa: E402
+    BadRequest,
+    CorsPolicy,
+    NotFound,
+    QueryTimeout,
+    SearchAPI,
+    UpdateAPI,
+)
+
+# params that stay lists even with one value (repeatable in the
+# reference API: terms-OR within the key) — route-dependent: /api's
+# `repo`/`lang` are multi-value FILTERS, /reverse's `repo` is the
+# scalar probe and /structured's fields are scalars
+_MULTI = {
+    "/api": {"repo", "lang", "osm_tag", "layer", "include", "exclude"},
+    "/search": {"repo", "lang", "osm_tag", "layer", "include", "exclude"},
+    "/reverse": {"osm_tag", "layer", "include", "exclude"},
+    "/structured": set(),
+}
+
+
+def _params(route: str, query: str) -> dict:
+    multi = _MULTI.get(route, set())
+    out: dict = {}
+    for k, vs in parse_qs(query, keep_blank_values=True).items():
+        out[k] = vs if (len(vs) > 1 or k in multi) else vs[0]
+    return out
+
+
+class _Handler(BaseHTTPRequestHandler):
+    # injected by serve(): api, update_api, cors, enable_metrics
+    api: SearchAPI
+    update_api: UpdateAPI | None
+    cors: CorsPolicy
+    enable_metrics: bool
+
+    def log_message(self, fmt, *args):  # quiet by default
+        if os.environ.get("PHOTON_SPARK_HTTP_LOG"):
+            super().log_message(fmt, *args)
+
+    def _send(self, code: int, body, content_type="application/json") -> None:
+        data = (
+            body.encode()
+            if isinstance(body, str)
+            else json.dumps(body).encode()
+        )
+        self.send_response(code)
+        self.send_header("Content-Type", content_type)
+        self.send_header("Content-Length", str(len(data)))
+        allow = self.cors.allow_origin(self.headers.get("Origin"))
+        if allow is not None:
+            self.send_header("Access-Control-Allow-Origin", allow)
+        self.end_headers()
+        self.wfile.write(data)
+
+    def do_GET(self) -> None:  # noqa: N802 (stdlib naming)
+        url = urlparse(self.path)
+        route = url.path.rstrip("/") or "/"
+        params = _params(route, url.query)
+        # header → param exactly once (an explicit query param wins,
+        # matching the reference's request factory precedence)
+        if "accept_language" not in params and self.headers.get("Accept-Language"):
+            params["accept_language"] = self.headers["Accept-Language"]
+        try:
+            if route in ("/api", "/search"):
+                self._send(200, self.api.api(params))
+            elif route == "/structured":
+                self._send(200, self.api.structured(params))
+            elif route == "/reverse":
+                self._send(200, self.api.reverse(params))
+            elif route == "/status":
+                self._send(200, self.api.status())
+            elif route == "/metrics":
+                if not self.enable_metrics:
+                    raise NotFound("metrics disabled")
+                self._send(200, self.api.metrics(), content_type="text/plain")
+            elif route == "/nominatim-update":
+                if self.update_api is None:
+                    raise NotFound("updates not configured")
+                self._send(200, {"message": self.update_api.trigger()})
+            elif route == "/nominatim-update/status":
+                if self.update_api is None:
+                    raise NotFound("updates not configured")
+                self._send(200, self.update_api.update_status(), "text/plain")
+            else:
+                raise NotFound(f"no route {url.path!r}")
+        except BadRequest as e:
+            self._send(400, {"message": str(e)})
+        except NotFound as e:
+            self._send(404, {"message": str(e)})
+        except QueryTimeout as e:
+            self._send(504, {"message": str(e)})
+        except Exception as e:  # engine failure → 500, message logged
+            self._send(500, {"message": f"internal error: {e}"})
+
+
+def _drop_box_reader(spark, updates_dir: str):
+    """Consume-and-clear updates source over a parquet drop-box dir
+    (UPDATES_DDL shape): each trigger reads every pending file and
+    moves it to ``.consumed/`` — the NominatimUpdater
+    fetch-and-clear semantics with a directory as the queue."""
+    import shutil
+    import time as _t
+
+    def _read():
+        files = [
+            f for f in sorted(os.listdir(updates_dir))
+            if f.endswith(".parquet")
+        ] if os.path.isdir(updates_dir) else []
+        if not files:
+            return None
+        batch = spark.read.parquet(
+            *[os.path.join(updates_dir, f) for f in files]
+        )
+        batch = batch.cache()
+        batch.count()  # materialize before the files move
+        done = os.path.join(updates_dir, ".consumed", str(int(_t.time() * 1000)))
+        os.makedirs(done, exist_ok=True)
+        for f in files:
+            shutil.move(os.path.join(updates_dir, f), os.path.join(done, f))
+        return batch
+
+    return _read
+
+
+def serve(
+    index_dir: str,
+    port: int = 2322,
+    backend: str = "hot",
+    master: str | None = None,
+    reverse_only: bool = False,
+    default_language: str | None = None,
+    max_results: int | None = None,
+    max_reverse_results: int | None = None,
+    query_timeout_s: float | None = None,
+    cors_any: bool = False,
+    cors_origins: list[str] | None = None,
+    enable_metrics: bool = False,
+    updates_dir: str | None = None,
+) -> ThreadingHTTPServer:
+    """Build the server (bound, not yet serving) — callers run
+    ``serve_forever()``; tests drive it on port 0 in a thread."""
+    spark = None
+    if backend == "hot":
+        from photon_spark.query.hot import HotIndex
+
+        eng = HotIndex(index_dir)
+    else:
+        from photon_spark.query.executor import Index
+        from photon_spark.session import get_spark
+
+        spark = get_spark(master=master, app_name="photon_spark_serve")
+        eng = Index(spark, index_dir)
+
+    metrics = None
+    if enable_metrics:
+        from photon_spark.metrics import ServingMetrics
+
+        metrics = ServingMetrics()
+    kw: dict = {"metrics": metrics, "reverse_only": reverse_only}
+    if default_language is not None:
+        kw["default_language"] = default_language
+    if max_results is not None:
+        kw["max_results"] = max_results
+    if max_reverse_results is not None:
+        kw["max_reverse_results"] = max_reverse_results
+    if query_timeout_s is not None:
+        kw["query_timeout_s"] = query_timeout_s
+    api = SearchAPI(eng, **kw)
+
+    update_api = None
+    if updates_dir is not None:
+        if spark is None:
+            from photon_spark.session import get_spark
+
+            spark = get_spark(master=master, app_name="photon_spark_serve")
+        update_api = UpdateAPI(
+            spark, index_dir,
+            _drop_box_reader(spark, updates_dir),
+            search_api=api,
+        )
+
+    handler = type(
+        "_BoundHandler",
+        (_Handler,),
+        {
+            "api": api,
+            "update_api": update_api,
+            "cors": CorsPolicy(
+                any_origin=cors_any, origins=cors_origins
+            ),
+            "enable_metrics": enable_metrics,
+        },
+    )
+    return ThreadingHTTPServer(("0.0.0.0", port), handler)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--index", required=True)
+    p.add_argument("--port", type=int, default=2322)
+    p.add_argument("--backend", choices=("hot", "spark"), default="hot")
+    p.add_argument("--master", default=None)
+    p.add_argument("--reverse-only", action="store_true")
+    p.add_argument("--default-language", default=None)
+    p.add_argument("--max-results", type=int, default=None)
+    p.add_argument("--max-reverse-results", type=int, default=None)
+    p.add_argument("--query-timeout", type=float, default=None)
+    p.add_argument("--cors-any", action="store_true")
+    p.add_argument("--cors-origin", action="append", default=None)
+    p.add_argument("--metrics", action="store_true")
+    p.add_argument("--updates-dir", default=None, help="CDC drop-box dir; wires /nominatim-update")
+    args = p.parse_args(argv)
+    srv = serve(
+        args.index, args.port, args.backend, args.master,
+        reverse_only=args.reverse_only,
+        default_language=args.default_language,
+        max_results=args.max_results,
+        max_reverse_results=args.max_reverse_results,
+        query_timeout_s=args.query_timeout,
+        cors_any=args.cors_any, cors_origins=args.cors_origin,
+        enable_metrics=args.metrics, updates_dir=args.updates_dir,
+    )
+    print(json.dumps({"listening": srv.server_address[1], "index": args.index, "backend": args.backend}))
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

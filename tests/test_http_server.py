@@ -1,0 +1,160 @@
+"""jobs/serve.py: the HTTP shell over photon_spark.api — real
+sockets, real GETs, photon's routes (App.java:352-455), driven
+through the hot (no-Spark) backend."""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import pytest
+
+from photon_spark.jobs.serve import serve
+
+
+@pytest.fixture(scope="module")
+def server(index_dir):
+    srv = serve(index_dir, port=0, backend="hot", enable_metrics=True,
+                cors_origins=["example.com"])
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _get(url: str, headers: dict | None = None):
+    req = urllib.request.Request(url, headers=headers or {})
+    with urllib.request.urlopen(req, timeout=30) as r:
+        return r.status, dict(r.headers), r.read().decode()
+
+
+def test_api_route_serves_geocodejson(server):
+    code, _, body = _get(f"{server}/api?q=return+license&limit=5")
+    assert code == 200
+    out = json.loads(body)
+    assert out["type"] == "FeatureCollection"
+    assert len(out["features"]) <= 5
+    f0 = out["features"][0]
+    assert f0["type"] == "Feature"
+    assert "repo" in f0["properties"]
+    # /search alias serves the same surface
+    code2, _, body2 = _get(f"{server}/search?q=return+license&limit=5")
+    assert code2 == 200 and json.loads(body2)["features"] == out["features"]
+
+
+def test_validation_and_routing_errors(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(f"{server}/api?q=x&limit=boom")
+    assert e.value.code == 400
+    assert "limit" in json.loads(e.value.read().decode())["message"]
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(f"{server}/api")  # missing q
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(f"{server}/nope")
+    assert e.value.code == 404
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(f"{server}/nominatim-update")  # updates not configured
+    assert e.value.code == 404
+
+
+def test_status_metrics_and_reverse(server):
+    code, _, body = _get(f"{server}/status")
+    assert code == 200 and json.loads(body)["status"] == "Ok"
+    # a repo/path present in the corpus: take one from a search hit
+    _, _, body = _get(f"{server}/api?q=return+license&limit=1")
+    props = json.loads(body)["features"][0]["properties"]
+    code, _, body = _get(
+        f"{server}/reverse?repo={props['repo']}&path={props['path']}"
+    )
+    assert code == 200
+    assert json.loads(body)["features"]
+    code, _, body = _get(f"{server}/metrics")
+    assert code == 200 and "photon_requests_total" in body
+
+
+def test_accept_language_header_feeds_resolution(server):
+    _, _, body = _get(
+        f"{server}/api?q=return+license&limit=1",
+        headers={"Accept-Language": "de;q=0.9, en;q=0.5"},
+    )
+    assert json.loads(body)["lang"] == "de"
+    # an explicit accept_language QUERY PARAM wins over the header
+    # (the handler maps the header in only when the param is absent);
+    # the `lang` param stays a FILTER in this graft, not the display
+    # language (api.resolve_language graft note)
+    _, _, body = _get(
+        f"{server}/api?q=return+license&limit=1&accept_language=en",
+        headers={"Accept-Language": "de"},
+    )
+    assert json.loads(body)["lang"] == "en"
+
+
+def test_cors_origin_echo(server):
+    _, headers, _ = _get(
+        f"{server}/status", headers={"Origin": "https://example.com"}
+    )
+    assert headers.get("Access-Control-Allow-Origin") == "https://example.com"
+    _, headers, _ = _get(
+        f"{server}/status", headers={"Origin": "https://evil.test"}
+    )
+    assert headers.get("Access-Control-Allow-Origin") is None
+
+
+def test_reverse_only_mode(index_dir):
+    srv = serve(index_dir, port=0, backend="hot", reverse_only=True)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(f"{base}/api?q=x")
+        assert e.value.code == 404
+        code, _, _ = _get(f"{base}/status")
+        assert code == 200
+    finally:
+        srv.shutdown()
+
+
+def test_nominatim_update_roundtrip(spark, corpus, tmp_path):
+    """The full reference deployment loop over HTTP: serve, drop a
+    CDC batch in the box, trigger /nominatim-update, and the serving
+    snapshot swaps to include the new doc (App.java:448-455 +
+    SearcherManager-style re-open)."""
+    import os
+    import time
+
+    from photon_spark.index.build import build_index
+
+    out = str(tmp_path / "idx")
+    build_index(spark, spark.createDataFrame(corpus.head(40)), out)
+    box = str(tmp_path / "box")
+    os.makedirs(box)
+    srv = serve(out, port=0, backend="spark", master=None, updates_dir=box)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        code, _, body = _get(f"{base}/nominatim-update/status")
+        assert code == 200 and body == "OK"
+        spark.createDataFrame(
+            [("upsert", "rX", "zzfresh_doc.txt", "c9", "en",
+              "zzfresh unique serving content", 1)],
+            "op string, repo string, path string, commit string, lang string, content string, ts long",
+        ).toPandas().to_parquet(os.path.join(box, "batch1.parquet"))
+        code, _, body = _get(f"{base}/nominatim-update")
+        assert code == 200
+        assert "nominatim update started" in json.loads(body)["message"]
+        for _ in range(60):
+            _, _, st = _get(f"{base}/nominatim-update/status")
+            if st == "OK":
+                break
+            time.sleep(1.0)
+        assert st == "OK"
+        _, _, body = _get(f"{base}/api?q=zzfresh&limit=5")
+        hits = json.loads(body)["features"]
+        assert hits and hits[0]["properties"]["path"] == "zzfresh_doc.txt"
+        # the batch file was consumed-and-cleared
+        assert not [f for f in os.listdir(box) if f.endswith(".parquet")]
+    finally:
+        srv.shutdown()
