@@ -604,6 +604,15 @@ class UpdateAPI:
                         release = getattr(old, "release", None)
                         if release is not None:
                             release()
+            except Exception as e:
+                # surfaced two ways, like the reference's console-
+                # logged updater failures: the daemon excepthook
+                # prints the traceback, and last_result records it so
+                # an operator polling the API can see the cycle failed
+                # (update_status still returns to OK — the lock is
+                # free and a retry is legal)
+                self.last_result = {"error": f"{type(e).__name__}: {e}"}
+                raise
             finally:
                 self._lock.release()
 

@@ -115,6 +115,11 @@ def merge_indexes(
     # stale one would otherwise survive a config change.
     import shutil as _sh
 
+    # meta.json FIRST: it is the completion marker, and a re-merge
+    # that crashes mid-overwrite must leave the directory marked
+    # incomplete, not serving a mix of two merges
+    if os.path.exists(os.path.join(out_dir, "meta.json")):
+        os.remove(os.path.join(out_dir, "meta.json"))
     for sub in (
         "postings_delta", "dictionary_delta", "tombstones", "deletions",
     ):

@@ -61,10 +61,22 @@ _MULTI = {
 }
 
 
+# routes whose response carries a resolved display language — only
+# these receive the Accept-Language header as a param (the structured
+# validator whitelists no such param, and browsers always send the
+# header, so blanket injection would 400 every browser /structured)
+_LANG_ROUTES = {"/api", "/search", "/reverse"}
+
+
 def _params(route: str, query: str) -> dict:
     multi = _MULTI.get(route, set())
     out: dict = {}
     for k, vs in parse_qs(query, keep_blank_values=True).items():
+        if len(vs) > 1 and k not in multi:
+            # repeating a scalar param is malformed input → 400, not
+            # a 500 out of the validators (RequestFactoryBase treats
+            # duplicate scalar queryParams the same way)
+            raise BadRequest(f"parameter {k!r} given more than once")
         out[k] = vs if (len(vs) > 1 or k in multi) else vs[0]
     return out
 
@@ -95,45 +107,59 @@ class _Handler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(data)
 
+    def _dispatch(self, route: str, query: str) -> tuple[int, object, str]:
+        """Route + engine work only — no socket writes, so the error
+        mapping can never fire on a half-sent response."""
+        params = _params(route, query)
+        # header → param exactly once, only on language-resolving
+        # routes (an explicit query param wins, matching the
+        # reference's request factory precedence)
+        if (
+            route in _LANG_ROUTES
+            and "accept_language" not in params
+            and self.headers.get("Accept-Language")
+        ):
+            params["accept_language"] = self.headers["Accept-Language"]
+        if route in ("/api", "/search"):
+            return 200, self.api.api(params), "application/json"
+        if route == "/structured":
+            return 200, self.api.structured(params), "application/json"
+        if route == "/reverse":
+            return 200, self.api.reverse(params), "application/json"
+        if route == "/status":
+            return 200, self.api.status(), "application/json"
+        if route == "/metrics":
+            if not self.enable_metrics:
+                raise NotFound("metrics disabled")
+            return 200, self.api.metrics(), "text/plain"
+        if route == "/nominatim-update":
+            if self.update_api is None:
+                raise NotFound("updates not configured")
+            return 200, {"message": self.update_api.trigger()}, "application/json"
+        if route == "/nominatim-update/status":
+            if self.update_api is None:
+                raise NotFound("updates not configured")
+            return 200, self.update_api.update_status(), "text/plain"
+        raise NotFound(f"no route {route!r}")
+
     def do_GET(self) -> None:  # noqa: N802 (stdlib naming)
         url = urlparse(self.path)
         route = url.path.rstrip("/") or "/"
-        params = _params(route, url.query)
-        # header → param exactly once (an explicit query param wins,
-        # matching the reference's request factory precedence)
-        if "accept_language" not in params and self.headers.get("Accept-Language"):
-            params["accept_language"] = self.headers["Accept-Language"]
         try:
-            if route in ("/api", "/search"):
-                self._send(200, self.api.api(params))
-            elif route == "/structured":
-                self._send(200, self.api.structured(params))
-            elif route == "/reverse":
-                self._send(200, self.api.reverse(params))
-            elif route == "/status":
-                self._send(200, self.api.status())
-            elif route == "/metrics":
-                if not self.enable_metrics:
-                    raise NotFound("metrics disabled")
-                self._send(200, self.api.metrics(), content_type="text/plain")
-            elif route == "/nominatim-update":
-                if self.update_api is None:
-                    raise NotFound("updates not configured")
-                self._send(200, {"message": self.update_api.trigger()})
-            elif route == "/nominatim-update/status":
-                if self.update_api is None:
-                    raise NotFound("updates not configured")
-                self._send(200, self.update_api.update_status(), "text/plain")
-            else:
-                raise NotFound(f"no route {url.path!r}")
+            code, body, ctype = self._dispatch(route, url.query)
         except BadRequest as e:
-            self._send(400, {"message": str(e)})
+            code, body, ctype = 400, {"message": str(e)}, "application/json"
         except NotFound as e:
-            self._send(404, {"message": str(e)})
+            code, body, ctype = 404, {"message": str(e)}, "application/json"
         except QueryTimeout as e:
-            self._send(504, {"message": str(e)})
+            code, body, ctype = 504, {"message": str(e)}, "application/json"
         except Exception as e:  # engine failure → 500, message logged
-            self._send(500, {"message": f"internal error: {e}"})
+            code, body, ctype = 500, {"message": f"internal error: {e}"}, "application/json"
+        try:
+            self._send(code, body, content_type=ctype)
+        except OSError:
+            # client went away mid-response — nothing to send to
+            self.close_connection = True
 
 
 def _drop_box_reader(spark, updates_dir: str):
@@ -144,7 +170,18 @@ def _drop_box_reader(spark, updates_dir: str):
     import shutil
     import time as _t
 
+    # producers MUST write-temp-then-rename into the box (any suffix
+    # but .parquet while in flight): the reader lists *.parquet and a
+    # half-written footer would abort the cycle (the failure is
+    # recorded in UpdateAPI.last_result and the file stays pending)
+    prev: list = []
+
     def _read():
+        # the previous cycle's batch is safe to release now — its
+        # apply completed (or failed and left no reader); at most ONE
+        # batch stays cached between cycles
+        while prev:
+            prev.pop().unpersist()
         files = [
             f for f in sorted(os.listdir(updates_dir))
             if f.endswith(".parquet")
@@ -160,6 +197,7 @@ def _drop_box_reader(spark, updates_dir: str):
         os.makedirs(done, exist_ok=True)
         for f in files:
             shutil.move(os.path.join(updates_dir, f), os.path.join(done, f))
+        prev.append(batch)
         return batch
 
     return _read

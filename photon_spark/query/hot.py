@@ -204,6 +204,15 @@ class HotIndex(OracleIndex):
         self._arr_memo: dict[tuple[str, str], tuple | None] = {}
         self._post_memo: dict[tuple[str, str], dict[int, int]] = {}
         self._fuzzy_cache: dict[tuple, tuple[str, ...]] = {}
+        # jobs/serve.py mounts a HotIndex on a THREADED http server:
+        # the memo-cap eviction (prefetch's clear()) could race
+        # another request between populate and read, so the posting
+        # memo is guarded. Reads dominate and hold the lock only for
+        # dict ops; the pyarrow I/O inside prefetch serializes too —
+        # acceptable at the ~ms read scale (correctness first).
+        import threading as _threading
+
+        self._memo_lock = _threading.RLock()
         # lazy pyarrow datasets (one file-listing each)
         self._post_ds = pads.dataset(
             os.path.join(index_dir, "postings"), partitioning="hive"
@@ -260,6 +269,10 @@ class HotIndex(OracleIndex):
         walk."""
         import numpy as np
 
+        with self._memo_lock:
+            return self._prefetch_locked(field, terms, np)
+
+    def _prefetch_locked(self, field: str, terms: list[str], np) -> None:
         missing = sorted(
             {t for t in terms if (field, t) not in self._arr_memo}
         )
@@ -299,9 +312,10 @@ class HotIndex(OracleIndex):
     def _postings_arrays(self, field: str, term: str):
         """(docs int64, tfs float64) arrays or None — memo-first."""
         key = (field, term)
-        if key not in self._arr_memo:
-            self.prefetch(field, [term])
-        return self._arr_memo[key]
+        with self._memo_lock:
+            if key not in self._arr_memo:
+                self.prefetch(field, [term])
+            return self._arr_memo[key]
 
     def _plan_prefetch(self, plan) -> None:
         """Batch every (field, term) the plan + its filter context

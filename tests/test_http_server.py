@@ -158,3 +158,42 @@ def test_nominatim_update_roundtrip(spark, corpus, tmp_path):
         assert not [f for f in os.listdir(box) if f.endswith(".parquet")]
     finally:
         srv.shutdown()
+
+
+def test_duplicate_scalar_param_is_400(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(f"{server}/api?q=a&q=b")
+    assert e.value.code == 400
+    assert "more than once" in json.loads(e.value.read().decode())["message"]
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(f"{server}/reverse?repo=a&repo=b&path=x")
+    assert e.value.code == 400
+
+
+def test_structured_with_browser_headers(server):
+    """Browsers always send Accept-Language; /structured must not 400
+    on it (the header only feeds language-resolving routes)."""
+    code, _, body = _get(
+        f"{server}/structured?name=return&limit=3",
+        headers={"Accept-Language": "de,en;q=0.5"},
+    )
+    assert code == 200
+    assert json.loads(body)["type"] == "FeatureCollection"
+
+
+def test_concurrent_hot_requests(server):
+    """The threaded server over one HotIndex: concurrent queries all
+    answer 200 (the posting-memo lock; a memo-cap eviction racing a
+    read would 500)."""
+    import concurrent.futures
+
+    qs = ["return license", "selfindex", "blockvalue", "handler map",
+          "tracecommit", "metric test"]
+
+    def _hit(i):
+        code, _, _ = _get(f"{server}/api?q={qs[i % len(qs)].replace(' ', '+')}&limit=5")
+        return code
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+        codes = list(ex.map(_hit, range(48)))
+    assert codes == [200] * 48
