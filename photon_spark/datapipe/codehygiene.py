@@ -1,0 +1,179 @@
+"""Code-corpus hygiene operators: secrets redaction, license
+detection/propagation, and comment-stripped (normalized) dedupe.
+
+These are the remaining Stack/StarCoder-recipe curation stages the
+datapipe lacked (Kocetkov '22 "The Stack" runs detect-secrets-style
+redaction and repo-level permissive-license filtering before
+training; The Stack v2 near-dedups on comment-stripped content).
+Like ``pii.py``, every regex is restricted to the Java-regex /
+RE2-common subset — char classes, bounded repetition, ``\\b``,
+``(?s)`` + non-greedy, no backrefs or lookaround — so the DuckDB
+oracle reproduces each stage byte-for-byte. ``\\s`` is avoided
+entirely (Java includes U+000B, RE2 does not); whitespace is always
+the explicit class ``[ \\t\\n\\x0B\\f\\r]``.
+
+Scale notes (100 TB):
+
+- ``secrets_scan`` / ``license_signals`` / ``normalize_text`` are
+  narrow codegen'd projections — zero shuffle, filters push down.
+- ``repo_license`` is one (source, license) count agg + a modal
+  reduction + a broadcast-sized join back: the mode table has at
+  most one row per repo and is tiny relative to the corpus, and the
+  (source, guess) pre-agg is map-combinable so a mega-repo never
+  concentrates rows on one task.
+- ``normalized_dedup`` is ``exact_dedup`` over the normalized text's
+  sha256 — one hash agg; text itself never shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ordered (name, pattern, replacement) stages, chained like PII_STAGES
+SECRET_STAGES: list[tuple[str, str, str]] = [
+    # AWS access key id shape (detect-secrets AWSKeyDetector)
+    ("aws_key", r"\bAKIA[0-9A-Z]{16}\b", "<SECRET:aws>"),
+    # GitHub fine/classic tokens: ghp_/gho_/ghu_/ghs_/ghr_ + 36 b62
+    ("github_token", r"\bgh[pousr]_[A-Za-z0-9]{36}\b", "<SECRET:github>"),
+    # Slack bot/app/user tokens
+    ("slack_token", r"\bxox[baprs]-[0-9A-Za-z-]{10,48}\b", "<SECRET:slack>"),
+    # PEM private-key header (the whole block is useless once the
+    # header is gone; redacting the marker is the Stack's behavior)
+    ("private_key", r"-----BEGIN [A-Z ]{0,24}PRIVATE KEY-----", "<SECRET:pem>"),
+]
+
+# lowercase license-body phrases (first match wins, in this order)
+LICENSE_PHRASES: list[tuple[str, str]] = [
+    ("mit", "permission is hereby granted, free of charge"),
+    ("apache-2.0", "licensed under the apache license"),
+    ("gpl-3.0", "gnu general public license"),
+    ("bsd-3-clause", "redistribution and use in source and binary forms"),
+]
+
+PERMISSIVE_LICENSES = [
+    "mit", "apache-2.0", "bsd-2-clause", "bsd-3-clause", "isc",
+    "unlicense", "cc0-1.0",
+]
+
+_SPDX_PAT = r"SPDX-License-Identifier:[ \t]*([0-9A-Za-z.+-]+)"
+
+# comment syntax stripped by normalize_text, in order: block, //, #
+COMMENT_PATTERNS: list[str] = [r"(?s)/\*.*?\*/", r"//[^\n]*", r"#[^\n]*"]
+
+# explicit Java/RE2-identical whitespace class (never \s — Java
+# includes U+000B where RE2 does not)
+_WS = r"[ \t\n\x0B\f\r]+"
+
+
+def secrets_scan(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc secret redaction: (id, n_<kind>..., redacted) where
+    each count is the matches found at that stage (on the previous
+    stage's output) and ``redacted`` is the text after all stages."""
+    cols = [F.col(id_col)]
+    cur = F.col(text_col)
+    for name, pat, repl in SECRET_STAGES:
+        cols.append(
+            F.regexp_count(cur, F.lit(pat)).cast("long").alias(f"n_{name}")
+        )
+        cur = F.regexp_replace(cur, pat, repl)
+    cols.append(cur.alias("redacted"))
+    return df.select(*cols)
+
+
+def _license_guess_col(text_col: str = "text") -> Column:
+    spdx = F.regexp_extract(F.col(text_col), _SPDX_PAT, 1)
+    guess = F.when(spdx != "", F.lower(spdx))
+    low = F.lower(F.col(text_col))
+    for lic, phrase in LICENSE_PHRASES:
+        guess = guess.when(low.contains(phrase), F.lit(lic))
+    return guess.otherwise(F.lit("unknown"))
+
+
+def license_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    repo_col: str = "source",
+) -> DataFrame:
+    """Per-doc license detection: SPDX tag (authoritative) else body
+    phrases; ``permissive`` is The Stack's keep-verdict."""
+    guess = _license_guess_col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.col(repo_col),
+        F.regexp_extract(F.col(text_col), _SPDX_PAT, 1).alias("spdx"),
+        guess.alias("license_guess"),
+        guess.isin(PERMISSIVE_LICENSES).alias("permissive"),
+    )
+
+
+def repo_license(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    repo_col: str = "source",
+) -> DataFrame:
+    """Repo-level license propagation (The Stack detects the repo
+    license once and applies it to every file): each repo's modal
+    detected license (ties → lexicographically smallest) becomes the
+    ``effective_license`` of its undetected docs; detected docs keep
+    their own. Repos with no detected doc stay ``unknown``.
+
+    Shape: map-combinable (repo, license) count agg → per-repo modal
+    reduce (min of (-n, license) struct — no window) → broadcast
+    join back onto the doc-level signals.
+    """
+    sig = license_signals(df, id_col, text_col, repo_col)
+    mode = (
+        sig.filter(F.col("license_guess") != "unknown")
+        .groupBy(repo_col, "license_guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy(repo_col)
+        .agg(
+            F.min(F.struct((-F.col("n")).alias("neg_n"), "license_guess"))
+            .getField("license_guess")
+            .alias("repo_mode")
+        )
+    )
+    return (
+        sig.join(F.broadcast(mode), repo_col, "left")
+        .select(
+            F.col(id_col),
+            F.col(repo_col),
+            F.col("license_guess"),
+            F.when(F.col("license_guess") != "unknown", F.col("license_guess"))
+            .otherwise(F.coalesce(F.col("repo_mode"), F.lit("unknown")))
+            .alias("effective_license"),
+            F.coalesce(F.col("repo_mode"), F.lit("unknown"))
+            .isin(PERMISSIVE_LICENSES)
+            .alias("repo_permissive"),
+        )
+    )
+
+
+def normalize_text(text_col: str = "text") -> Column:
+    """Comment-stripped, whitespace-collapsed text (The Stack v2's
+    near-dedup normalization): block then line then hash comments
+    removed, all whitespace runs → one space, ends trimmed."""
+    cur = F.col(text_col)
+    for pat in COMMENT_PATTERNS:
+        cur = F.regexp_replace(cur, pat, "")
+    return F.trim(F.regexp_replace(cur, _WS, " "))
+
+
+def normalized_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedupe over the NORMALIZED content sha256 — catches
+    comment/whitespace-only variants exact_dedup misses. Same output
+    shape as ``exact_dedup``: one row per class with the kept id."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.sha2(normalize_text(text_col), 256).alias("norm_sha256"),
+        )
+        .groupBy("norm_sha256")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )

@@ -75,6 +75,12 @@ FUZZ_ENTRIES = [
     "hashed_tfidf",
     "sparse_cosine_pairs",
     "incremental_dedup",
+    # code-hygiene family: regex redaction, license CASE chains, and
+    # the comment-strip normalization are all convention-sensitive
+    "secrets_scan",
+    "license_signals",
+    "repo_license",
+    "normalized_dedup",
 ]
 
 _TOKENS = st.sampled_from(
