@@ -21,6 +21,7 @@ DEFAULT_LIMIT = 15  # query/RequestBase.java:13
 _SEARCH_PARAMS = {
     "q", "limit", "lang", "repo", "include", "exclude", "k", "osm_tag",
     "layer", "suggest_addresses", "dedupe", "accept_language", "debug",
+    "geometry",
     # location bias + bounding box (SearchRequestFactoryBase.java:15:
     # lat/lon/location_bias_scale/zoom/bbox — the point is a tree
     # coordinate here, split over bias_repo/bias_path)
@@ -37,7 +38,9 @@ def _bool_param(params: dict, name: str, default: bool) -> bool:
     if str(raw) in ("1", "true", "True"):
         return True
     raise BadRequest(f"invalid boolean for {name!r}: {raw!r}")
-_STRUCTURED_PARAMS = {"repo", "directory", "name", "ext", "lang", "limit"}
+_STRUCTURED_PARAMS = {
+    "repo", "directory", "name", "ext", "lang", "limit", "geometry",
+}
 
 
 class NotFound(ValueError):
@@ -169,6 +172,9 @@ def validate_search(params: dict, max_results: int = MAX_RESULTS) -> dict:
         "dedupe": _bool_param(params, "dedupe", True),
         "bias": bias,
         "bbox": bbox,
+        # returnGeometry (RequestFactoryBase.java:70, default false):
+        # emit the stored full coordinate instead of the Point centroid
+        "geometry": _bool_param(params, "geometry", False),
     }
 
 
@@ -190,11 +196,33 @@ def validate_structured(
     return sq, _limit(params, max_results)
 
 
-def format_results(hits: list[dict]) -> dict[str, Any]:
+def format_results(
+    hits: list[dict], with_geometry: bool = False
+) -> dict[str, Any]:
     """FeatureCollection-shaped response (GeocodeJSON graft: the
-    geometry becomes the file coordinate — repo/path/commit)."""
+    geometry becomes the file coordinate — repo/path/commit).
+
+    Every feature carries a ``geometry`` member like the reference
+    (GeoJsonFormatter.java:97-104): the Point centroid — here the
+    tree coordinate ``[repo, path]`` — unless ``with_geometry`` is
+    set AND the hit has the stored full coordinate (commit), in which
+    case the full ``FileSpan`` (repo/path/commit + chunk span) is
+    emitted, falling back to the Point exactly as the reference falls
+    back when the stored geometry is null."""
     features = []
     for h in hits:
+        if with_geometry and h.get("commit") is not None:
+            geometry: dict[str, Any] = {
+                "type": "FileSpan",
+                "coordinates": [h.get("repo"), h.get("path")],
+                "commit": h.get("commit"),
+                "chunk": h.get("chunk"),
+            }
+        else:
+            geometry = {
+                "type": "Point",
+                "coordinates": [h.get("repo"), h.get("path")],
+            }
         props_opt = {}
         # country-property analog: the lang display name (S5 side
         # input). Emitted only when present — GeoJsonFormatter omits
@@ -205,6 +233,7 @@ def format_results(hits: list[dict]) -> dict[str, Any]:
         features.append(
             {
                 "type": "Feature",
+                "geometry": geometry,
                 "properties": {
                     **props_opt,
                     "doc_id": h.get("doc_id"),
@@ -417,7 +446,7 @@ class SearchAPI:
                 layers=v["layers"], suggest=v["suggest"], dedupe=v["dedupe"],
                 bias=v["bias"], bbox=v["bbox"],
             )
-            out = format_results(hits)
+            out = format_results(hits, with_geometry=v["geometry"])
             out["lang"] = resolve_language(
                 params, default_language=self.default_language
             )
@@ -445,7 +474,10 @@ class SearchAPI:
 
         def _run():
             sq, k = validate_structured(params, self.max_results)
-            return format_results(self.backend.structured_search(sq, k=k))
+            return format_results(
+                self.backend.structured_search(sq, k=k),
+                with_geometry=_bool_param(params, "geometry", False),
+            )
 
         return self._timed("structured", _run)
 
@@ -463,7 +495,7 @@ class SearchAPI:
             unknown = set(params) - {
                 "repo", "path", "limit", "radius", "query_string_filter",
                 "osm_tag", "layer", "include", "exclude", "distance_sort",
-                "accept_language",
+                "accept_language", "geometry",
             }
             if unknown:
                 raise BadRequest(f"unknown parameters: {sorted(unknown)}")
@@ -502,7 +534,9 @@ class SearchAPI:
                 exclude=list(params.get("exclude") or []) or None,
                 distance_sort=_bool_param(params, "distance_sort", True),
             )
-            out = format_results(hits)
+            out = format_results(
+                hits, with_geometry=_bool_param(params, "geometry", False)
+            )
             for f, h in zip(out["features"], hits):
                 f["properties"]["distance"] = h["distance"]
             # language selection applies to /reverse too

@@ -251,7 +251,7 @@ def _batch_candidates(
         joined.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= ext_limit)
         .select(
-            "qid", "doc", "doc_id", "repo", "path", "lang", "importance",
+            "qid", "doc", "doc_id", "repo", "path", "commit", "lang", "importance",
             "chunk", "type", "extra", "categories", "os_score",
         )
         .collect()

@@ -807,7 +807,7 @@ class Index:
             joined = joined.join(self._cat_all(grp), "ord", "left_anti")
         rows = (
             joined.select(
-                "doc", "doc_id", "repo", "path", "lang", "importance",
+                "doc", "doc_id", "repo", "path", "commit", "lang", "importance",
                 "chunk", "type", "extra", "categories", "os_score",
             )
             .orderBy(F.desc("os_score"), F.asc("doc"))

@@ -164,7 +164,7 @@ def reverse_candidates(
         .orderBy(*order)
         .limit(k)
         .select(
-            "doc", "doc_id", "repo", "path", "lang", "importance",
+            "doc", "doc_id", "repo", "path", "commit", "lang", "importance",
             "chunk", "type", "extra", "categories", "distance",
         )
     )

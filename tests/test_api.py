@@ -48,6 +48,58 @@ def test_format_empty():
     assert format_results([]) == {"type": "FeatureCollection", "features": []}
 
 
+def test_geometry_member_always_present():
+    """Every feature carries a geometry member like the reference
+    (GeoJsonFormatter.java:97-105): Point centroid by default."""
+    hit = {"doc_id": 1, "repo": "r", "path": "a/b.py", "commit": "c0ffee",
+           "lang": "python", "score": 1.0, "chunk": 2}
+    f = format_results([hit])["features"][0]
+    assert f["geometry"] == {"type": "Point", "coordinates": ["r", "a/b.py"]}
+
+
+def test_geometry_param_emits_full_geometry():
+    """geometry=1 (RequestFactoryBase.java:70 setReturnGeometry):
+    the stored full coordinate is emitted when present; falls back to
+    the Point when the stored geometry is null, exactly like
+    GeoJsonFormatter.java:98 (withGeometry && geometry != null)."""
+    full = {"doc_id": 1, "repo": "r", "path": "a/b.py", "commit": "c0ffee",
+            "lang": "python", "score": 1.0, "chunk": 2}
+    bare = {**full, "doc_id": 2, "commit": None}
+    feats = format_results([full, bare], with_geometry=True)["features"]
+    assert feats[0]["geometry"] == {
+        "type": "FileSpan", "coordinates": ["r", "a/b.py"],
+        "commit": "c0ffee", "chunk": 2,
+    }
+    assert feats[1]["geometry"]["type"] == "Point"
+
+
+def test_geometry_end_to_end(api):
+    out = api.api({"q": "MainStreet", "limit": 3, "geometry": "1"})
+    assert out["features"], "corpus should match"
+    for f in out["features"]:
+        assert f["geometry"]["type"] == "FileSpan"
+        assert f["geometry"]["commit"]
+    # default: Point, and geometry validates as a boolean
+    out = api.api({"q": "MainStreet", "limit": 3})
+    assert all(f["geometry"]["type"] == "Point" for f in out["features"])
+    with pytest.raises(BadRequest, match="invalid boolean"):
+        api.api({"q": "MainStreet", "geometry": "maybe"})
+
+
+def test_geometry_reverse_and_structured(api):
+    ref = api.api({"q": "MainStreet", "limit": 1})["features"][0]["properties"]
+    out = api.reverse({"repo": ref["repo"], "path": ref["path"],
+                       "radius": "3", "geometry": "1"})
+    assert out["features"] and all(
+        f["geometry"]["type"] == "FileSpan" for f in out["features"]
+    )
+    out = api.structured({"name": "importer", "ext": "py", "limit": 3,
+                          "geometry": "1"})
+    assert out["features"] and all(
+        f["geometry"]["type"] == "FileSpan" for f in out["features"]
+    )
+
+
 def test_debug_dump(spark, index_dir):
     from photon_spark.api import SearchAPI
     from photon_spark.query.executor import Index
