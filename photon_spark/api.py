@@ -30,14 +30,13 @@ _SEARCH_PARAMS = {
 
 
 def _bool_param(params: dict, name: str, default: bool) -> bool:
+    # App.java:376-383 Boolean validator: "1"/"yes"/"true"
+    # (case-insensitive) parse true, any OTHER present value silently
+    # coerces to false — the reference never 400s on a boolean param.
     raw = params.get(name, default)
     if isinstance(raw, bool):
         return raw
-    if str(raw) in ("0", "false", "False"):
-        return False
-    if str(raw) in ("1", "true", "True"):
-        return True
-    raise BadRequest(f"invalid boolean for {name!r}: {raw!r}")
+    return str(raw).lower() in ("1", "yes", "true")
 _STRUCTURED_PARAMS = {
     "repo", "directory", "name", "ext", "lang", "limit", "geometry",
 }

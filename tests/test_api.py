@@ -79,11 +79,15 @@ def test_geometry_end_to_end(api):
     for f in out["features"]:
         assert f["geometry"]["type"] == "FileSpan"
         assert f["geometry"]["commit"]
-    # default: Point, and geometry validates as a boolean
+    # default: Point; boolean coercion follows App.java:376-383 —
+    # "yes"/"TRUE" parse true, any other present value is silently
+    # false (the reference never 400s on a boolean param)
     out = api.api({"q": "MainStreet", "limit": 3})
     assert all(f["geometry"]["type"] == "Point" for f in out["features"])
-    with pytest.raises(BadRequest, match="invalid boolean"):
-        api.api({"q": "MainStreet", "geometry": "maybe"})
+    out = api.api({"q": "MainStreet", "limit": 1, "geometry": "YES"})
+    assert out["features"][0]["geometry"]["type"] == "FileSpan"
+    out = api.api({"q": "MainStreet", "limit": 1, "geometry": "maybe"})
+    assert out["features"][0]["geometry"]["type"] == "Point"
 
 
 def test_geometry_reverse_and_structured(api):
