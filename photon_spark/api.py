@@ -136,6 +136,10 @@ def validate_search(params: dict, max_results: int = MAX_RESULTS) -> dict:
         zoom = int(zoom_raw) if zoom_raw is not None else None
         scale_raw = params.get("location_bias_scale")
         scale = float(scale_raw) if scale_raw is not None else None
+        # App.java:384-393 Double validator: NaN parses numerically
+        # but is rejected with 400 (explicit isNaN check)
+        if scale is not None and scale != scale:
+            raise ValueError("NaN")
     except (TypeError, ValueError):
         raise BadRequest("invalid zoom / location_bias_scale")
     bias = None

@@ -235,6 +235,10 @@ def test_api_bias_param_validation():
         validate_search({"q": "x", "zoom": "abc"})
     with pytest.raises(BadRequest):
         validate_search({"q": "x", "location_bias_scale": "huge"})
+    # NaN parses as a float but the reference's Double validator
+    # rejects it explicitly (App.java:384-393 isNaN → 400)
+    with pytest.raises(BadRequest):
+        validate_search({"q": "x", "location_bias_scale": "NaN"})
     # no point → zoom/scale alone do not create a bias
     assert validate_search({"q": "x", "zoom": "10"})["bias"] is None
 
