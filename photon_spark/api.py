@@ -384,6 +384,16 @@ class SearchAPI:
         if self.reverse_only:
             raise NotFound(f"{endpoint} disabled in reverse-only mode")
 
+    def _check_geometry(self, requested: bool) -> bool:
+        """RequestFactoryBase.java:70-73: geometry output is 400-
+        rejected when the import did not store geometries
+        (DatabaseProperties.supportGeometries)."""
+        if requested and not getattr(self.backend, "support_geometries", True):
+            raise BadRequest(
+                "Geometry output requested but not available in database."
+            )
+        return requested
+
     def _timed(self, endpoint: str, fn):
         import time as _time
 
@@ -443,13 +453,14 @@ class SearchAPI:
 
         def _run():
             v = validate_search(params, self.max_results)
+            with_geom = self._check_geometry(v["geometry"])
             hits = self.backend.search(
                 v["q"], k=v["k"], filters=v["filters"],
                 include=v["include"], exclude=v["exclude"], osm_tag=v["osm_tag"],
                 layers=v["layers"], suggest=v["suggest"], dedupe=v["dedupe"],
                 bias=v["bias"], bbox=v["bbox"],
             )
-            out = format_results(hits, with_geometry=v["geometry"])
+            out = format_results(hits, with_geometry=with_geom)
             out["lang"] = resolve_language(
                 params, default_language=self.default_language
             )
@@ -477,9 +488,12 @@ class SearchAPI:
 
         def _run():
             sq, k = validate_structured(params, self.max_results)
+            with_geom = self._check_geometry(
+                _bool_param(params, "geometry", False)
+            )
             return format_results(
                 self.backend.structured_search(sq, k=k),
-                with_geometry=_bool_param(params, "geometry", False),
+                with_geometry=with_geom,
             )
 
         return self._timed("structured", _run)
@@ -514,6 +528,9 @@ class SearchAPI:
                 raise BadRequest("radius must be >= 1")
             _validate_categories(list(params.get("include") or []), "include")
             _validate_categories(list(params.get("exclude") or []), "exclude")
+            with_geom = self._check_geometry(
+                _bool_param(params, "geometry", False)
+            )
             layers = list(params.get("layer") or [])
             if layers:
                 from photon_spark.analysis.analyzers import LAYERS
@@ -537,9 +554,7 @@ class SearchAPI:
                 exclude=list(params.get("exclude") or []) or None,
                 distance_sort=_bool_param(params, "distance_sort", True),
             )
-            out = format_results(
-                hits, with_geometry=_bool_param(params, "geometry", False)
-            )
+            out = format_results(hits, with_geometry=with_geom)
             for f, h in zip(out["features"], hits):
                 f["properties"]["distance"] = h["distance"]
             # language selection applies to /reverse too

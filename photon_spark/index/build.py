@@ -608,6 +608,7 @@ def build_index(
     extra_tags: str | list[str] | None = None,
     lang_names: dict[str, str] | None = None,
     languages: list[str] | None = None,
+    import_geometry: bool = True,
 ) -> dict:
     """Run the full index build; returns build metrics.
 
@@ -776,6 +777,12 @@ def build_index(
         if languages
         else None,
         "import_date": _dt.datetime.now(_dt.timezone.utc).isoformat(),
+        # ImportFilterConfig.java:68: supportGeometries is an
+        # import-time config flag persisted in DatabaseProperties;
+        # geometry output is 400-rejected at request time without it.
+        # (The commit column itself is always stored — it is also the
+        # dedupe/identity key — only the OUTPUT surface is gated.)
+        "support_geometries": bool(import_geometry),
         "stage_seconds": stage_s,
         "build_seconds": elapsed,
         "files_per_sec": n_input / elapsed if elapsed > 0 else None,

@@ -104,6 +104,7 @@ def build_index_resumable(
     extra_tags: str | list[str] | None = None,
     lang_names: dict[str, str] | None = None,
     languages: list[str] | None = None,
+    import_geometry: bool = True,
 ) -> dict:
     """Checkpointed build; safe to re-invoke after any crash.
 
@@ -348,6 +349,9 @@ def build_index_resumable(
         if languages
         else None,
         "import_date": _dt.datetime.now(_dt.timezone.utc).isoformat(),
+        # import-time geometry flag (ImportFilterConfig.java:68);
+        # gates the geometry output surface at request time
+        "support_geometries": bool(import_geometry),
         "build_seconds": elapsed,
         "files_per_sec": n_input / elapsed if elapsed > 0 else None,
         "next_ord": n_docs,

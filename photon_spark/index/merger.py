@@ -290,6 +290,12 @@ def merge_indexes(
             "import_date": _dt.datetime.now(_dt.timezone.utc).isoformat(),
             "merged_from": [os.path.abspath(d) for d in index_dirs],
             "stage_seconds": stage_s,
+            # geometry output stays available only when EVERY input
+            # was imported with it (DatabaseProperties flag; absent in
+            # pre-flag metas → True)
+            "support_geometries": all(
+                m.get("support_geometries", True) for m in metas
+            ),
         }
     )
     # meta.json is written LAST — its presence marks a complete index

@@ -54,6 +54,12 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="non-searchable payload columns: 'ALL' or comma list (O9)",
     )
+    p.add_argument(
+        "--no-geometry",
+        action="store_true",
+        help="do not offer geometry output (-import-geometry-column "
+             "off: geometry=1 requests 400 against this index)",
+    )
     args = p.parse_args(argv)
 
     from photon_spark.index.checkpoint import build_index_resumable
@@ -74,6 +80,7 @@ def main(argv: list[str] | None = None) -> int:
         deletions=not args.no_deletions,
         chunk_lines=args.chunk_lines,
         extra_tags=extra,
+        import_geometry=not args.no_geometry,
     )
     print(json.dumps(meta))
     return 0

@@ -969,4 +969,13 @@ class Index:
             # index-global properties, DatabaseProperties.java)
             "import_date": self.meta.get("import_date"),
             "languages": self.meta.get("languages"),
+            "support_geometries": self.support_geometries,
         }
+
+    @property
+    def support_geometries(self) -> bool:
+        """DatabaseProperties.getSupportGeometries analog
+        (ImportFilterConfig.java:68): import-time flag gating geometry
+        output. Absent in pre-flag meta.json files → True (those
+        builds always stored the full coordinate)."""
+        return bool(self.meta.get("support_geometries", True))

@@ -90,6 +90,28 @@ def test_geometry_end_to_end(api):
     assert out["features"][0]["geometry"]["type"] == "Point"
 
 
+def test_geometry_unsupported_database(spark, corpus, tmp_path_factory):
+    """RequestFactoryBase.java:70-73: geometry=1 is 400-rejected when
+    the import did not store geometries (the -no-geometry build flag,
+    ImportFilterConfig.java:68 importGeometryColumn)."""
+    from photon_spark.index.build import build_index
+
+    d = str(tmp_path_factory.mktemp("nogeo"))
+    build_index(
+        spark, spark.createDataFrame(corpus[:60]), d, import_geometry=False
+    )
+    api = SearchAPI(Index(spark, d))
+    assert api.status()["support_geometries"] is False
+    with pytest.raises(BadRequest, match="not available in database"):
+        api.api({"q": "MainStreet", "geometry": "1"})
+    with pytest.raises(BadRequest, match="not available in database"):
+        api.reverse({"repo": "org0/proj0", "path": "x", "geometry": "true"})
+    # geometry omitted or false serves normally with the Point
+    out = api.api({"q": "config", "limit": 1})
+    if out["features"]:
+        assert out["features"][0]["geometry"]["type"] == "Point"
+
+
 def test_geometry_reverse_and_structured(api):
     ref = api.api({"q": "MainStreet", "limit": 1})["features"][0]["properties"]
     out = api.reverse({"repo": ref["repo"], "path": ref["path"],
