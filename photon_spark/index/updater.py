@@ -631,13 +631,25 @@ def merge_segments(spark: SparkSession, index_dir: str) -> dict:
 def compact(spark: SparkSession, index_dir: str, source: DataFrame) -> dict:
     """Full rebuild from the source of truth; clears delta segments
     and restores exact df counts. For a postings-only consolidation
-    that skips re-tokenization, use :func:`merge_segments`."""
+    that skips re-tokenization, use :func:`merge_segments`. Import-time
+    config recorded in the old meta (the support_geometries output
+    gate) is carried into the rebuild — compaction must not widen the
+    serving surface the operator configured at import."""
     from photon_spark.index.checkpoint import build_index_resumable
 
+    import_geometry = True
+    meta_path = os.path.join(index_dir, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            import_geometry = bool(
+                json.load(f).get("support_geometries", True)
+            )
     for sub in ("postings_delta", "dictionary_delta", "tombstones", "_state",
                 "postings", "dictionary", "docs", "docs_by_repo", "runs",
                 "lineage", "metrics"):
         p = os.path.join(index_dir, sub)
         if os.path.isdir(p):
             shutil.rmtree(p)
-    return build_index_resumable(spark, source, index_dir)
+    return build_index_resumable(
+        spark, source, index_dir, import_geometry=import_geometry
+    )

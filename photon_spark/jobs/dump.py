@@ -39,6 +39,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--description", default="")
     p.add_argument("--partitions", type=int, default=None)
     p.add_argument("--master", default=None)
+    p.add_argument(
+        "--no-geometry",
+        action="store_true",
+        help="import mode: do not offer geometry output "
+             "(-import-geometry-column off; geometry=1 requests 400)",
+    )
     args = p.parse_args(argv)
 
     from photon_spark.session import get_spark
@@ -62,6 +68,7 @@ def main(argv: list[str] | None = None) -> int:
             meta = build_index_resumable(
                 spark, src, args.output,
                 languages=langs, lang_names=lang_names or None,
+                import_geometry=not args.no_geometry,
             )
             print(json.dumps({"mode": "import", **{
                 k: meta.get(k)

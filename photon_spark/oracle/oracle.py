@@ -393,6 +393,7 @@ class OracleIndex:
                     "doc_id": meta["doc_id"],
                     "repo": meta["repo"],
                     "path": meta["path"],
+                    "commit": meta.get("commit"),
                     "lang": meta["lang"],
                     "importance": meta["importance"],
                     "chunk": meta["chunk"],
@@ -485,9 +486,9 @@ class OracleIndex:
                     **{
                         k2: d[k2]
                         for k2 in (
-                            "doc", "doc_id", "repo", "path", "lang",
-                            "importance", "chunk", "type", "extra",
-                            "categories",
+                            "doc", "doc_id", "repo", "path", "commit",
+                            "lang", "importance", "chunk", "type",
+                            "extra", "categories",
                         )
                     },
                     "distance": dist,

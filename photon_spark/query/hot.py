@@ -430,6 +430,7 @@ class HotIndex(OracleIndex):
                     "doc_id": meta["doc_id"],
                     "repo": meta["repo"],
                     "path": meta["path"],
+                    "commit": meta.get("commit"),
                     "lang": meta["lang"],
                     "importance": meta["importance"],
                     "chunk": meta["chunk"],
@@ -871,4 +872,11 @@ class HotIndex(OracleIndex):
             "segments": len(self.meta.get("segments", [])),
             "import_date": self.meta.get("import_date"),
             "languages": self.meta.get("languages"),
+            "support_geometries": self.support_geometries,
         }
+
+    @property
+    def support_geometries(self) -> bool:
+        """Import-time geometry flag (DatabaseProperties analog);
+        absent in pre-flag meta.json files → True."""
+        return bool(self.meta.get("support_geometries", True))

@@ -212,5 +212,12 @@ class ShardedHotIndex:
             "status": "Ok" if all(p["status"] == "Ok" for p in per) else "Degraded",
             "n_docs": self.n_docs,
             "n_shards": len(self.shards),
+            "support_geometries": self.support_geometries,
             "shards": per,
         }
+
+    @property
+    def support_geometries(self) -> bool:
+        """Geometry output needs EVERY shard's import to carry it
+        (same AND rule as merge_indexes)."""
+        return all(s.support_geometries for s in self.shards)

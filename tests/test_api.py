@@ -110,6 +110,22 @@ def test_geometry_unsupported_database(spark, corpus, tmp_path_factory):
     out = api.api({"q": "config", "limit": 1})
     if out["features"]:
         assert out["features"][0]["geometry"]["type"] == "Point"
+    # the gate holds on the hot plane (the default serving backend)
+    from photon_spark.query.hot import HotIndex
+
+    hot_api = SearchAPI(HotIndex(d))
+    assert hot_api.status()["support_geometries"] is False
+    with pytest.raises(BadRequest, match="not available in database"):
+        hot_api.api({"q": "MainStreet", "geometry": "1"})
+    # compaction preserves the import-time flag instead of silently
+    # re-widening the output surface
+    from photon_spark.index.updater import compact
+
+    compact(spark, d, spark.createDataFrame(corpus[:60]))
+    api2 = SearchAPI(Index(spark, d))
+    assert api2.status()["support_geometries"] is False
+    with pytest.raises(BadRequest, match="not available in database"):
+        api2.api({"q": "MainStreet", "geometry": "1"})
 
 
 def test_geometry_reverse_and_structured(api):

@@ -127,6 +127,22 @@ def test_hot_api_bind(hot):
     out = srv.api({"q": "bulk retry"})
     assert out["features"]
     assert srv.status()["status"] == "Ok"
+    # the geometry surface works identically on the hot plane: the
+    # default deployment (jobs/serve.py backend='hot') must emit the
+    # stored full coordinate, not silently fall back to the Point
+    assert srv.status()["support_geometries"] is True
+    out = srv.api({"q": "bulk retry", "limit": 2, "geometry": "1"})
+    for f in out["features"]:
+        assert f["geometry"]["type"] == "FileSpan"
+        assert f["geometry"]["commit"]
+    rev = srv.reverse(
+        {"repo": out["features"][0]["properties"]["repo"],
+         "path": out["features"][0]["properties"]["path"],
+         "radius": "3", "geometry": "1"}
+    )
+    assert rev["features"] and all(
+        f["geometry"]["type"] == "FileSpan" for f in rev["features"]
+    )
 
 
 def test_hot_latency_floor(hot):
