@@ -40,6 +40,14 @@ def test_api_route_serves_geocodejson(server):
     # /search alias serves the same surface
     code2, _, body2 = _get(f"{server}/search?q=return+license&limit=5")
     assert code2 == 200 and json.loads(body2)["features"] == out["features"]
+    # every feature carries a geometry member (Point by default;
+    # GeoJsonFormatter.java:97-105), and geometry=1 switches to the
+    # stored full coordinate over the wire
+    assert f0["geometry"]["type"] == "Point"
+    code3, _, body3 = _get(f"{server}/api?q=return+license&limit=2&geometry=1")
+    assert code3 == 200
+    for f in json.loads(body3)["features"]:
+        assert f["geometry"]["type"] == "FileSpan" and f["geometry"]["commit"]
 
 
 def test_validation_and_routing_errors(server):

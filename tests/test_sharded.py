@@ -133,3 +133,9 @@ def test_sharded_grounding_surfaces(sharded, oracle):
     st = sharded.status()
     assert st["status"] == "Ok" and st["n_shards"] == 3
     assert st["n_docs"] == sharded.n_docs
+    # geometry flag fans in as AND across shards (merge rule); all
+    # shards here were built with geometries, and hits carry commit
+    # so geometry=1 output works through the sharded plane too
+    assert st["support_geometries"] is True
+    hit = sharded.search("parse config value", k=1)[0]
+    assert hit.get("commit")
