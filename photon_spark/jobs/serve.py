@@ -217,20 +217,32 @@ def serve(
     cors_origins: list[str] | None = None,
     enable_metrics: bool = False,
     updates_dir: str | None = None,
+    synonym_file: str | None = None,
 ) -> ThreadingHTTPServer:
     """Build the server (bound, not yet serving) — callers run
-    ``serve_forever()``; tests drive it on port 0 in a thread."""
+    ``serve_forever()``; tests drive it on port 0 in a thread.
+
+    ``synonym_file``: JSON with ``search_synonyms`` /
+    ``classification_terms`` (the -synonym-file server option,
+    ApiServerConfig.java:64-67 / ConfigSynonyms.java) — loaded at
+    server start, applied at query time only."""
+    synonyms = None
+    if synonym_file is not None:
+        from photon_spark.query.synonyms import Synonyms
+
+        with open(synonym_file) as f:
+            synonyms = Synonyms(json.load(f))
     spark = None
     if backend == "hot":
         from photon_spark.query.hot import HotIndex
 
-        eng = HotIndex(index_dir)
+        eng = HotIndex(index_dir, synonyms=synonyms)
     else:
         from photon_spark.query.executor import Index
         from photon_spark.session import get_spark
 
         spark = get_spark(master=master, app_name="photon_spark_serve")
-        eng = Index(spark, index_dir)
+        eng = Index(spark, index_dir, synonyms=synonyms)
 
     metrics = None
     if enable_metrics:
@@ -290,6 +302,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--cors-origin", action="append", default=None)
     p.add_argument("--metrics", action="store_true")
     p.add_argument("--updates-dir", default=None, help="CDC drop-box dir; wires /nominatim-update")
+    p.add_argument(
+        "--synonym-file", default=None,
+        help="JSON file with search_synonyms / classification_terms "
+             "(-synonym-file; query-time only, no reindex)",
+    )
     args = p.parse_args(argv)
     srv = serve(
         args.index, args.port, args.backend, args.master,
@@ -300,6 +317,7 @@ def main(argv: list[str] | None = None) -> int:
         query_timeout_s=args.query_timeout,
         cors_any=args.cors_any, cors_origins=args.cors_origin,
         enable_metrics=args.metrics, updates_dir=args.updates_dir,
+        synonym_file=args.synonym_file,
     )
     print(json.dumps({"listening": srv.server_address[1], "index": args.index, "backend": args.backend}))
     try:

@@ -205,3 +205,32 @@ def test_concurrent_hot_requests(server):
     with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
         codes = list(ex.map(_hit, range(48)))
     assert codes == [200] * 48
+
+
+def test_synonym_file_option(index_dir, tmp_path):
+    """-synonym-file server option (ApiServerConfig.java:64-67):
+    JSON search_synonyms / classification_terms load at server start
+    and apply at query time — the synonym bridges a term the corpus
+    never contains, with no reindex."""
+    cfg = tmp_path / "syn.json"
+    cfg.write_text(json.dumps({
+        "search_synonyms": ["utils, helpers"],
+        "classification_terms": [
+            {"key": "code", "value": "python", "terms": ["pythonic"]}
+        ],
+    }))
+    srv = serve(index_dir, port=0, backend="hot", synonym_file=str(cfg))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        _, _, direct = _get(f"{base}/api?q=utils+value&limit=15")
+        _, _, via = _get(f"{base}/api?q=helpers+value&limit=15")
+        d = {f["properties"]["doc_id"] for f in json.loads(direct)["features"]}
+        v = {f["properties"]["doc_id"] for f in json.loads(via)["features"]}
+        assert d & v, "synonym did not bridge utils<->helpers over HTTP"
+        _, _, cls = _get(f"{base}/api?q=pythonic+parser&limit=10")
+        feats = json.loads(cls)["features"]
+        assert feats and all(f["properties"]["lang"] == "python" for f in feats)
+    finally:
+        srv.shutdown()
