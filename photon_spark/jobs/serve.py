@@ -218,6 +218,7 @@ def serve(
     enable_metrics: bool = False,
     updates_dir: str | None = None,
     synonym_file: str | None = None,
+    ip: str = "0.0.0.0",
 ) -> ThreadingHTTPServer:
     """Build the server (bound, not yet serving) — callers run
     ``serve_forever()``; tests drive it on port 0 in a thread.
@@ -284,13 +285,15 @@ def serve(
             "enable_metrics": enable_metrics,
         },
     )
-    return ThreadingHTTPServer(("0.0.0.0", port), handler)
+    return ThreadingHTTPServer((ip, port), handler)
 
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--index", required=True)
     p.add_argument("--port", type=int, default=2322)
+    p.add_argument("--ip", default="0.0.0.0",
+                   help="bind address (-listen-ip, ApiServerConfig.java:21)")
     p.add_argument("--backend", choices=("hot", "spark"), default="hot")
     p.add_argument("--master", default=None)
     p.add_argument("--reverse-only", action="store_true")
@@ -317,7 +320,7 @@ def main(argv: list[str] | None = None) -> int:
         query_timeout_s=args.query_timeout,
         cors_any=args.cors_any, cors_origins=args.cors_origin,
         enable_metrics=args.metrics, updates_dir=args.updates_dir,
-        synonym_file=args.synonym_file,
+        synonym_file=args.synonym_file, ip=args.ip,
     )
     print(json.dumps({"listening": srv.server_address[1], "index": args.index, "backend": args.backend}))
     try:
