@@ -1,0 +1,165 @@
+"""spark-submit job: offline index update from a CDC drop-box.
+
+The graft of photon's ``photon update`` / ``photon update-init``
+commands (reference: cli/CommandUpdate.java:8-24 — "apply the latest
+changes while the Photon database is offline"; CommandUpdateInit.java:
+10-22 — create the tracking table the update process later consumes).
+The tracking-table analog here is a parquet drop-box directory (the
+``photon_updates`` table of NominatimUpdater.java:301-330, with files
+as rows); producers drop ``*.parquet`` batches in UPDATES_DDL shape
+(op, repo, path, commit, lang, content, ts[, seq]).
+
+    # once, with write access to the box location (update-init):
+    python photon_spark/jobs/update.py init --updates-dir /path/box
+
+    # per synchronisation cycle, while serving is offline (update):
+    spark-submit --py-files photon_spark.zip photon_spark/jobs/update.py \\
+        run --index /path/idx --updates-dir /path/box
+
+``run`` drains everything pending through the exactly-once
+Structured-Streaming path (trigger availableNow, checkpoint under the
+box) and stops — photon's offline synchronisation cycle. Re-running
+after a crash resumes from the checkpoint without double-applying a
+batch. Online updates while serving stay on ``jobs/serve.py
+--updates-dir`` (the ``/nominatim-update`` endpoint), exactly like the
+reference's API-triggered update mode (CommandUpdate.java:22-24).
+
+Prints one JSON line of metrics (batches, n_added, n_removed,
+segments, merges) — the importer's finish-log analog.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+
+TRACKING_MARKER = "_tracking.json"
+
+
+def init_box(updates_dir: str, index_dir: str | None = None) -> dict:
+    """Create the drop-box (tracking-table analog). Idempotent — a
+    re-run against an initialised box refreshes nothing and keeps the
+    original created_ts (CommandUpdateInit re-runs are safe too)."""
+    marker = os.path.join(updates_dir, TRACKING_MARKER)
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return json.load(f)
+    os.makedirs(updates_dir, exist_ok=True)
+    os.makedirs(os.path.join(updates_dir, ".consumed"), exist_ok=True)
+    from photon_spark.index.updater import UPDATES_DDL
+
+    info = {
+        "schema": UPDATES_DDL,
+        "index_dir": index_dir,
+        "created_ts": int(time.time()),
+        "version": 1,
+    }
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(info, f)
+    os.replace(tmp, marker)
+    return info
+
+
+def run_update(
+    index_dir: str,
+    updates_dir: str,
+    checkpoint_dir: str | None = None,
+    master: str | None = None,
+    auto_merge: bool = True,
+    spark=None,
+) -> dict:
+    """One offline synchronisation cycle: drain every pending batch,
+    apply with newest-op-wins + delta segments + merge policy."""
+    marker = os.path.join(updates_dir, TRACKING_MARKER)
+    if not os.path.exists(marker):
+        raise SystemExit(
+            f"updates box {updates_dir} is not initialised — run "
+            f"'update.py init --updates-dir {updates_dir}' first "
+            "(the reference's update fails the same way without "
+            "'photon update-init')"
+        )
+    if not os.path.exists(os.path.join(index_dir, "meta.json")):
+        raise SystemExit(f"no index at {index_dir} (missing meta.json)")
+    if checkpoint_dir is None:
+        checkpoint_dir = os.path.join(updates_dir, ".checkpoint")
+
+    own_spark = spark is None
+    if own_spark:
+        from photon_spark.session import get_spark
+
+        spark = get_spark(master=master, app_name="photon_spark_update")
+    try:
+        from photon_spark.streaming.cdc import stream_updates
+
+        applied = stream_updates(
+            spark,
+            index_dir,
+            updates_dir,
+            checkpoint_dir,
+            available_now=True,
+            auto_merge=auto_merge,
+        )
+    finally:
+        if own_spark:
+            spark.stop()
+    return {
+        "batches": len(applied),
+        "n_added": sum(a.get("n_added", 0) for a in applied),
+        "n_removed": sum(a.get("n_removed", 0) for a in applied),
+        "segments": [a["segment"] for a in applied if "segment" in a],
+        "merged": any(a.get("merged") for a in applied),
+    }
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    sub = p.add_subparsers(dest="mode", required=True)
+
+    p_init = sub.add_parser(
+        "init", help="create the updates drop-box (photon update-init)"
+    )
+    p_init.add_argument("--updates-dir", required=True)
+    p_init.add_argument(
+        "--index", default=None,
+        help="optionally record the paired index in the marker",
+    )
+
+    p_run = sub.add_parser(
+        "run", help="apply all pending updates offline (photon update)"
+    )
+    p_run.add_argument("--index", required=True)
+    p_run.add_argument("--updates-dir", required=True)
+    p_run.add_argument(
+        "--checkpoint", default=None,
+        help="streaming checkpoint dir (default <updates-dir>/.checkpoint)",
+    )
+    p_run.add_argument("--master", default=None)
+    p_run.add_argument(
+        "--no-auto-merge", action="store_true",
+        help="skip the segment merge policy after applying",
+    )
+
+    args = p.parse_args(argv)
+    if args.mode == "init":
+        info = init_box(args.updates_dir, index_dir=args.index)
+        print(json.dumps({"initialised": args.updates_dir, **info}))
+        return 0
+    res = run_update(
+        args.index,
+        args.updates_dir,
+        checkpoint_dir=args.checkpoint,
+        master=args.master,
+        auto_merge=not args.no_auto_merge,
+    )
+    print(json.dumps(res))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -32,6 +32,7 @@ def stream_updates(
     *,
     available_now: bool = True,
     processing_time: str = "60 seconds",
+    auto_merge: bool = True,
 ):
     """Start the CDC stream. ``available_now=True`` drains everything
     pending and stops (the test / batch-catch-up mode);
@@ -41,7 +42,7 @@ def stream_updates(
     def process(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        res = apply_updates(spark, index_dir, batch_df)
+        res = apply_updates(spark, index_dir, batch_df, auto_merge=auto_merge)
         applied.append({"batch_id": batch_id, **res})
 
     stream = spark.readStream.schema(UPDATES_DDL).parquet(updates_dir)

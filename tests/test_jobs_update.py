@@ -1,0 +1,78 @@
+"""`photon update` / `photon update-init` CLI analog
+(photon_spark/jobs/update.py — reference cli/CommandUpdate.java,
+cli/CommandUpdateInit.java): box initialisation, the
+refuse-without-init guard, and the offline drain cycle."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from photon_spark.index.checkpoint import build_index_resumable
+from photon_spark.index.updater import UPDATES_DDL
+from photon_spark.jobs.update import TRACKING_MARKER, init_box, run_update
+from photon_spark.query.executor import Index
+
+
+def test_init_creates_marker_and_is_idempotent(tmp_path):
+    box = str(tmp_path / "box")
+    info = init_box(box, index_dir="/some/idx")
+    assert os.path.exists(os.path.join(box, TRACKING_MARKER))
+    assert os.path.isdir(os.path.join(box, ".consumed"))
+    assert info["index_dir"] == "/some/idx"
+    assert "op string" in info["schema"]
+    # re-init keeps the original marker (CommandUpdateInit re-runs)
+    again = init_box(box, index_dir="/other/idx")
+    assert again == info
+
+
+def test_run_refuses_uninitialised_box(tmp_path):
+    box = str(tmp_path / "nobox")
+    os.makedirs(box)
+    with pytest.raises(SystemExit, match="not initialised"):
+        run_update(str(tmp_path / "noidx"), box)
+
+
+def test_run_refuses_missing_index(tmp_path):
+    box = str(tmp_path / "box")
+    init_box(box)
+    with pytest.raises(SystemExit, match="no index"):
+        run_update(str(tmp_path / "noidx"), box)
+
+
+def test_offline_update_cycle(spark, corpus, tmp_path_factory):
+    idx_dir = str(tmp_path_factory.mktemp("updjob_idx"))
+    box = str(tmp_path_factory.mktemp("updjob_box"))
+    build_index_resumable(
+        spark, spark.createDataFrame(corpus.head(60)), idx_dir, n_groups=2
+    )
+    n0 = Index(spark, idx_dir, cache=False).n_docs
+    init_box(box, index_dir=idx_dir)
+
+    add = corpus.iloc[80:95]
+    victim = corpus.iloc[0]
+    rows = [
+        ("upsert", r.repo, r.path, r.commit, r.lang, r.content, 1)
+        for r in add.itertuples()
+    ] + [("delete", victim.repo, victim.path, victim.commit, victim.lang, None, 2)]
+    spark.createDataFrame(rows, UPDATES_DDL).write.mode("append").parquet(box)
+
+    res = run_update(idx_dir, box, spark=spark)
+    assert res["batches"] == 1
+    assert res["n_added"] > 0 and res["n_removed"] >= 1
+    assert res["segments"] and json.dumps(res)  # JSON-serialisable
+
+    idx = Index(spark, idx_dir, cache=False)
+    assert idx.n_docs == n0 + res["n_added"] - res["n_removed"]
+    assert (
+        idx.docs()
+        .filter((F.col("repo") == victim.repo) & (F.col("path") == victim.path))
+        .count()
+        == 0
+    )
+
+    # second cycle with nothing new: exactly-once no-op
+    res2 = run_update(idx_dir, box, spark=spark)
+    assert res2["batches"] == 0 and res2["n_added"] == 0
+    assert Index(spark, idx_dir, cache=False).n_docs == idx.n_docs
