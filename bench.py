@@ -116,6 +116,40 @@ def main() -> None:
 
         timed("index_build", _build)
 
+        # index footprint + posting-codec mix (untimed): the v3.0
+        # per-block codec choice (varint vs PForDelta, 1-byte tag)
+        # is a size play — record bytes on disk and the tag split so
+        # compression wins/regressions are visible round-over-round.
+        def _dir_bytes(path: str) -> int:
+            total = 0
+            for root, _dirs, files in os.walk(path):
+                for fn in files:
+                    try:
+                        total += os.path.getsize(os.path.join(root, fn))
+                    except OSError:
+                        pass
+            return total
+
+        codec_rows = (
+            spark.read.parquet(os.path.join(out_dir, "postings"))
+            .groupBy(F.substring("doc_bytes", 1, 1).alias("tag"))
+            .agg(
+                F.count("*").alias("blocks"),
+                F.sum(F.length("doc_bytes")).alias("doc_bytes"),
+            )
+            .collect()
+        )
+        index_size = {
+            "index_total_bytes": _dir_bytes(out_dir),
+            "postings_bytes": _dir_bytes(os.path.join(out_dir, "postings")),
+            "doc_block_codec_mix": {
+                {b"\x00": "varint", b"\x01": "pfor"}.get(
+                    bytes(r["tag"]), f"tag_{bytes(r['tag']).hex()}"
+                ): {"blocks": r["blocks"], "payload_bytes": r["doc_bytes"]}
+                for r in codec_rows
+            },
+        }
+
         idx = Index(spark, out_dir)
         searches = {
             "engine_search_full": ("table merge stream", {}),
@@ -337,6 +371,7 @@ def main() -> None:
                     "n_docs": meta["n_docs"],
                     "build_files_per_sec": round(meta["n_input_files"] / timings["index_build"], 1),
                     "build_stage_seconds": meta.get("stage_seconds", {}),
+                    "index_size": index_size,
                     "cpus": cpus,
                     "env_start": env_start,
                     "env_end": _env_snapshot(),

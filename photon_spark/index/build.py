@@ -53,7 +53,9 @@ from photon_spark.index.codec import encode_blocks_bulk
 # 2.6: bloom scheme 3 — canary terms embedded at build/fold so
 #      hash-environment drift disables the bloom instead of giving
 #      two-sided errors (2.5 blooms are load-rejected by scheme)
-INDEX_FORMAT_VERSION = "2.6.0"
+# 3.0.0: doc posting blocks carry a 1-byte codec tag (varint | PFor) —
+# pre-3.0 untagged blocks are unreadable, hence the major bump
+INDEX_FORMAT_VERSION = "3.0.0"
 
 DEFAULT_BLOCK_SIZE = 128
 DEFAULT_N_BUCKETS = 64

@@ -1,12 +1,34 @@
-"""Posting-block codecs: delta + varint (vectorized numpy).
+"""Posting-block codecs: delta + varint and delta + PForDelta
+(vectorized numpy).
 
-The index stores each posting block's docIDs as delta-encoded varints
-and its term frequencies as varints — the graft's replacement for the
-Lucene postings codec the reference delegates to (reference:
-opensearch/IndexMapping.java index-options choices; `best_compression`
-at Server.java:95). Encode/decode are fully vectorized numpy (no
-per-element Python loops), so they are safe to call inside
-``mapInArrow`` batches on the hot path.
+The index stores each posting block's docIDs delta-encoded, then
+compressed with whichever of two codecs is smaller FOR THAT BLOCK —
+the graft's replacement for the Lucene postings codec the reference
+delegates to (reference: opensearch/IndexMapping.java index-options
+choices; `best_compression` at Server.java:95):
+
+* ``varint`` (tag 0x00): LEB128 per delta — wins on tiny blocks and
+  wildly mixed magnitudes.
+* ``pfor`` (tag 0x01): NewPFD-style patched frame-of-reference — the
+  block-initial ordinal as a varint header, the remaining deltas
+  bit-packed at a per-block width ``b`` chosen by exact cost over
+  bit-width quantile candidates, and the few deltas wider than ``b``
+  patched through an exception list (position + high bits). Dense
+  ordinal gaps of frequent terms pack at 1-8 bits/delta where varint
+  pays a full byte — the classic PForDelta win (Zukowski et al. 2006;
+  Lucene's FOR/PFOR postings format).
+
+Every doc block starts with a 1-byte codec tag, so readers dispatch
+per block with no index-level configuration; tf blocks stay plain
+varint (tfs are near-1 everywhere — bit packing cannot beat one byte
+by enough to matter). Term frequencies and the per-block
+min_doc/max_doc/max_tf metadata are unchanged.
+
+Encode/decode are fully vectorized numpy (no per-element Python
+loops over values), so they are safe to call inside ``mapInArrow``
+batches on the hot path; the PForDelta attempt batches blocks of
+equal length into one (g, L) matrix per length and packs each chosen
+width's group with one ``np.packbits`` call.
 """
 
 from __future__ import annotations
@@ -65,24 +87,130 @@ def decode_varints(buf: bytes, n: int) -> np.ndarray:
     return vals
 
 
-def encode_doc_block(doc_ids: np.ndarray) -> bytes:
-    """Delta-encode a sorted block of int64 docIDs, then varint.
+# doc-block codec tags (first byte of every doc_bytes payload)
+TAG_VARINT = 0x00
+TAG_PFOR = 0x01
 
-    docIDs are signed int64 (sha256-prefix derived, order-preserving);
-    deltas are taken in unsigned space so the first value round-trips.
-    """
-    u = np.ascontiguousarray(doc_ids, dtype=np.int64).view(np.uint64) + np.uint64(
-        1 << 63
+# blocks shorter than this never attempt PFor — the b/n_exc header
+# can't amortize, varint always wins or ties
+PFOR_MIN_BLOCK = 16
+
+
+def _bits_needed(v: np.ndarray) -> np.ndarray:
+    """Bit length of each uint64 (0 → 0) — 64 vectorized compares."""
+    v = np.ascontiguousarray(v, dtype=np.uint64)
+    bits = np.zeros(v.shape, dtype=np.int64)
+    for i in range(64):
+        bits += (v >= (np.uint64(1) << np.uint64(i))).astype(np.int64)
+    return bits
+
+
+def _read_varint(buf, pos: int) -> tuple[int, int]:
+    """Scalar LEB128 read (decode-side headers/exceptions only —
+    a handful per block)."""
+    val = 0
+    shift = 0
+    while True:
+        byte = buf[pos]
+        pos += 1
+        val |= (byte & 0x7F) << shift
+        if not byte & 0x80:
+            return val, pos
+        shift += 7
+
+
+def _pfor_best_rows(bits: np.ndarray, L: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row best PFor width over bit-width quantile candidates
+    (the NewPFD heuristic, cost evaluated EXACTLY per candidate).
+    ``bits``: (g, L) bit lengths of the packed deltas. Returns
+    (b (g,), body_cost (g,)) where body_cost excludes the
+    varint(first) header shared with no other layout choice."""
+    srt = np.sort(bits, axis=1)
+    cand_cols = sorted({max(0, int(np.ceil(q * L)) - 1) for q in (0.75, 0.9, 1.0)})
+    pos_vb = np.ones(L, dtype=np.int64)
+    if L > 128:
+        pos_vb[128:] = 2
+    if L > 16384:
+        pos_vb[16384:] = 3
+    best_b = best_cost = None
+    for c in cand_cols:
+        b = srt[:, c]
+        exc = bits > b[:, None]
+        n_exc = exc.sum(axis=1)
+        high_bytes = np.where(exc, (bits - b[:, None] + 6) // 7, 0).sum(axis=1)
+        pos_bytes = (exc * pos_vb).sum(axis=1)
+        cost = (
+            1  # b byte
+            + 1 + (n_exc >= 128)  # varint(n_exc)
+            + pos_bytes
+            + high_bytes
+            + (L * b + 7) // 8  # packed low bits
+        )
+        if best_cost is None:
+            best_b, best_cost = b.copy(), cost
+        else:
+            better = cost < best_cost
+            best_b = np.where(better, b, best_b)
+            best_cost = np.where(better, cost, best_cost)
+    return best_b, best_cost
+
+
+def _pfor_decode(buf, n: int) -> np.ndarray:
+    """PFor payload (no tag) → uint64 delta array of length n."""
+    first, pos = _read_varint(buf, 0)
+    b = buf[pos]
+    pos += 1
+    n_exc, pos = _read_varint(buf, pos)
+    positions = np.empty(n_exc, dtype=np.int64)
+    highs = np.empty(n_exc, dtype=np.uint64)
+    for i in range(n_exc):
+        positions[i], pos = _read_varint(buf, pos)
+    for i in range(n_exc):
+        highs[i], pos = _read_varint(buf, pos)
+    L = n - 1
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[0] = first
+    if L:
+        if b:
+            arr = np.frombuffer(buf, dtype=np.uint8, offset=pos)
+            mat = np.unpackbits(arr)[: L * b].reshape(L, b).astype(np.uint64)
+            w = np.uint64(1) << np.arange(b - 1, -1, -1, dtype=np.int64).astype(
+                np.uint64
+            )
+            low = (mat * w).sum(axis=1, dtype=np.uint64)
+        else:
+            low = np.zeros(L, dtype=np.uint64)
+        if n_exc:
+            low[positions] |= highs << np.uint64(b)
+        deltas[1:] = low
+    return deltas
+
+
+def encode_doc_block(doc_ids: np.ndarray) -> bytes:
+    """Delta-encode a sorted block of int64 docIDs, then the cheaper
+    of varint / PForDelta, tag-prefixed (single-block shape of
+    :func:`encode_blocks_bulk` — same bytes by construction).
+
+    Deltas are taken in unsigned shifted space so the first value
+    round-trips for any int64 ordinal."""
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    doc_b, _ = encode_blocks_bulk(
+        doc_ids, np.ones(len(doc_ids), dtype=np.int64),
+        np.zeros(1, dtype=np.int64),
     )
-    deltas = np.empty_like(u)
-    deltas[0] = u[0]
-    np.subtract(u[1:], u[:-1], out=deltas[1:])
-    return encode_varints(deltas)
+    return doc_b[0]
 
 
 def decode_doc_block(buf: bytes, n: int) -> np.ndarray:
-    """Inverse of :func:`encode_doc_block` → sorted int64 docIDs."""
-    deltas = decode_varints(buf, n)
+    """Inverse of :func:`encode_doc_block` → sorted int64 docIDs
+    (codec dispatched on the block's tag byte)."""
+    tag = buf[0]
+    if tag == TAG_VARINT:
+        deltas = decode_varints(buf[1:], n)
+    elif tag == TAG_PFOR:
+        deltas = _pfor_decode(buf[1:], n)
+    else:
+        raise ValueError(f"unknown doc-block codec tag {tag:#x}")
     u = np.cumsum(deltas, dtype=np.uint64)
     return (u - np.uint64(1 << 63)).view(np.int64)
 
@@ -119,10 +247,18 @@ def encode_blocks_bulk(
     in ONE vectorized pass over the whole batch, and blocks are then
     cut out of the shared buffer (a per-(term,block) python loop was
     the index-build hot spot: millions of tiny-df ngram terms).
+
+    Doc blocks of ≥ ``PFOR_MIN_BLOCK`` values additionally attempt
+    PForDelta: equal-length blocks batch into one (g, L) delta matrix
+    (one matrix per distinct length — tiny-df terms never enter), the
+    per-block width comes from :func:`_pfor_best_rows`, and each
+    chosen width's group packs with one ``np.packbits``. A block
+    emits whichever codec is smaller, tag-prefixed.
     """
     n = len(docs)
     if n == 0:
         return [], []
+    block_starts = np.ascontiguousarray(block_starts, dtype=np.int64)
     u = np.ascontiguousarray(docs, dtype=np.int64).view(np.uint64) + np.uint64(1 << 63)
     deltas = np.empty_like(u)
     deltas[0] = u[0]
@@ -136,8 +272,67 @@ def encode_blocks_bulk(
     dlen = np.concatenate([[0], np.cumsum(_varint_lengths(deltas))])
     tlen = np.concatenate([[0], np.cumsum(_varint_lengths(tf_vals))])
     bounds = np.append(block_starts, n)
+    ns = bounds[1:] - bounds[:-1]
+
+    # PFor attempt, grouped by block length
+    _VTAG = bytes([TAG_VARINT])
+    _PTAG = bytes([TAG_PFOR])
+    pfor_payloads: dict[int, bytes] = {}  # block index → tagged payload
+    elig = np.flatnonzero(ns >= PFOR_MIN_BLOCK)
+    if len(elig):
+        varint_cost = (dlen[bounds[1:]] - dlen[bounds[:-1]])[elig]
+        for L1 in np.unique(ns[elig]):
+            sel = elig[ns[elig] == L1]
+            L = int(L1) - 1
+            starts = block_starts[sel]
+            rest = deltas[starts[:, None] + 1 + np.arange(L, dtype=np.int64)]
+            bits = _bits_needed(rest)
+            b_row, body_cost = _pfor_best_rows(bits, L)
+            firsts = deltas[starts]
+            first_vb = _varint_lengths(firsts)
+            wins = (first_vb + body_cost) < varint_cost[ns[elig] == L1]
+            if not wins.any():
+                continue
+            first_buf = encode_varints(firsts)
+            foff = np.concatenate([[0], np.cumsum(first_vb)])
+            for b in np.unique(b_row[wins]):
+                grp = np.flatnonzero(wins & (b_row == b))
+                rows = rest[grp]
+                b = int(b)
+                if b:
+                    w = np.arange(b - 1, -1, -1, dtype=np.int64).astype(np.uint64)
+                    # chunk the (g, L, b) bit expansion: bound the
+                    # intermediate uint64 tensor to ~32M elements
+                    chunk = max(1, (32 << 20) // max(1, L * b))
+                    packs = []
+                    for s0 in range(0, len(grp), chunk):
+                        rws = rows[s0:s0 + chunk]
+                        mat = (
+                            ((rws[:, :, None] >> w) & np.uint64(1))
+                            .astype(np.uint8)
+                            .reshape(len(rws), L * b)
+                        )
+                        packs.append(np.packbits(mat, axis=1))
+                    packed = np.concatenate(packs, axis=0)
+                else:
+                    packed = np.zeros((len(grp), 0), dtype=np.uint8)
+                exc = bits[grp] > b
+                for j, gi in enumerate(grp.tolist()):
+                    pos_j = np.flatnonzero(exc[j]).astype(np.uint64)
+                    high_j = rows[j, pos_j.astype(np.int64)] >> np.uint64(b)
+                    pfor_payloads[int(sel[gi])] = (
+                        _PTAG
+                        + first_buf[foff[gi]:foff[gi + 1]]
+                        + bytes([b])
+                        + encode_varints(np.array([len(pos_j)], dtype=np.uint64))
+                        + encode_varints(pos_j)
+                        + encode_varints(high_j)
+                        + packed[j].tobytes()
+                    )
+
     doc_bytes = [
-        doc_buf[dlen[s]:dlen[e]] for s, e in zip(bounds[:-1], bounds[1:])
+        pfor_payloads.get(i, _VTAG + doc_buf[dlen[s]:dlen[e]])
+        for i, (s, e) in enumerate(zip(bounds[:-1], bounds[1:]))
     ]
     tf_bytes = [tf_buf[tlen[s]:tlen[e]] for s, e in zip(bounds[:-1], bounds[1:])]
     return doc_bytes, tf_bytes

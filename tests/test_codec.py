@@ -62,3 +62,71 @@ def test_compression_wins():
     docs = np.arange(0, 128000, 7, dtype=np.int64)
     enc = encode_doc_block(docs)
     assert len(enc) < len(docs) * 2.5  # ~1-2 bytes/doc vs 8
+
+
+def test_pfor_roundtrip_dense():
+    # dense, uniform small deltas → PFor should win and round-trip
+    from photon_spark.index.codec import TAG_PFOR
+
+    docs = np.cumsum(np.ones(512, dtype=np.int64) * 3) - 100
+    enc = encode_doc_block(docs)
+    assert enc[0] == TAG_PFOR
+    assert (decode_doc_block(enc, len(docs)) == docs).all()
+    # 3 fits in 2 bits: payload well under 1 byte/delta
+    assert len(enc) < len(docs)
+
+
+def test_pfor_exception_path():
+    # mostly tiny deltas with a few huge outliers → NewPFD patching
+    from photon_spark.index.codec import TAG_PFOR
+
+    rng = np.random.RandomState(11)
+    deltas = rng.randint(1, 8, size=300).astype(np.int64)
+    deltas[[5, 77, 200]] = [1 << 40, 1 << 55, 1 << 33]
+    docs = np.cumsum(deltas) - (1 << 50)
+    enc = encode_doc_block(docs)
+    assert enc[0] == TAG_PFOR
+    assert (decode_doc_block(enc, len(docs)) == docs).all()
+
+
+def test_pfor_zero_width():
+    # all-equal deltas of 0 bits never happen (sorted unique), but
+    # delta==1 runs pack at b=1; verify the b edge cases round-trip
+    for delta in (1, 2):
+        docs = np.arange(0, 2048 * delta, delta, dtype=np.int64)
+        enc = encode_doc_block(docs)
+        assert (decode_doc_block(enc, len(docs)) == docs).all()
+
+
+def test_bulk_blocks_match_single():
+    # encode_blocks_bulk over concatenated blocks ≡ per-block encode
+    from photon_spark.index.codec import encode_blocks_bulk
+
+    rng = np.random.RandomState(23)
+    blocks = []
+    for n in (1, 5, 16, 17, 128, 333):
+        b = np.unique(rng.randint(-(1 << 60), 1 << 60, size=n).astype(np.int64))
+        blocks.append(np.sort(b))
+    docs = np.concatenate(blocks)
+    tfs = rng.randint(1, 9, size=len(docs)).astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum([len(b) for b in blocks])[:-1]])
+    doc_b, tf_b = encode_blocks_bulk(docs, tfs, starts)
+    assert len(doc_b) == len(blocks)
+    off = 0
+    for i, blk in enumerate(blocks):
+        assert (decode_doc_block(doc_b[i], len(blk)) == blk).all()
+        assert doc_b[i] == encode_doc_block(blk)
+        assert (decode_tfs(tf_b[i], len(blk)) == tfs[off:off + len(blk)]).all()
+        off += len(blk)
+
+
+def test_pfor_fuzz_roundtrip():
+    rng = np.random.RandomState(99)
+    for trial in range(40):
+        n = int(rng.randint(2, 700))
+        scale = int(rng.choice([4, 64, 1 << 16, 1 << 32, 1 << 58]))
+        deltas = rng.randint(1, scale, size=n).astype(np.uint64)
+        docs = (np.cumsum(deltas).view(np.int64)) - (1 << 62)
+        enc = encode_doc_block(docs)
+        got = decode_doc_block(enc, n)
+        assert (got == docs).all(), f"trial {trial} n={n} scale={scale}"
