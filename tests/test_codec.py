@@ -130,3 +130,54 @@ def test_pfor_fuzz_roundtrip():
         enc = encode_doc_block(docs)
         got = decode_doc_block(enc, n)
         assert (got == docs).all(), f"trial {trial} n={n} scale={scale}"
+
+
+# hypothesis property: ANY strictly-increasing int64 block round-trips
+# bit-exact through the tagged codec, and the bulk encoder is
+# block-for-block identical to the single-block encoder (shrinking
+# finds minimal counterexamples the RandomState fuzz above can't)
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-(1 << 62), max_value=(1 << 62) - 1),
+        min_size=1,
+        max_size=400,
+        unique=True,
+    )
+)
+def test_codec_hypothesis_roundtrip(vals):
+    docs = np.sort(np.array(vals, dtype=np.int64))
+    enc = encode_doc_block(docs)
+    assert (decode_doc_block(enc, len(docs)) == docs).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.integers(min_value=-(1 << 62), max_value=(1 << 62) - 1),
+            min_size=1,
+            max_size=200,
+            unique=True,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_codec_hypothesis_bulk_identity(blocks_raw):
+    from photon_spark.index.codec import encode_blocks_bulk
+
+    blocks = [np.sort(np.array(b, dtype=np.int64)) for b in blocks_raw]
+    docs = np.concatenate(blocks)
+    tfs = np.ones(len(docs), dtype=np.int64)
+    starts = np.concatenate(
+        [[0], np.cumsum([len(b) for b in blocks])[:-1]]
+    ).astype(np.int64)
+    doc_b, _ = encode_blocks_bulk(docs, tfs, starts)
+    for enc, blk in zip(doc_b, blocks):
+        assert enc == encode_doc_block(blk)
+        assert (decode_doc_block(enc, len(blk)) == blk).all()
