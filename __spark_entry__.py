@@ -684,6 +684,68 @@ def entry(spark: SparkSession) -> DataFrame:
     return _engine_search_df(spark, "/root/testdata/sf0.001", "table merge stream", k=10)
 
 
+# Names that must occupy the driver's 50-entry CORRECTNESS window, in
+# order: engine plane first (the operators most likely to regress),
+# then ANN / multimodal / hashvec / incremental, then the index-build
+# and query primitives, then the structurally-risky dedup family.
+_GATE_PRIORITY: list[str] = [
+    # engine plane (SURVEY §2.4-2.6 end-to-end)
+    "engine_search_full",
+    "engine_search_short",
+    "engine_search_biased",
+    "engine_search_hot",
+    "engine_merged_search",
+    "engine_update_search",
+    "engine_suggest_search",
+    "engine_suggest_chunked",
+    "engine_reverse",
+    "engine_exact_topk",
+    "engine_filtered_topk",
+    "engine_phrase_topk",
+    # similarity / multimodal / vector bridge / incremental
+    "cosine_topk",
+    "lsh_ann_topk",
+    "ivf_ann_topk",
+    "multimodal_features",
+    "multimodal_resize",
+    "multimodal_metadata",
+    "multimodal_frame_sample",
+    "hashed_tfidf",
+    "sparse_cosine_pairs",
+    "incremental_dedup",
+    # index-build + query primitives
+    "tokenize_tf",
+    "dictionary_df_idf",
+    "bm25_topk",
+    "and_match",
+    "msm_match",
+    "prefix_match",
+    "dismax",
+    "importance_rescore",
+    "fuzzy_match",
+    "topk_per_group",
+    # multi-stage datapipe rows (shuffle-shaped, riskiest of the pipe)
+    "dsir_select",
+    "bpe_train",
+    "bpe_encode",
+    "line_dedup",
+    "duplicate_spans",
+    "substring_dedup",
+    "decontaminate",
+    "normalized_dedup",
+    "winnow_fingerprints",
+    "exact_dedup",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "dedup_survivors",
+    "simhash",
+    "minhash_lsh_pairs",
+    "embedding_near_dup",
+    "embedding_near_dup_lsh",
+    "semdedup",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
@@ -1346,7 +1408,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # house/street interaction driver-checked, not just pytest-pinned
     q["engine_suggest_chunked"] = lambda s, d: _chunk_suggest_df(s, d, "docs", k=10)
 
-    return q
+    # The driver's CORRECTNESS check covers only the FIRST 50 entries
+    # (VERDICT r4 top ask): put the flagship engine plane, ANN,
+    # multimodal, hashvec and the riskiest dedup rows inside that
+    # window; demote the long-stable single-expression textstats /
+    # sampling / hygiene rows (all additionally hypothesis-fuzzed in
+    # pytest) to the tail.  _GATE_PRIORITY is asserted complete &
+    # duplicate-free in tests/test_entry_order.py.
+    ordered = {k: q[k] for k in _GATE_PRIORITY}
+    ordered.update({k: v for k, v in q.items() if k not in ordered})
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:

@@ -21,11 +21,28 @@ semantics on every engine (and in the DuckDB oracle), at the cost of
 spreading repeat-runs across rounds.
 
 Scale (100 TB): each round is one narrow map (literal ``replace``
-over the doc state) + one map-combinable pair count + TakeOrdered(1)
-— the driver holds only the n_merges winning pairs, never a
-vocabulary. Lineage grows one replace per round; past ~dozens of
-rounds, localCheckpoint the state DataFrame (noted here rather than
-imposed — the merge table is tiny and rounds are few in practice).
+over the doc state) + one map-combinable pair count + TakeOrdered —
+the driver holds only candidate winning pairs, never a vocabulary.
+A real tokenizer is 32k-64k merges, so the exact m=1 trainer would
+need tens of thousands of sequential corpus passes; the two standard
+relaxations (both used by production tokenizer trainers) are
+first-class here:
+
+* ``batch_m > 1`` — per corpus pass, fuse the top-m PAIRWISE
+  TOKEN-DISJOINT pairs (no token shared between any two selected
+  pairs, so the m literal replaces commute and apply in one map).
+  Selection uses round-start counts (the batched-BPE relaxation —
+  sequential recounting between the m fusions is skipped); trainer
+  passes drop to ~n_merges/m. ``batch_m=1`` remains the exact
+  Sennrich order and is the gate/oracle config.
+* ``sample_frac`` — train on a deterministic hash-reservoir of docs
+  (xxhash64 bucket on the id, no RNG), the SentencePiece/HF move:
+  merge statistics converge long before the corpus is exhausted, so
+  the trainer input is bounded regardless of corpus size.
+
+Lineage grows one replace per pass; past ~dozens of passes,
+localCheckpoint the state DataFrame (noted here rather than imposed —
+the merge table is tiny).
 """
 
 from __future__ import annotations
@@ -74,52 +91,101 @@ def _pairs_col(s_col) -> "F.Column":
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _select_disjoint(
+    rows: list, want: int
+) -> list[tuple[str, int]]:
+    """Greedy top-m pairwise TOKEN-DISJOINT selection from
+    (cnt desc, pair asc)-ordered candidate rows. Two pairs conflict
+    when they share any token — disjointness makes the m literal
+    replaces commute, so one map applies them all. A skipped pair
+    stays countable next pass (its occurrences are untouched unless a
+    selected pair consumed a shared token, in which case next pass's
+    recount sees the truth)."""
+    chosen: list[tuple[str, int]] = []
+    used: set[str] = set()
+    for r in rows:
+        if len(chosen) >= want:
+            break
+        toks = r["pair"].split(" ")
+        if used.intersection(toks):
+            continue
+        chosen.append((r["pair"], int(r["cnt"])))
+        used.update(toks)
+    return chosen
+
+
 def bpe_train(
     df: DataFrame,
     n_merges: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    batch_m: int = 1,
+    sample_frac: float | None = None,
+    sample_salt: str = "bpe-reservoir",
 ) -> DataFrame:
     """Train ``n_merges`` BPE merges; returns a DataFrame
-    (step, pair, merged, pair_count) with one row per completed round
+    (step, pair, merged, pair_count) with one row per completed merge
     (fewer if the corpus runs out of adjacent pairs). Deterministic:
-    ties break pair-ascending, and the doc state is derived purely
-    from the input."""
+    ties break pair-ascending, the doc state is derived purely from
+    the input, and sampling is a salted-hash bucket (no RNG).
+
+    ``batch_m=1`` (default, the gate/oracle config) is exact Sennrich
+    greedy order. ``batch_m>1`` fuses up to m pairwise token-disjoint
+    pairs per corpus pass using round-start counts (batched-BPE
+    relaxation — see module docstring); ``pair_count`` then records
+    the count at selection time. ``sample_frac`` trains on the
+    deterministic doc subset ``xxhash64(salt, id) mod 2^20 <
+    frac·2^20`` (pinned so re-runs and resumes see the same
+    reservoir)."""
+    if batch_m < 1:
+        raise ValueError(f"batch_m must be >= 1, got {batch_m}")
     spark = df.sparkSession
-    # persist each round's state so round k is ONE corpus pass — an
-    # unpersisted chain would re-scan + re-replay k-1 replaces per
-    # round (quadratic in n_merges); keep at most two states cached
+    src = df
+    if sample_frac is not None:
+        if not (0.0 < sample_frac <= 1.0):
+            raise ValueError(f"sample_frac must be in (0, 1], got {sample_frac}")
+        bucket = F.pmod(
+            F.xxhash64(F.lit(sample_salt), F.col(id_col).cast("string")),
+            F.lit(1 << 20),
+        )
+        src = df.filter(bucket < F.lit(int(sample_frac * (1 << 20))))
+    # persist each pass's state so pass k is ONE corpus scan — an
+    # unpersisted chain would re-scan + re-replay every prior replace
+    # per pass (quadratic in passes); keep at most two states cached
     # (the previous one until the current one is materialized)
-    state = df.select(
+    state = src.select(
         F.col(id_col), _state_col(text_col).alias("s")
     ).persist()
     prev = None
     merges: list[tuple[int, str, str, int]] = []
     try:
-        for step in range(1, n_merges + 1):
+        while len(merges) < n_merges:
+            want = min(batch_m, n_merges - len(merges))
+            # over-fetch candidates so greedy disjoint selection can
+            # skip token-sharing pairs and still usually fill m; the
+            # driver holds O(m) rows, never a vocabulary
             top = (
                 state.select(F.explode(_pairs_col(F.col("s"))).alias("pair"))
                 .groupBy("pair")
                 .agg(F.count(F.lit(1)).alias("cnt"))
                 .orderBy(F.col("cnt").desc(), F.col("pair").asc())
-                .limit(1)
+                .limit(want * 4 + 4)
                 .collect()
             )
             if prev is not None:  # state is materialized now
                 prev.unpersist()
                 prev = None
-            if not top:
+            chosen = _select_disjoint(top, want)
+            if not chosen:
                 break
-            pair, cnt = top[0]["pair"], int(top[0]["cnt"])
-            merged = pair.replace(" ", MERGE_JOIN)
-            merges.append((step, pair, merged, cnt))
+            s = F.col("s")
+            for pair, cnt in chosen:
+                merged = pair.replace(" ", MERGE_JOIN)
+                merges.append((len(merges) + 1, pair, merged, cnt))
+                # disjoint tokens ⇒ the replaces commute; one map pass
+                s = F.replace(s, F.lit(f" {pair} "), F.lit(f" {merged} "))
             prev = state
-            state = state.withColumn(
-                "s",
-                F.replace(
-                    F.col("s"), F.lit(f" {pair} "), F.lit(f" {merged} ")
-                ),
-            ).persist()
+            state = state.withColumn("s", s).persist()
     finally:
         state.unpersist()
         if prev is not None:

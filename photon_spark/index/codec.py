@@ -149,7 +149,7 @@ def _pfor_best_rows(bits: np.ndarray, L: int) -> tuple[np.ndarray, np.ndarray]:
         pos_bytes = (exc * pos_vb).sum(axis=1)
         cost = (
             1  # b byte
-            + 1 + (n_exc >= 128)  # varint(n_exc)
+            + 1 + (n_exc >= 128) + (n_exc >= 16384)  # varint(n_exc), exact to n_exc < 2^21 (ADVICE r4)
             + pos_bytes
             + high_bytes
             + (L * b + 7) // 8  # packed low bits

@@ -157,6 +157,19 @@ def apply_updates(
     meta_path = os.path.join(index_dir, "meta.json")
     with open(meta_path) as f:
         meta = json.load(f)
+    # format-version guard (same gate as executor.py / merger.py /
+    # hot.py; reference: DatabaseProperties.java:31-37): without this,
+    # updating a 2.x index writes 3.0-tagged delta segments next to
+    # untagged 2.x base postings and the auto-merge decode fails
+    # mid-job with an opaque codec-tag error (ADVICE r4 medium).
+    from photon_spark.index.build import INDEX_FORMAT_VERSION
+
+    major = str(meta.get("version", "")).split(".")[0]
+    if major != INDEX_FORMAT_VERSION.split(".")[0]:
+        raise ValueError(
+            f"index format {meta.get('version')} incompatible with "
+            f"engine {INDEX_FORMAT_VERSION} — rebuild or compact the index"
+        )
     _clean_orphan_segments(index_dir)  # crashed-publish residue
     docs_path = os.path.join(index_dir, "docs")
     old_docs = spark.read.parquet(docs_path)

@@ -25,7 +25,8 @@ batch. Online updates while serving stay on ``jobs/serve.py
 reference's API-triggered update mode (CommandUpdate.java:22-24).
 
 Prints one JSON line of metrics (batches, n_added, n_removed,
-segments, merges) — the importer's finish-log analog.
+segments, merged — a bool, whether the merge policy fired) — the
+importer's finish-log analog.
 """
 
 from __future__ import annotations

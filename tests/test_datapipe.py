@@ -332,6 +332,67 @@ def test_bpe_train(spark):
     assert bpe_train(lone, n_merges=3).count() == 0
 
 
+def test_bpe_train_batched_matches_sequential(spark):
+    """batch_m>1 ≡ sequential on a fixture where the relaxation
+    provably changes nothing: the frequent pairs are pairwise
+    token-disjoint, separated by per-doc-unique fillers (so fusing one
+    pair never creates a new frequent pair or changes another's
+    count), and counts are distinct (the within-round order is the
+    cross-round order)."""
+    from photon_spark.datapipe.bpe import bpe_train
+
+    rows = []
+    doc = 0
+    # "aa bb" in 9 docs, "cc dd" in 7, "ee ff" in 5, "gg hh" in 3 —
+    # all token-disjoint, each occurrence fenced by unique fillers
+    for n, pair in ((9, "aa bb"), (7, "cc dd"), (5, "ee ff"), (3, "gg hh")):
+        for _ in range(n):
+            rows.append((doc, f"u{doc} {pair} v{doc}"))
+            doc += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    seq = [tuple(r) for r in bpe_train(df, n_merges=4).collect()]
+    bat = [tuple(r) for r in bpe_train(df, n_merges=4, batch_m=8).collect()]
+    assert seq == bat
+    assert [r[1] for r in seq] == ["aa bb", "cc dd", "ee ff", "gg hh"]
+    assert [r[3] for r in seq] == [9, 7, 5, 3]
+    # batched skips a token-SHARING runner-up within a round: "bb cc"
+    # shares bb/cc with winners, must not be fused on round-start
+    # counts; two passes pick it once it is genuinely next
+    clash = spark.createDataFrame(
+        [(i, f"x{i} aa bb y{i} bb cc z{i}") for i in range(6)]
+        + [(100 + i, f"p{i} aa bb q{i}") for i in range(3)],
+        "doc_id long, text string",
+    )
+    got = bpe_train(clash, n_merges=2, batch_m=8).collect()
+    assert got[0]["pair"] == "aa bb" and got[0]["pair_count"] == 9
+    assert got[1]["pair"] != "bb cc" or got[1]["step"] == 2
+
+
+def test_bpe_train_sample_frac_deterministic(spark):
+    """The hash-reservoir is a pure function of (salt, id): repeated
+    runs agree exactly, and the sampled trainer still returns a valid
+    merge table over the subset."""
+    from photon_spark.datapipe.bpe import bpe_train
+
+    df = spark.createDataFrame(
+        [(i, "low low lower newest") for i in range(40)],
+        "doc_id long, text string",
+    )
+    a = [tuple(r) for r in bpe_train(df, n_merges=2, sample_frac=0.5).collect()]
+    b = [tuple(r) for r in bpe_train(df, n_merges=2, sample_frac=0.5).collect()]
+    assert a == b and len(a) == 2
+    # full-frac ≡ no sampling
+    full = [tuple(r) for r in bpe_train(df, n_merges=2, sample_frac=1.0).collect()]
+    none = [tuple(r) for r in bpe_train(df, n_merges=2).collect()]
+    assert full == none
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bpe_train(df, sample_frac=0.0)
+    with _pytest.raises(ValueError):
+        bpe_train(df, batch_m=0)
+
+
 def test_bpe_apply(spark):
     """Encoding with the trained table reproduces the trainer's final
     doc state; unseen text encodes with whatever merges apply."""

@@ -1,0 +1,63 @@
+"""Pin the gate-entry ordering contract (VERDICT r4 top ask).
+
+The driver's CORRECTNESS check covers only the first 50 entries of
+``__spark_entry__.queries()``.  These tests pin that the flagship
+engine plane (and the other round-4 tail rows) sit inside that window
+and that the reorder list stays complete and duplicate-free.
+"""
+
+import importlib.util
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def _load_entry():
+    mod = sys.modules.get("__spark_entry__")
+    if mod is not None:
+        return mod
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", REPO / "__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["__spark_entry__"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_gate_priority_window():
+    entry = _load_entry()
+    pri = entry._GATE_PRIORITY
+    assert len(pri) == 50, f"priority window must be exactly 50, got {len(pri)}"
+    assert len(set(pri)) == 50, "duplicate names in _GATE_PRIORITY"
+
+    q = entry.queries()
+    names = list(q)
+    assert names[:50] == pri, "queries() must lead with _GATE_PRIORITY"
+    # nothing lost in the reorder
+    assert len(names) == len(set(names))
+
+    # every engine-plane row is inside the driver's window
+    engine = [n for n in names if n.startswith("engine_")]
+    assert engine, "engine rows missing entirely"
+    for n in engine:
+        assert names.index(n) < 50, f"{n} escaped the 50-entry window"
+
+    # the other round-4 tail rows the judge re-ran by hand
+    for n in (
+        "cosine_topk", "lsh_ann_topk", "ivf_ann_topk",
+        "multimodal_features", "multimodal_resize", "multimodal_metadata",
+        "multimodal_frame_sample", "hashed_tfidf", "sparse_cosine_pairs",
+        "incremental_dedup",
+    ):
+        assert names.index(n) < 50, f"{n} escaped the 50-entry window"
+
+
+def test_oracle_keys_cover_queries():
+    entry = _load_entry()
+    q = set(entry.queries())
+    o = set(entry.oracle_sql())
+    # every oracle key must correspond to a query; queries without an
+    # oracle are the declared weaker rows-only checks
+    assert o <= q, f"orphan oracle keys: {sorted(o - q)}"

@@ -460,3 +460,34 @@ def test_dictionary_orphan_and_stale_bloom_disable(spark, tmp_path_factory):
     assert res["n_added"] == 1
     assert not os.path.exists(os.path.join(out, BLOOM_FILE))
     assert any("bloom" in str(x.message) for x in w)
+
+
+def test_apply_updates_rejects_old_format_major(spark, tmp_path_factory):
+    """ADVICE r4 (medium): apply_updates must gate on the index format
+    major like executor/merger/hot do — otherwise an update against a
+    2.x index writes 3.0-tagged delta segments next to untagged 2.x
+    base postings and the auto-merge decode fails opaquely mid-job."""
+    import json
+    import os
+
+    from photon_spark.corpus import generate_code_files
+    from photon_spark.index.build import build_index
+
+    out = str(tmp_path_factory.mktemp("fmtgate")) + "/idx"
+    build_index(
+        spark, spark.createDataFrame(generate_code_files(n_files=20, seed=7)), out
+    )
+    meta_path = os.path.join(out, "meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    meta["version"] = "2.6.0"
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    batch = spark.createDataFrame(
+        [("upsert", "orgZ/g", "src/gate.py", "e" * 40, "en", "gated body", 1)],
+        UPDATES_DDL,
+    )
+    with pytest.raises(ValueError, match="rebuild or compact"):
+        apply_updates(spark, out, batch)
+    # no delta segment was written against the incompatible base
+    assert not os.path.exists(os.path.join(out, "postings_delta"))
