@@ -612,50 +612,11 @@ class UpdateAPI:
 
         def _run():
             try:
-                from photon_spark.index.updater import apply_updates
-
                 batch = self._read()
                 if batch is not None:
-                    self.last_result = apply_updates(
-                        self.spark, self.index_dir, batch
-                    )
+                    self.last_result = self._apply(batch)
                     if self.search_api is not None:
-                        from photon_spark.query.executor import Index
-
-                        # snapshot swap: build the new Index FULLY
-                        # (it re-lists segment dirs and re-caches),
-                        # then a single reference assignment publishes
-                        # it — atomic under the GIL, so in-flight
-                        # requests finish on the old snapshot. The old
-                        # snapshot's cache is released afterwards
-                        # (requests racing the release recompute from
-                        # files; no refcounting — a deliberate
-                        # simplification vs Lucene's SearcherManager).
-                        # The re-open inherits the old backend's
-                        # query-time config (synonyms, cache flag) —
-                        # a swap must never change serving semantics.
-                        # the swap preserves the backend KIND: a
-                        # hot-plane server re-opens a HotIndex (the
-                        # query node never acquires a SparkSession
-                        # because an updater ran somewhere)
-                        from photon_spark.query.hot import HotIndex
-
-                        old = self.search_api.backend
-                        if isinstance(old, HotIndex):
-                            self.search_api.backend = HotIndex(
-                                self.index_dir,
-                                synonyms=getattr(old, "synonyms", None),
-                            )
-                        else:
-                            self.search_api.backend = Index(
-                                self.spark,
-                                self.index_dir,
-                                cache=getattr(old, "cache_enabled", True),
-                                synonyms=getattr(old, "synonyms", None),
-                            )
-                        release = getattr(old, "release", None)
-                        if release is not None:
-                            release()
+                        self._reopen()
             except Exception as e:
                 # surfaced two ways, like the reference's console-
                 # logged updater failures: the daemon excepthook
@@ -672,6 +633,102 @@ class UpdateAPI:
         self._thread.start()
         return "nominatim update started (more information in console output) ..."
 
+    def _apply(self, batch) -> dict:
+        from photon_spark.index.updater import apply_updates
+
+        return apply_updates(self.spark, self.index_dir, batch)
+
+    def _reopen(self) -> None:
+        """Snapshot swap: build the new Index FULLY (it re-lists
+        segment dirs and re-caches), then a single reference
+        assignment publishes it — atomic under the GIL, so in-flight
+        requests finish on the old snapshot. The old snapshot's cache
+        is released afterwards (requests racing the release recompute
+        from files; no refcounting — a deliberate simplification vs
+        Lucene's SearcherManager). The re-open inherits the old
+        backend's query-time config (synonyms, cache flag) — a swap
+        must never change serving semantics — and preserves the
+        backend KIND: a hot-plane server re-opens a HotIndex (the
+        query node never acquires a SparkSession because an updater
+        ran somewhere)."""
+        from photon_spark.query.executor import Index
+        from photon_spark.query.hot import HotIndex
+
+        old = self.search_api.backend
+        if isinstance(old, HotIndex):
+            self.search_api.backend = HotIndex(
+                self.index_dir,
+                synonyms=getattr(old, "synonyms", None),
+            )
+        else:
+            self.search_api.backend = Index(
+                self.spark,
+                self.index_dir,
+                cache=getattr(old, "cache_enabled", True),
+                synonyms=getattr(old, "synonyms", None),
+            )
+        release = getattr(old, "release", None)
+        if release is not None:
+            release()
+
     def wait(self, timeout: float | None = None) -> None:
         if self._thread is not None:
             self._thread.join(timeout)
+
+
+class ShardedUpdateAPI(UpdateAPI):
+    """/nominatim-update over a multi-shard deployment: route each
+    CDC row to its owning shard (OpenSearch id-routing analog,
+    :mod:`photon_spark.index.sharding`), apply_updates per touched
+    shard, then swap a fresh :class:`ShardedHotIndex` into serving.
+
+    Requires the shards to have been built with the SAME routing rule
+    (sharding.shard_corpus) — otherwise a delete/modify could miss the
+    shard that actually holds the doc. The router cannot verify that
+    cheaply, so it is a documented contract, same as OpenSearch's
+    requirement that routing never changes after index creation."""
+
+    def __init__(self, spark, shard_dirs: list[str], updates_reader,
+                 search_api=None):
+        super().__init__(spark, shard_dirs[0], updates_reader,
+                         search_api=search_api)
+        self.shard_dirs = list(shard_dirs)
+
+    def _apply(self, batch) -> dict:
+        from pyspark.sql import functions as F
+
+        from photon_spark.index.sharding import shard_col
+        from photon_spark.index.updater import apply_updates
+
+        n = len(self.shard_dirs)
+        routed = batch.withColumn("_shard", shard_col(n)).persist()
+        try:
+            touched = sorted(
+                r["_shard"]
+                for r in routed.select("_shard").distinct().collect()
+            )
+            per_shard: dict[int, dict] = {}
+            total_added = total_removed = 0
+            for i in touched:
+                res = apply_updates(
+                    self.spark, self.shard_dirs[i],
+                    routed.filter(F.col("_shard") == i).drop("_shard"),
+                )
+                per_shard[i] = res
+                total_added += res.get("n_added", 0)
+                total_removed += res.get("n_removed", 0)
+        finally:
+            routed.unpersist()
+        return {
+            "n_added": total_added,
+            "n_removed": total_removed,
+            "shards": {str(i): per_shard[i] for i in per_shard},
+        }
+
+    def _reopen(self) -> None:
+        from photon_spark.query.sharded import ShardedHotIndex
+
+        old = self.search_api.backend
+        self.search_api.backend = ShardedHotIndex(
+            self.shard_dirs, synonyms=getattr(old, "synonyms", None)
+        )

@@ -137,6 +137,44 @@ def build_deletion_index(
     return spark.read.parquet(os.path.join(index_dir, "deletions")).count()
 
 
+def extend_deletion_index(
+    spark: SparkSession, index_dir: str, new_terms
+) -> int:
+    """Append delete-variants for terms newly introduced by a delta
+    segment (``new_terms``: DataFrame[field, term]) — without this,
+    a freshly upserted doc whose name terms are new to the index is
+    unreachable through the deletion-route fuzzy branch until the
+    next compaction rebuild (build_deletion_index), because
+    fuzzy_candidates would find no variant row for it.
+
+    Uses the parameters the table was built with (same max_deletes /
+    field set / length cap, from ``_meta.json``), so the extended
+    table keeps the SymSpell superset guarantee uniform. Appends are
+    tolerated to contain rows duplicating a future rebuild —
+    fuzzy_candidates dedupes terms — and the compaction rebuild
+    compacts them away. No-op (returns 0) when the index has no
+    deletions table. Returns the variant rows appended."""
+    meta = read_deletion_meta(index_dir)
+    if meta is None:
+        return 0
+    terms = (
+        new_terms.filter(F.col("field").isin(list(meta["fields"])))
+        .select("field", "term")
+        .distinct()
+    )
+    out = terms.mapInArrow(
+        _variant_batches(meta["max_deletes"]),
+        "field string, variant string, term string",
+    ).persist()
+    n = out.count()
+    if n:
+        out.write.mode("append").partitionBy("field").parquet(
+            os.path.join(index_dir, "deletions")
+        )
+    out.unpersist()
+    return n
+
+
 def read_deletion_meta(index_dir: str) -> dict | None:
     """Parameters the deletions table was built with, or None if the
     table (or its meta — older builds) is absent."""

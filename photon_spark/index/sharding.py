@@ -1,0 +1,57 @@
+"""Document→shard routing for the multi-shard deployment.
+
+The reference's production index is sharded and OpenSearch routes a
+document to its shard by hash of the document ``_id``
+(reference: Server.java:139 — 5 shards; OpenSearch default routing
+``shard = hash(_id) % n``). Our document identity for the update
+plane is (repo, path) — the key :func:`apply_updates` resolves
+newest-op-wins over — so the canonical router hashes exactly that.
+
+The rule must have a BIT-IDENTICAL Python twin (the HTTP update
+router runs driver-side on small CDC batches; corpus sharding at
+build time runs as a Spark column), so it is defined over the last
+15 hex chars (60 bits) of sha256(repo \\x00 path):
+
+    shard = int(sha256(repo + "\\x00" + path).hexdigest()[-15:], 16) % n
+
+Both implementations below are pinned against each other in
+tests/test_sharded.py. Any disjoint split yields rank-identical
+sharded serving (query/sharded.py's DFS identity); THIS split is
+additionally update-stable: an upsert or delete for (repo, path)
+always routes to the shard that owns the doc, so cross-shard
+duplicates are impossible — the property OpenSearch's id-routing
+provides and ad-hoc splits do not.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, functions as F
+
+_SEP = "\x00"
+_HEX_TAIL = 15  # 60 bits — exact in int64 arithmetic on both engines
+
+
+def shard_of(repo: str, path: str, n_shards: int) -> int:
+    """Driver-side twin of :func:`shard_col`."""
+    h = hashlib.sha256(f"{repo}{_SEP}{path}".encode("utf-8")).hexdigest()
+    return int(h[-_HEX_TAIL:], 16) % n_shards
+
+
+def shard_col(n_shards: int, repo_col: str = "repo", path_col: str = "path"):
+    """Spark column computing the shard id of each row (JVM-side,
+    whole-stage codegen — sha2 + conv + pmod, no UDF)."""
+    h = F.sha2(F.concat_ws(_SEP, F.col(repo_col), F.col(path_col)), 256)
+    tail = F.substring(h, -_HEX_TAIL, _HEX_TAIL)
+    return F.pmod(F.conv(tail, 16, 10).cast("long"), F.lit(n_shards))
+
+
+def shard_corpus(df: DataFrame, n_shards: int) -> list[DataFrame]:
+    """Split a corpus DataFrame into n routing-consistent slices, one
+    per shard — feed each to build_index to create a shard. Returns
+    lazy filters (one scan per shard build; at real scale write once
+    partitioned by the shard column instead and build per partition).
+    """
+    sc = shard_col(n_shards)
+    return [df.filter(sc == F.lit(i)) for i in range(n_shards)]

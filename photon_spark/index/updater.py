@@ -373,6 +373,28 @@ def apply_updates(
                 index_dir,
                 [(r["field"], r["term"]) for r in delta_vocab.collect()],
             )
+        # deletion-route fuzzy coverage for the NEW vocabulary: terms
+        # this segment introduces that exist nowhere in the current
+        # dictionary get their delete-variants appended, BEFORE the
+        # segment publish (same superset-first ordering as the bloom:
+        # variants for not-yet-visible terms are harmless — fuzzy
+        # expansion verifies against the dictionary — but visible
+        # terms without variants lose fuzzy recall until compaction).
+        from photon_spark.index.deletions import extend_deletion_index
+
+        existing_vocab = spark.read.parquet(
+            os.path.join(index_dir, "dictionary")
+        ).select("field", "term")
+        d_root = os.path.join(index_dir, "dictionary_delta")
+        if os.path.isdir(d_root):
+            existing_vocab = existing_vocab.unionByName(
+                spark.read.parquet(d_root).select("field", "term")
+            )
+        extend_deletion_index(
+            spark, index_dir,
+            delta_vocab.join(existing_vocab, ["field", "term"], "left_anti"),
+        )
+
         bloom_path = os.path.join(index_dir, BLOOM_FILE)
         if folded is None and os.path.exists(bloom_path):
             # the fold could not run (canary/scheme mismatch in THIS

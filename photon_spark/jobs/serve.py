@@ -204,7 +204,7 @@ def _drop_box_reader(spark, updates_dir: str):
 
 
 def serve(
-    index_dir: str,
+    index_dir: str | None,
     port: int = 2322,
     backend: str = "hot",
     master: str | None = None,
@@ -219,6 +219,7 @@ def serve(
     updates_dir: str | None = None,
     synonym_file: str | None = None,
     ip: str = "0.0.0.0",
+    shard_dirs: list[str] | None = None,
 ) -> ThreadingHTTPServer:
     """Build the server (bound, not yet serving) — callers run
     ``serve_forever()``; tests drive it on port 0 in a thread.
@@ -226,7 +227,14 @@ def serve(
     ``synonym_file``: JSON with ``search_synonyms`` /
     ``classification_terms`` (the -synonym-file server option,
     ApiServerConfig.java:64-67 / ConfigSynonyms.java) — loaded at
-    server start, applied at query time only."""
+    server start, applied at query time only.
+
+    ``shard_dirs``: serve a multi-shard deployment (the reference's
+    5-shard production shape, Server.java:139) — one ShardedHotIndex
+    over the given shard index dirs, rank-identical to a single index
+    over the union corpus. Hot backend only (the coordinator IS the
+    hot plane); with ``updates_dir``, CDC rows route to their owning
+    shard by the id-hash rule (index/sharding.py)."""
     synonyms = None
     if synonym_file is not None:
         from photon_spark.query.synonyms import Synonyms
@@ -234,7 +242,21 @@ def serve(
         with open(synonym_file) as f:
             synonyms = Synonyms(json.load(f))
     spark = None
-    if backend == "hot":
+    if shard_dirs:
+        if index_dir is not None:
+            raise ValueError("pass either index_dir or shard_dirs, not both")
+        if backend != "hot":
+            raise ValueError(
+                "sharded serving is hot-plane only (the Spark backend "
+                "serves a single index; shard with one coordinator per "
+                "query node instead)"
+            )
+        from photon_spark.query.sharded import ShardedHotIndex
+
+        eng = ShardedHotIndex(shard_dirs, synonyms=synonyms)
+    elif index_dir is None:
+        raise ValueError("one of index_dir / shard_dirs is required")
+    elif backend == "hot":
         from photon_spark.query.hot import HotIndex
 
         eng = HotIndex(index_dir, synonyms=synonyms)
@@ -267,11 +289,20 @@ def serve(
             from photon_spark.session import get_spark
 
             spark = get_spark(master=master, app_name="photon_spark_serve")
-        update_api = UpdateAPI(
-            spark, index_dir,
-            _drop_box_reader(spark, updates_dir),
-            search_api=api,
-        )
+        if shard_dirs:
+            from photon_spark.api import ShardedUpdateAPI
+
+            update_api = ShardedUpdateAPI(
+                spark, shard_dirs,
+                _drop_box_reader(spark, updates_dir),
+                search_api=api,
+            )
+        else:
+            update_api = UpdateAPI(
+                spark, index_dir,
+                _drop_box_reader(spark, updates_dir),
+                search_api=api,
+            )
 
     handler = type(
         "_BoundHandler",
@@ -290,7 +321,13 @@ def serve(
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--index", required=True)
+    p.add_argument("--index", default=None)
+    p.add_argument(
+        "--shard-dir", action="append", default=None, dest="shard_dirs",
+        help="shard index dir (repeatable); serve all shards as one "
+             "rank-identical coordinator (Server.java:139 5-shard shape). "
+             "Mutually exclusive with --index; hot backend only",
+    )
     p.add_argument("--port", type=int, default=2322)
     p.add_argument("--ip", default="0.0.0.0",
                    help="bind address (-listen-ip, ApiServerConfig.java:21)")
@@ -321,8 +358,13 @@ def main(argv: list[str] | None = None) -> int:
         cors_any=args.cors_any, cors_origins=args.cors_origin,
         enable_metrics=args.metrics, updates_dir=args.updates_dir,
         synonym_file=args.synonym_file, ip=args.ip,
+        shard_dirs=args.shard_dirs,
     )
-    print(json.dumps({"listening": srv.server_address[1], "index": args.index, "backend": args.backend}))
+    print(json.dumps({
+        "listening": srv.server_address[1],
+        "index": args.index if args.shard_dirs is None else args.shard_dirs,
+        "backend": args.backend,
+    }))
     try:
         srv.serve_forever()
     except KeyboardInterrupt:

@@ -880,3 +880,66 @@ class HotIndex(OracleIndex):
         """Import-time geometry flag (DatabaseProperties analog);
         absent in pre-flag meta.json files → True."""
         return bool(self.meta.get("support_geometries", True))
+
+    def resident_bytes(self) -> dict:
+        """Measured RAM footprint of the node-resident hot set — the
+        numbers behind the scale model's claim "per-shard docs
+        metadata resident, postings O(Σ df) stay on disk". Deep
+        ``sys.getsizeof`` walk over the resident structures plus numpy
+        ``nbytes``; memo entries are whatever the serving history
+        populated (call after warm-up for a steady-state reading).
+        The memos are CAPPED (MAX_POSTING_MEMO entries, clear-all
+        eviction in _prefetch_postings; _fuzzy_cache clears past 100k
+        entries), so the unbounded term dimension never grows the
+        resident set past the cap — only the docs projection scales
+        with shard size, which is what sharding divides."""
+        import sys
+
+        import numpy as np
+
+        def _deep(obj) -> int:
+            seen: set[int] = set()
+            stack = [obj]
+            total = 0
+            while stack:
+                o = stack.pop()
+                oid = id(o)
+                if oid in seen:
+                    continue
+                seen.add(oid)
+                if isinstance(o, np.ndarray):
+                    total += o.nbytes + sys.getsizeof(o, 0)
+                    continue
+                total += sys.getsizeof(o, 0)
+                if isinstance(o, dict):
+                    stack.extend(o.keys())
+                    stack.extend(o.values())
+                elif isinstance(o, (list, tuple, set, frozenset)):
+                    stack.extend(o)
+            return total
+
+        dv = sum(
+            int(a.nbytes)
+            for a in (self._dv_live, self._dv_imp, self._dv_other, self._dv_sha)
+        )
+        bloom = 0
+        if self._bloom is not ... and self._bloom is not None:
+            bloom = int(self._bloom.bits.nbytes)
+        with self._memo_lock:
+            out = {
+                "docs_projection_bytes": _deep(self.docs),
+                "doc_value_arrays_bytes": dv,
+                "posting_memo_bytes": _deep(self._arr_memo) + _deep(self._post_memo),
+                "posting_memo_entries": len(self._arr_memo),
+                "fuzzy_cache_bytes": _deep(self._fuzzy_cache),
+                "bloom_bytes": bloom,
+                "n_docs": self.n_docs,
+            }
+        out["total_bytes"] = (
+            out["docs_projection_bytes"]
+            + out["doc_value_arrays_bytes"]
+            + out["posting_memo_bytes"]
+            + out["fuzzy_cache_bytes"]
+            + out["bloom_bytes"]
+        )
+        return out

@@ -234,3 +234,118 @@ def test_synonym_file_option(index_dir, tmp_path):
         assert feats and all(f["properties"]["lang"] == "python" for f in feats)
     finally:
         srv.shutdown()
+
+
+def test_sharded_serve_http_with_update(spark, corpus, tmp_path):
+    """VERDICT r4 #6: the reference's multi-shard deployment shape
+    end-to-end over HTTP — 3 shards built with the id-routing rule,
+    served by one coordinator, rank-identical to a single index over
+    the union corpus; then a CDC cycle through /nominatim-update that
+    touches multiple shards (add + modify + delete) and must equal a
+    fresh single index over the post-update logical corpus."""
+    import os
+    import time
+
+    from photon_spark.index.build import build_index
+    from photon_spark.index.sharding import shard_corpus, shard_of
+    from photon_spark.query.hot import HotIndex
+
+    base_pdf = corpus.head(60)
+    df = spark.createDataFrame(base_pdf)
+    dirs = []
+    for i, sl in enumerate(shard_corpus(df, 3)):
+        out = str(tmp_path / f"shard{i}")
+        build_index(spark, sl, out)
+        dirs.append(out)
+    single = str(tmp_path / "single")
+    build_index(spark, df, single)
+
+    box = str(tmp_path / "box")
+    os.makedirs(box)
+    srv = serve(None, port=0, shard_dirs=dirs, updates_dir=box, master=None)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+
+    def _hits(q, limit=8):
+        _, _, body = _get(f"{base}/api?q={q.replace(' ', '+')}&limit={limit}")
+        return [
+            (f["properties"]["doc_id"], f["properties"]["score"])
+            for f in json.loads(body)["features"]
+        ]
+
+    def _ref_hits(idx_dir, q, limit=8):
+        eng = HotIndex(idx_dir)
+        return [
+            (h["doc_id"], round(float(h["score"]), 6))
+            for h in eng.search(q, k=limit)
+        ]
+
+    try:
+        # status reports the shard fan-in
+        _, _, body = _get(f"{base}/status")
+        st = json.loads(body)
+        assert st["n_shards"] == 3 and st["n_docs"] == 60
+
+        for q in ("return license", "parse config value", "retry"):
+            assert _hits(q) == _ref_hits(single, q), q
+
+        # one CDC batch spanning shards: brand-new doc, modify an
+        # existing doc, delete another (rows chosen from ≥2 shards)
+        rows = list(base_pdf.itertuples())
+        mod, dele = rows[0], next(
+            r for r in rows[1:]
+            if shard_of(r.repo, r.path, 3) != shard_of(rows[0].repo, rows[0].path, 3)
+        )
+        batch = [
+            ("upsert", "rNew", "zz_shardfresh.txt", "c1", "en",
+             "zzshardfresh unique sharded serving content", 9),
+            ("upsert", mod.repo, mod.path, "c2", mod.lang,
+             mod.content + " zzshardmodified", 9),
+            ("delete", dele.repo, dele.path, dele.commit, dele.lang, "", 9),
+        ]
+        spark.createDataFrame(
+            batch,
+            "op string, repo string, path string, commit string, "
+            "lang string, content string, ts long",
+        ).toPandas().to_parquet(os.path.join(box, "batch1.parquet"))
+        code, _, body = _get(f"{base}/nominatim-update")
+        assert code == 200
+        for _ in range(90):
+            _, _, stt = _get(f"{base}/nominatim-update/status")
+            if stt == "OK":
+                break
+            time.sleep(1.0)
+        assert stt == "OK"
+
+        # post-update logical corpus → fresh single index
+        post = base_pdf[
+            ~((base_pdf["repo"] == dele.repo) & (base_pdf["path"] == dele.path))
+        ].copy()
+        mod_mask = (post["repo"] == mod.repo) & (post["path"] == mod.path)
+        post.loc[mod_mask, "content"] = mod.content + " zzshardmodified"
+        # UPDATES_DDL carries no importance → apply_updates assigns 0.0
+        # to upserted docs; mirror that in the rebuilt twin
+        post.loc[mod_mask, "importance"] = 0.0
+        import pandas as pd
+
+        post = pd.concat(
+            [post, pd.DataFrame([{
+                "repo": "rNew", "path": "zz_shardfresh.txt", "commit": "c1",
+                "lang": "en",
+                "content": "zzshardfresh unique sharded serving content",
+                "importance": 0.0,
+            }])],
+            ignore_index=True,
+        )[list(base_pdf.columns)]
+        single2 = str(tmp_path / "single2")
+        build_index(spark, spark.createDataFrame(post), single2)
+
+        assert _hits("zzshardfresh") == _ref_hits(single2, "zzshardfresh")
+        assert _hits("zzshardmodified") == _ref_hits(single2, "zzshardmodified")
+        for q in ("return license", "retry"):
+            assert _hits(q) == _ref_hits(single2, q), q
+        _, _, body = _get(f"{base}/status")
+        assert json.loads(body)["n_docs"] == 60  # 60 - 1 + 1 ... +1 new -1 deleted
+    finally:
+        srv.shutdown()

@@ -139,3 +139,24 @@ def test_sharded_grounding_surfaces(sharded, oracle):
     assert st["support_geometries"] is True
     hit = sharded.search("parse config value", k=1)[0]
     assert hit.get("commit")
+
+
+def test_shard_routing_twins(spark, corpus):
+    """index/sharding.py: the Spark shard_col and the Python shard_of
+    agree bit-identically on real (repo, path) pairs, and
+    shard_corpus slices are a disjoint cover."""
+    from photon_spark.index.sharding import shard_col, shard_corpus, shard_of
+
+    df = spark.createDataFrame(corpus.head(120))
+    got = {
+        (r["repo"], r["path"]): r["s"]
+        for r in df.select("repo", "path", shard_col(3).alias("s")).collect()
+    }
+    assert got  # non-empty
+    for (repo, path), s in got.items():
+        assert shard_of(repo, path, 3) == s
+
+    slices = shard_corpus(df, 3)
+    counts = [sl.count() for sl in slices]
+    assert sum(counts) == df.count()
+    assert all(c > 0 for c in counts)  # 120 docs spread over 3 shards

@@ -491,3 +491,45 @@ def test_apply_updates_rejects_old_format_major(spark, tmp_path_factory):
         apply_updates(spark, out, batch)
     # no delta segment was written against the incompatible base
     assert not os.path.exists(os.path.join(out, "postings_delta"))
+
+
+def test_update_extends_deletion_fuzzy_route(spark, tmp_path_factory):
+    """A brand-new term introduced by apply_updates must be reachable
+    through the deletion-route fuzzy branch immediately (not only
+    after compaction): the updater appends delete-variants for the
+    genuinely-new vocabulary before the segment publish."""
+    import os
+
+    from photon_spark.corpus import generate_code_files
+    from photon_spark.index.build import build_index
+    from photon_spark.query.hot import HotIndex
+
+    out = str(tmp_path_factory.mktemp("delext")) + "/idx"
+    build_index(
+        spark, spark.createDataFrame(generate_code_files(n_files=25, seed=9)), out
+    )
+    assert os.path.isdir(os.path.join(out, "deletions"))
+    apply_updates(
+        spark, out,
+        spark.createDataFrame(
+            [("upsert", "rF", "qqfreshterm_doc.txt", "c7", "en",
+              "qqfreshterm unique fuzzy body", 1)],
+            UPDATES_DDL,
+        ),
+        auto_merge=False,
+    )
+    hot = HotIndex(out)
+    # the deletion route must be what answers (meta covers e=1) …
+    assert hot._deletion_route_ok("name", "qqfreshterw", 1)
+    cands = hot.fuzzy_candidates("name", "qqfreshterw", 1, 1)
+    assert "qqfreshterm" in cands
+    # … and the whole-name field got its folded term's variants too
+    assert "qqfreshtermdoc" in hot.fuzzy_candidates(
+        "name_full", "qqfreshtermdoX", 1, 1
+    )
+    # end-to-end typo query must hit the fresh doc
+    hits = hot.search("qqfreshterw", k=3)
+    assert hits and hits[0]["path"] == "qqfreshterm_doc.txt"
+    # the Spark executor shares the route
+    idx = Index(spark, out, cache=False)
+    assert "qqfreshterm" in idx.fuzzy_candidates("name", "qqfreshterw", 1, 1)
