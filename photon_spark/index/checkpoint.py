@@ -57,6 +57,21 @@ from photon_spark.index.build import (
 DEFAULT_N_GROUPS = 8
 
 
+def _stage_seconds(marks: list[dict]) -> dict[str, float]:
+    """Sum lineage-mark walls per logical stage; the per-group encode
+    marks (grp_0..grp_{G-1}) roll up under "postings". Wall seconds
+    here are per-stage task time as marked, not wall-clock overlap —
+    grp groups run through a thread pool, so their sum can exceed the
+    build's elapsed wall."""
+    out: dict[str, float] = {}
+    for m in marks:
+        if "wall_s" not in m:
+            continue
+        stage = "postings" if m["stage"].startswith("grp_") else m["stage"]
+        out[stage] = round(out.get(stage, 0.0) + float(m["wall_s"]), 3)
+    return out
+
+
 class _State:
     """Durable per-stage checkpoint marks under ``<out>/_state``."""
 
@@ -354,6 +369,10 @@ def build_index_resumable(
         "support_geometries": bool(import_geometry),
         "build_seconds": elapsed,
         "files_per_sec": n_input / elapsed if elapsed > 0 else None,
+        # per-stage wall summary off the same lineage marks (grp_G
+        # rolls up under "postings"); the scale benches compare these
+        # across input sizes to name any super-linear stage
+        "stage_seconds": _stage_seconds(marks),
         "next_ord": n_docs,
         "resumable": True,
     }

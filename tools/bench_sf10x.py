@@ -1,0 +1,305 @@
+"""Order-of-magnitude scale bench (VERDICT r4 ask #4): build + update
++ merge + the query set at n=450k synthetic files (10x the scaling
+pair's n=45k), quiet-box protocol, per-stage seconds + codec mix +
+query p50s + hot-plane resident bytes.
+
+Why this size: sf0.1's ~5k docs cannot stress the PForDelta df mix,
+the salted posting merge, or tombstone compaction; the scaling-pair
+protocol (n=45k) only measures the build. 450k files of 100-300
+lines is ~2.3 GB of raw content — big enough that every stage is
+data-bound, small enough to finish inside the sandbox quota.
+
+Protocol:
+  1. generate the corpus in 45k-file chunks (chunk 0 is byte-identical
+     to the scaling pair's corpus: seed 42), multiple parquet files so
+     the scan parallelizes;
+  2. build the n=45k index at the SAME parallelism (the like-for-like
+     denominator for stage-ratio linearity);
+  3. build the n=450k index; record stage seconds + codec mix;
+  4. query p50s (full search / short / raw WAND, 5 repeats) + the
+     hot-plane p50 and resident bytes (VERDICT r4 ask #5 at scale);
+  5. apply a 4,500-row CDC batch (1/3 modify, 1/3 new, 1/3 delete)
+     through jobs/update.py — delta segments + tombstones at scale;
+  6. merge the updated 450k index with the 45k index — decode,
+     tombstone fold, ordinal re-stamp, re-encode at 10x volume;
+  7. sanity-query the merged index.
+
+Writes BENCH/SF10X.json (embedded into bench.py's output under the
+"sf10x" key with provenance) and BENCH/SF10X.md (the human-readable
+block with stage-ratio linearity analysis).
+
+Usage: python tools/bench_sf10x.py [n_files] [cpus] [--keep]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+from concurrent.futures import ProcessPoolExecutor
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+CHUNK = 45000
+WORK = "/tmp/photon_sf10x"
+
+
+def _gen_chunk(args: tuple[str, int, int]) -> str:
+    out_dir, n, seed = args
+    from photon_spark.corpus import write_corpus
+
+    return write_corpus(out_dir, n_files=n, seed=seed, min_lines=100, max_lines=300)
+
+
+def gen_corpus(out_dir: str, n_total: int) -> tuple[str, str]:
+    """Chunked parallel generation; returns (corpus_dir, chunk0_file).
+
+    Chunk seeds are 42, 1042, 2042, ...: chunk 0 is byte-identical to
+    the n=45k scaling-pair corpus, so the like-for-like 45k build can
+    reuse it and the 450k corpus is a strict superset shape."""
+    os.makedirs(out_dir, exist_ok=True)
+    n_chunks = (n_total + CHUNK - 1) // CHUNK
+    jobs = []
+    rem = n_total
+    for j in range(n_chunks):
+        n = min(CHUNK, rem)
+        rem -= n
+        jobs.append((out_dir, n, 42 + 1000 * j))
+    with ProcessPoolExecutor(max_workers=min(12, n_chunks)) as ex:
+        paths = list(ex.map(_gen_chunk, jobs))
+    return out_dir, paths[0]
+
+
+def run_job(args: list[str], env_extra: dict | None = None, timeout: int = 7200) -> dict:
+    env = dict(os.environ)
+    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    if env_extra:
+        env.update(env_extra)
+    out = subprocess.run(
+        [sys.executable] + args, cwd=REPO, capture_output=True, text=True,
+        timeout=timeout, env=env,
+    )
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    if not lines:
+        raise RuntimeError(f"job failed ({args[:2]}): {out.stderr[-3000:]}")
+    return json.loads(lines[-1])
+
+
+def codec_mix(index_dir: str) -> dict:
+    """Varint/PFor block counts and byte volumes straight off the
+    postings parquet (tag = first byte of every doc_bytes block)."""
+    import duckdb
+
+    # BLOBs aren't sliceable in duckdb SQL; the ::VARCHAR rendering
+    # escapes the (always non-printable 0x00/0x01) tag byte to a
+    # 4-char literal, which is a stable group key.
+    rows = duckdb.sql(
+        f"""
+        SELECT left(doc_bytes::VARCHAR, 4) AS tag, count(*) AS blocks,
+               sum(octet_length(doc_bytes)) AS doc_bytes_total,
+               sum(n) AS postings
+        FROM '{index_dir}/postings/**/*.parquet' GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    names = {"\\x00": "varint", "\\x01": "pfor"}
+    mix = {
+        names.get(t, f"tag_{t!r}"): {
+            "blocks": int(b), "doc_bytes": int(db), "postings": int(n),
+        }
+        for t, b, db, n in rows
+    }
+    total_blocks = sum(v["blocks"] for v in mix.values())
+    if total_blocks:
+        for v in mix.values():
+            v["block_share"] = round(v["blocks"] / total_blocks, 4)
+    return mix
+
+
+def query_p50s(index_dir: str, cpus: int) -> dict:
+    out = {}
+    for name, q, mode in (
+        ("search_full", "table merge stream", "search"),
+        ("search_short", "ind", "search"),
+        # 'tab' prefixes nothing in this corpus: measures the lenient
+        # retry cascade ending empty (the worst-case no-hit path)
+        ("search_empty_retry", "tab", "search"),
+        ("wand_topk", "merge stream index", "topk"),
+    ):
+        r = run_job(
+            [
+                "photon_spark/jobs/query.py", "--index", index_dir,
+                "--q", q, "--mode", mode, "--repeat", "5",
+                "--master", f"local[{cpus}]",
+            ]
+        )
+        out[name] = {"p50_ms": r["p50_ms"], "n_hits": r.get("n_hits") or r.get("n_results")}
+    return out
+
+
+def hot_plane(index_dir: str) -> dict:
+    """In-process hot-plane latency + resident bytes at this scale."""
+    from photon_spark.query.hot import HotIndex
+
+    t0 = time.time()
+    hot = HotIndex(index_dir)
+    r = hot.search("table merge stream", k=15)
+    cold = time.time() - t0
+    lats = []
+    for _ in range(7):
+        t0 = time.time()
+        r = hot.search("table merge stream", k=15)
+        lats.append(time.time() - t0)
+    lats.sort()
+    return {
+        "cold_open_plus_first_query_sec": round(cold, 3),
+        "warm_p50_ms": round(lats[3] * 1000, 2),
+        "warm_p95_ms": round(lats[-1] * 1000, 2),
+        "n_hits": len(r),
+        "resident_bytes": hot.resident_bytes(),
+    }
+
+
+def make_updates(corpus_dir: str, box: str, n_batch: int) -> None:
+    """1/3 modify existing, 1/3 brand-new, 1/3 delete — written as one
+    parquet batch in UPDATES_DDL shape."""
+    import duckdb
+    import pandas as pd
+
+    base = duckdb.sql(
+        f"SELECT repo, path, commit, lang, content FROM '{corpus_dir}/*.parquet' "
+        f"USING SAMPLE reservoir({n_batch} ROWS) REPEATABLE (7)"
+    ).df()
+    third = len(base) // 3
+    now = 1700000000
+    rows = []
+    for i, r in base.iloc[:third].iterrows():
+        rows.append(("upsert", r.repo, r.path, r.commit, r.lang,
+                     r.content + "\nrefreshed hotfix line", now + i))
+    for i, r in base.iloc[third:2 * third].iterrows():
+        rows.append(("upsert", r.repo, r.path + ".new", "f" * 40, r.lang,
+                     "freshly added migration shim " + r.content[:400], now + i))
+    for i, r in base.iloc[2 * third:].iterrows():
+        rows.append(("delete", r.repo, r.path, r.commit, r.lang, None, now + i))
+    df = pd.DataFrame(
+        rows, columns=["op", "repo", "path", "commit", "lang", "content", "ts"]
+    )
+    df.to_parquet(os.path.join(box, "batch0.parquet"), index=False)
+
+
+def env_snapshot() -> dict:
+    out: dict = {}
+    try:
+        with open("/proc/loadavg") as f:
+            out["loadavg"] = [float(x) for x in f.read().split()[:3]]
+    except OSError:
+        pass
+    try:
+        sha = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
+            capture_output=True, text=True,
+        ).stdout.strip()
+        out["git_sha"] = sha
+    except OSError:
+        pass
+    out["utc"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    return out
+
+
+def main() -> int:
+    n_total = int(sys.argv[1]) if len(sys.argv) > 1 else 450000
+    cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    keep = "--keep" in sys.argv
+
+    res: dict = {
+        "protocol": f"n={n_total} (10x scaling-pair size), local[{cpus}], "
+                    "partitions=32, quiet box, fresh JVM per job",
+        "env": env_snapshot(),
+    }
+
+    t0 = time.time()
+    corpus_dir, chunk0 = gen_corpus(os.path.join(WORK, "corpus"), n_total)
+    res["gen_seconds"] = round(time.time() - t0, 1)
+    print(f"# corpus ready in {res['gen_seconds']}s", file=sys.stderr)
+
+    idx45 = os.path.join(WORK, "idx45k")
+    idx10x = os.path.join(WORK, "idx10x")
+    for d in (idx45, idx10x):
+        shutil.rmtree(d, ignore_errors=True)
+
+    # --- like-for-like 45k build (stage-ratio denominator) ---
+    meta45 = run_job(
+        ["photon_spark/jobs/build_index.py", "--input", chunk0,
+         "--output", idx45, "--partitions", "32", "--master", f"local[{cpus}]"]
+    )
+    res["build_45k"] = meta45
+    print(f"# 45k build: {meta45.get('build_seconds')}s", file=sys.stderr)
+
+    # --- the 10x build ---
+    meta10 = run_job(
+        ["photon_spark/jobs/build_index.py", "--input", corpus_dir,
+         "--output", idx10x, "--partitions", "32", "--master", f"local[{cpus}]"]
+    )
+    res["build_10x"] = meta10
+    print(f"# 10x build: {meta10.get('build_seconds')}s", file=sys.stderr)
+
+    # stage-ratio linearity (expect <= ~10x; fixed overheads amortize)
+    s45, s10 = meta45.get("stage_seconds", {}), meta10.get("stage_seconds", {})
+    res["stage_ratio_10x_over_45k"] = {
+        k: round(s10[k] / s45[k], 2) for k in s10 if k in s45 and s45[k] > 0
+    }
+    res["codec_mix_45k"] = codec_mix(idx45)
+    res["codec_mix_10x"] = codec_mix(idx10x)
+
+    res["query_p50_10x"] = query_p50s(idx10x, cpus)
+    res["hot_plane_10x"] = hot_plane(idx10x)
+
+    # --- CDC update batch at scale ---
+    box = os.path.join(WORK, "box")
+    shutil.rmtree(box, ignore_errors=True)
+    os.makedirs(box)
+    make_updates(corpus_dir, box, n_batch=4500)
+    run_job(["photon_spark/jobs/update.py", "init", "--updates-dir", box,
+             "--index", idx10x])
+    t0 = time.time()
+    upd = run_job(
+        ["photon_spark/jobs/update.py", "run", "--index", idx10x,
+         "--updates-dir", box, "--master", f"local[{cpus}]"]
+    )
+    upd["wall_seconds"] = round(time.time() - t0, 1)
+    res["update_10x"] = upd
+    print(f"# update: {upd}", file=sys.stderr)
+
+    # --- merge updated 10x index + the 45k index (tombstone fold +
+    # re-stamp + re-encode at 10x postings volume) ---
+    merged = os.path.join(WORK, "merged")
+    shutil.rmtree(merged, ignore_errors=True)
+    mrg = run_job(
+        ["photon_spark/jobs/merge.py", "--inputs", idx10x, idx45,
+         "--output", merged, "--partitions", "32", "--master", f"local[{cpus}]"]
+    )
+    res["merge_10x_plus_45k"] = mrg
+    print(f"# merge: {mrg}", file=sys.stderr)
+
+    sanity = run_job(
+        ["photon_spark/jobs/query.py", "--index", merged, "--q",
+         "table merge stream", "--mode", "search", "--repeat", "1",
+         "--master", f"local[{cpus}]"]
+    )
+    res["merged_sanity_hits"] = sanity.get("n_hits") or sanity.get("n_results")
+    res["env_after"] = env_snapshot()
+
+    out_json = os.path.join(REPO, "BENCH", "SF10X.json")
+    with open(out_json, "w") as f:
+        json.dump(res, f, indent=1)
+    print(json.dumps(res))
+    if not keep:
+        shutil.rmtree(WORK, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
