@@ -68,6 +68,15 @@ def test_lineage_and_metrics_tables(spark, small_src, tmp_path_factory):
     metrics = {r["key"]: r["value"] for r in spark.read.parquet(out + "/metrics").collect()}
     assert int(metrics["n_docs"]) > 0
     assert float(metrics["files_per_sec"]) > 0
+    # per-stage wall summary (the scale benches compare these across
+    # input sizes): grp_G marks roll up under "postings"
+    import json as _json
+
+    with open(out + "/meta.json") as f:
+        stage_s = _json.load(f)["stage_seconds"]
+    assert {"docs", "runs", "postings"} <= set(stage_s)
+    assert not any(k.startswith("grp_") for k in stage_s)
+    assert all(v > 0 for v in stage_s.values())
 
 
 def test_resumable_index_is_queryable(spark, small_src, tmp_path_factory):

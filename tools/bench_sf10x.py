@@ -25,8 +25,8 @@ Protocol:
   7. sanity-query the merged index.
 
 Writes BENCH/SF10X.json (embedded into bench.py's output under the
-"sf10x" key with provenance) and BENCH/SF10X.md (the human-readable
-block with stage-ratio linearity analysis).
+"sf10x" key with provenance); the human-readable stage-ratio
+linearity analysis lives in BENCH/SF10X.md, maintained alongside.
 
 Usage: python tools/bench_sf10x.py [n_files] [cpus] [--keep]
 """
@@ -71,6 +71,13 @@ def gen_corpus(out_dir: str, n_total: int) -> tuple[str, str]:
         jobs.append((out_dir, n, 42 + 1000 * j))
     with ProcessPoolExecutor(max_workers=min(12, n_chunks)) as ex:
         paths = list(ex.map(_gen_chunk, jobs))
+    # the build reads the whole dir — evict any stale chunk from a
+    # previous run at a different size (a --keep'd smoke run would
+    # otherwise contaminate the input set)
+    want = {os.path.basename(p) for p in paths}
+    for f in os.listdir(out_dir):
+        if f.endswith(".parquet") and f not in want:
+            os.remove(os.path.join(out_dir, f))
     return out_dir, paths[0]
 
 
