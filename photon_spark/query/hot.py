@@ -460,8 +460,9 @@ class HotIndex(OracleIndex):
     # The oracle's per-doc python tree walk is exact but O(universe ×
     # tree) in the interpreter — ~200 ms for a skewed-term query over
     # a 5k-doc shard and SECONDS over a million-doc shard. This
-    # override evaluates the same tree ONCE over numpy arrays aligned
-    # to the candidate universe, with operation order preserved
+    # override evaluates the same tree ONCE over numpy arrays dense
+    # in the ordinal space (untouched ordinals masked out at the
+    # end), with operation order preserved
     # element-wise (clause maxima are order-independent; clause sums
     # fold in clause order; bool children add in declaration order;
     # dis_max masks nulls before the max exactly like Spark's
@@ -482,10 +483,27 @@ class HotIndex(OracleIndex):
         from photon_spark.query import scoring
         from photon_spark.query.plan import required_clauses
 
+        # Evaluation is DENSE over the ordinal space 0..next_ord: doc
+        # ids are ordinals into the resident doc-value arrays, so leaf
+        # postings scatter straight into nu-length lanes with no
+        # sorted-universe construction and no per-expansion
+        # searchsorted (those two were ~80% of the warm wall on a
+        # 436k-doc shard: one np.unique sort over ~5M concatenated
+        # postings + 75 log-factor index maps). Memory is 8B × nu per
+        # lane — 0.7% of the already-resident docs projection per
+        # array, so dense never changes the shard sizing story.
+        # Ordinals a query never touched are masked out by
+        # ``in_universe`` at the end, which reproduces the sparse
+        # semantics exactly: inside the universe every lane computes
+        # the identical element-wise float sequence, so scores stay
+        # bit-identical to the Spark evaluator (pinned by the identity
+        # tests + fuzz lane).
+        nu = len(self._dv_live)
+        in_universe = np.zeros(nu, dtype=bool)
+
         # ---- pass 1: leaf arrays --------------------------------
         match_leaves: dict[int, list[list[tuple]]] = {}  # nid → [clause → [(docs, s)]]
         hit_arrays: dict[int, list] = {}  # nid → [docs arrays]
-        parts: list = []
 
         def walk(n: PlanNode) -> None:
             if isinstance(n, Match):
@@ -502,7 +520,7 @@ class HotIndex(OracleIndex):
                             tfs * (scoring.K1 + 1.0) / (tfs + scoring.K1)
                         )
                         exp.append((docs, s))
-                        parts.append(docs)
+                        in_universe[docs] = True
                     clauses.append(exp)
                 match_leaves[n.node_id] = clauses
             elif isinstance(n, DisMax):
@@ -518,21 +536,20 @@ class HotIndex(OracleIndex):
                     arr = self._postings_arrays(n.filter_field, t)
                     if arr is not None and len(arr[0]):
                         arrs.append(arr[0])
-                        parts.append(arr[0])
+                        in_universe[arr[0]] = True
                 hit_arrays[n.node_id] = arrs
             elif isinstance(n, Exists):
                 arr = self._postings_arrays(FIELD_KEYWORD, n.term)
                 arrs = [arr[0]] if arr is not None and len(arr[0]) else []
                 hit_arrays[n.node_id] = arrs
-                parts.extend(arrs)
+                for a in arrs:
+                    in_universe[a] = True
 
         walk(root)
-        if not parts:
+        if not in_universe.any():
             return None
-        universe = np.unique(np.concatenate(parts))
-        nu = len(universe)
 
-        # ---- pass 2: per-node (score, matched) over the universe --
+        # ---- pass 2: per-node (score, matched) over the ordinals --
         node_sm: dict[int, tuple] = {}
         for nid, clauses in match_leaves.items():
             s_acc = np.zeros(nu)
@@ -542,8 +559,7 @@ class HotIndex(OracleIndex):
                     continue
                 cs = np.full(nu, -np.inf)
                 for docs, s in exp:
-                    idx = np.searchsorted(universe, docs)
-                    np.maximum.at(cs, idx, s)
+                    np.maximum.at(cs, docs, s)
                 mask = cs > -np.inf
                 # python folds 0.0 + max_0 + max_1 ... over PRESENT
                 # clauses per doc — same element-wise order here (the
@@ -553,13 +569,10 @@ class HotIndex(OracleIndex):
             node_sm[nid] = (s_acc, m_arr)
         hit_masks: dict[int, np.ndarray] = {}
         for nid, arrs in hit_arrays.items():
-            if arrs:
-                hits = np.unique(np.concatenate(arrs))
-                pos = np.searchsorted(hits, universe)
-                pos = np.minimum(pos, len(hits) - 1)
-                hit_masks[nid] = hits[pos] == universe
-            else:
-                hit_masks[nid] = np.zeros(nu, dtype=bool)
+            h = np.zeros(nu, dtype=bool)
+            for a in arrs:
+                h[a] = True
+            hit_masks[nid] = h
 
         # ---- pass 3: the tree, array-at-a-time --------------------
         nan = np.nan
@@ -618,10 +631,10 @@ class HotIndex(OracleIndex):
             raise TypeError(f"unknown node {n!r}")
 
         val, present = tree(root)
-        keep = present & ~np.isnan(val)
+        keep = present & ~np.isnan(val) & in_universe
         if not keep.any():
             return None
-        return universe[keep], val[keep]
+        return np.nonzero(keep)[0], val[keep]
 
     # ---------------- TermDictionary (pyarrow-backed) ----------------
 
