@@ -203,6 +203,10 @@ class HotIndex(OracleIndex):
         self.postings = _LazyPostings(self)
         self._arr_memo: dict[tuple[str, str], tuple | None] = {}
         self._post_memo: dict[tuple[str, str], dict[int, int]] = {}
+        # per-(field, term) BM25 tf-saturation arrays — pure functions
+        # of the posting tfs (idf stays OUTSIDE: sharded serving swaps
+        # in per-query global (df, N) ctx, so idf·sat can't be cached)
+        self._sat_memo: dict[tuple[str, str], object] = {}
         self._fuzzy_cache: dict[tuple, tuple[str, ...]] = {}
         # jobs/serve.py mounts a HotIndex on a THREADED http server:
         # the memo-cap eviction (prefetch's clear()) could race
@@ -281,6 +285,7 @@ class HotIndex(OracleIndex):
         if len(self._arr_memo) > self.MAX_POSTING_MEMO:
             self._arr_memo.clear()
             self._post_memo.clear()
+            self._sat_memo.clear()
         flt = (pads.field("field") == field) & pads.field("term").isin(missing)
         tables = [self._post_ds.to_table(filter=flt, columns=_POSTING_COLS)]
         if self._post_delta_ds is not None:
@@ -516,9 +521,15 @@ class HotIndex(OracleIndex):
                             continue
                         docs, tfs = arr
                         wmult = self._leaf_idf(n.field, term, docs) * mult
-                        s = wmult * (
-                            tfs * (scoring.K1 + 1.0) / (tfs + scoring.K1)
-                        )
+                        # sat(tf) is query/ctx-independent — memoized
+                        # so the warm path pays ONE scalar-array
+                        # multiply per leaf (same expression, same op
+                        # order ⇒ bit-identical scores)
+                        sat = self._sat_memo.get((n.field, term))
+                        if sat is None:
+                            sat = tfs * (scoring.K1 + 1.0) / (tfs + scoring.K1)
+                            self._sat_memo[(n.field, term)] = sat
+                        s = wmult * sat
                         exp.append((docs, s))
                         in_universe[docs] = True
                     clauses.append(exp)
@@ -558,8 +569,15 @@ class HotIndex(OracleIndex):
                 if not exp:
                     continue
                 cs = np.full(nu, -np.inf)
-                for docs, s in exp:
-                    np.maximum.at(cs, docs, s)
+                if len(exp) == 1:
+                    # docs are unique within one term's postings, so
+                    # assignment ≡ maximum.at on the fresh -inf lane
+                    # (ufunc.at is ~5× slower per element)
+                    docs, s = exp[0]
+                    cs[docs] = s
+                else:
+                    for docs, s in exp:
+                        np.maximum.at(cs, docs, s)
                 mask = cs > -np.inf
                 # python folds 0.0 + max_0 + max_1 ... over PRESENT
                 # clauses per doc — same element-wise order here (the
@@ -942,7 +960,9 @@ class HotIndex(OracleIndex):
             out = {
                 "docs_projection_bytes": _deep(self.docs),
                 "doc_value_arrays_bytes": dv,
-                "posting_memo_bytes": _deep(self._arr_memo) + _deep(self._post_memo),
+                "posting_memo_bytes": _deep(self._arr_memo)
+                + _deep(self._post_memo)
+                + _deep(self._sat_memo),
                 "posting_memo_entries": len(self._arr_memo),
                 "fuzzy_cache_bytes": _deep(self._fuzzy_cache),
                 "bloom_bytes": bloom,
