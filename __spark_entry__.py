@@ -1083,6 +1083,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["chunk_documents"] = _chunk_documents
 
+    def _repo_pack(s, d):
+        # repo-level context packing (StarCoder2/DeepSeek-Coder move:
+        # one repo's files concatenated into budget-bounded contexts)
+        from photon_spark.datapipe import sampling as sa
+
+        return sa.repo_pack(_docs(s, d), max_chars=1200)
+
+    q["repo_pack"] = _repo_pack
+
     # ---- training-data pipeline: dedup ----
     q["exact_dedup"] = lambda s, d: dd.exact_dedup(_docs(s, d))
     q["minhash_signatures"] = lambda s, d: (
@@ -2233,6 +2242,31 @@ SELECT doc_id,
        CAST(len(toks[start + 1 : start + 16]) AS BIGINT) AS n_tokens,
        coalesce(array_to_string(toks[start + 1 : start + 16], ' '), '') AS chunk_text
 FROM st"""
+
+    # repo-level context packing: same streaming-writer pack rule as
+    # pack_sequences but partitioned by the repo (source) with a
+    # per-file header, and the pack text is the ORDERED string_agg —
+    # DuckDB's ORDER BY inside the aggregate twins Spark's
+    # array_sort(collect_list(struct)) (doc_id unique ⇒ total order).
+    # CASTs keep SUM/FLOOR out of HUGEINT (see pack_sequences note).
+    o["repo_pack"] = """
+WITH base AS (
+  SELECT source AS repo, doc_id,
+         '<file:' || CAST(doc_id AS VARCHAR) || '>' || chr(10) || text || chr(10) AS c
+  FROM documents
+), cum AS (
+  SELECT repo, doc_id, c, CAST(length(c) AS BIGINT) AS n,
+         CAST(COALESCE(SUM(length(c)) OVER (
+             PARTITION BY repo ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS before
+  FROM base
+)
+SELECT repo, CAST(FLOOR(before / 1200) AS BIGINT) AS pack_id,
+       STRING_AGG(c, '' ORDER BY doc_id) AS text,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS n_chars
+FROM cum GROUP BY repo, CAST(FLOOR(before / 1200) AS BIGINT)"""
 
     # ---- dedup ----
     o["exact_dedup"] = """

@@ -224,6 +224,80 @@ def chunk_documents(
     )
 
 
+def repo_pack(
+    df: DataFrame,
+    repo_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_chars: int = 4000,
+) -> DataFrame:
+    """Repo-level context packing: concatenate a repository's files —
+    deterministic ``id_col`` order, each prefixed with a
+    ``<file:{id}>\\n`` header and newline-terminated — into training
+    contexts of ~``max_chars`` characters. This is the repo-context
+    grouping used by code-LLM pipelines (StarCoder2 / DeepSeek-Coder
+    style repo-level pretraining): files from one repo land in the
+    same context so cross-file structure is learnable, instead of the
+    corpus-shuffled packing :func:`pack_sequences` does.
+
+    A file is assigned to the pack its preceding cumulative char
+    count falls in (``pack = floor(chars_before / max_chars)`` within
+    the repo) — the same streaming-writer rule as
+    :func:`pack_sequences`: a pack may overrun by the tail of one
+    straddling file rather than re-scanning to split it. Output: one
+    row per (repo, pack_id) with the concatenated ``text``, ``n_docs``
+    and ``n_chars`` (header + body + terminator chars).
+
+    Scale (100 TB): the running total is a window PARTITIONED BY the
+    repo — repos pack in parallel and the repo is the natural bucket
+    (semantic locality is the point, so unlike pack_sequences there
+    is no freedom to re-bucket; a pathological mega-repo serializes
+    its own window, bounded by per-repo size). The concat groups are
+    budget-bounded (≤ max_chars + one straddling file), so the final
+    groupBy shuffles rows whose payload the budget caps.
+    """
+    contrib = F.concat(
+        F.lit("<file:"),
+        F.col(id_col).cast("string"),
+        F.lit(">\n"),
+        F.col(text_col),
+        F.lit("\n"),
+    )
+    base = df.select(
+        F.col(repo_col).alias("repo"),
+        F.col(id_col).alias("_id"),
+        contrib.alias("_c"),
+        F.length(contrib).cast("long").alias("_n"),
+    )
+    w = (
+        Window.partitionBy("repo")
+        .orderBy("_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("_n").over(w), F.lit(0))
+    packed = base.select(
+        "repo",
+        "_id",
+        "_c",
+        "_n",
+        F.floor(before / F.lit(max_chars)).cast("long").alias("pack_id"),
+    )
+    # ordered concat: collect (id, contrib) structs, array_sort orders
+    # by the leading id field (unique ⇒ total order), join in place —
+    # no second window pass
+    return packed.groupBy("repo", "pack_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_id", "_c"))),
+                lambda x: x["_c"],
+            ),
+            "",
+        ).alias("text"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_n").cast("long").alias("n_chars"),
+    )
+
+
 def mixture_rates(
     counts: dict[str, int], weights: dict[str, int]
 ) -> dict[str, int]:

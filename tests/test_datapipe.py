@@ -844,6 +844,58 @@ def test_pack_sequences(spark):
     )
 
 
+def test_repo_pack(spark):
+    """Repo-level context packing: files concatenate in doc_id order
+    with headers, packs respect the streaming-writer budget rule
+    (assigned by cumulative chars BEFORE the file; one straddling tail
+    may overrun), repos never mix, and the packed text reproduces a
+    per-repo python fold exactly."""
+    from photon_spark.datapipe.sampling import repo_pack
+
+    rows = [
+        (i, "x" * (30 + 7 * (i % 5)), f"repo{i % 3}") for i in range(24)
+    ] + [(100, "y" * 500, "repo0")]  # oversize straddler
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = repo_pack(df, max_chars=120).collect()
+
+    # python twin: same header, same fold
+    expect: dict = {}
+    by_repo: dict = {}
+    for i, text, repo in sorted(rows):
+        by_repo.setdefault(repo, []).append((i, text))
+    for repo, docs in by_repo.items():
+        before = 0
+        for i, text in docs:  # doc_id order
+            c = f"<file:{i}>\n{text}\n"
+            pack = before // 120
+            key = (repo, pack)
+            e = expect.setdefault(key, {"text": "", "n_docs": 0, "n_chars": 0})
+            e["text"] += c
+            e["n_docs"] += 1
+            e["n_chars"] += len(c)
+            before += len(c)
+    got = {(r["repo"], r["pack_id"]): r for r in out}
+    assert set(got) == set(expect)
+    for key, e in expect.items():
+        r = got[key]
+        assert r["text"] == e["text"], key
+        assert r["n_docs"] == e["n_docs"] and r["n_chars"] == e["n_chars"]
+    # every pack holds one repo only (by construction of the key) and
+    # pack 0 exists for every repo
+    assert all((repo, 0) in got for repo in by_repo)
+    # budget: a pack exceeds max_chars only via its LAST file's tail
+    for (repo, pack), e in expect.items():
+        if e["n_docs"] > 1:
+            last_c = None
+            # chars of the final file in this pack from the twin fold
+            for i, text in by_repo[repo]:
+                c = f"<file:{i}>\n{text}\n"
+                if e["text"].endswith(c):
+                    last_c = len(c)
+            assert last_c is not None
+            assert e["n_chars"] - last_c < 120
+
+
 def test_pii_scrub(spark):
     """Emails, IPv4s, and card-shaped digit runs are redacted with
     per-stage counts; clean text passes through untouched. The same
