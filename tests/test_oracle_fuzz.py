@@ -72,6 +72,7 @@ FUZZ_ENTRIES = [
     "top_ngrams",
     "line_dedup",
     "chunk_documents",
+    "repo_pack",
     "hashed_tfidf",
     "sparse_cosine_pairs",
     "incremental_dedup",
