@@ -488,21 +488,23 @@ class HotIndex(OracleIndex):
         from photon_spark.query import scoring
         from photon_spark.query.plan import required_clauses
 
-        # Evaluation is DENSE over the ordinal space 0..next_ord: doc
-        # ids are ordinals into the resident doc-value arrays, so leaf
-        # postings scatter straight into nu-length lanes with no
-        # sorted-universe construction and no per-expansion
-        # searchsorted (those two were ~80% of the warm wall on a
-        # 436k-doc shard: one np.unique sort over ~5M concatenated
-        # postings + 75 log-factor index maps). Memory is 8B × nu per
-        # lane — 0.7% of the already-resident docs projection per
-        # array, so dense never changes the shard sizing story.
-        # Ordinals a query never touched are masked out by
-        # ``in_universe`` at the end, which reproduces the sparse
-        # semantics exactly: inside the universe every lane computes
-        # the identical element-wise float sequence, so scores stay
-        # bit-identical to the Spark evaluator (pinned by the identity
-        # tests + fuzz lane).
+        # Evaluation lanes are COMPACT over the query's touched
+        # ordinals: pass 1 scatters each leaf's postings into one
+        # dense nu-length membership mask (no sorted-universe
+        # construction and no per-expansion searchsorted — those two
+        # were ~80% of the warm wall on a 436k-doc shard: one
+        # np.unique sort over ~5M concatenated postings + 75
+        # log-factor index maps), then a single O(nu) remap compacts
+        # the universe so every pass-2/3 lane is U = |touched docs|
+        # long, not nu. Tree evaluation therefore costs O(query
+        # posting volume), independent of shard size — a selective
+        # query over a million-doc shard pays for its own hits, not
+        # the shard (the dense-lane predecessor re-walked all nu
+        # ordinals per tree node: ~60 nu-length array ops ≈ 200 ms of
+        # pure memory traffic at 436k docs). Element-wise float
+        # sequences per touched doc are unchanged by lane compaction,
+        # so scores stay bit-identical to the Spark evaluator (pinned
+        # by the identity tests + fuzz lane).
         nu = len(self._dv_live)
         in_universe = np.zeros(nu, dtype=bool)
 
@@ -560,24 +562,32 @@ class HotIndex(OracleIndex):
         if not in_universe.any():
             return None
 
-        # ---- pass 2: per-node (score, matched) over the ordinals --
+        # compact the universe: uni is ascending (nonzero order), so
+        # the final uni[keep] preserves the dense walk's ordinal-
+        # ascending output order (the lexsort tie-break input order)
+        uni = np.nonzero(in_universe)[0]
+        U = len(uni)
+        remap = np.empty(nu, dtype=np.int64)
+        remap[uni] = np.arange(U)
+
+        # ---- pass 2: per-node (score, matched) over compact lanes --
         node_sm: dict[int, tuple] = {}
         for nid, clauses in match_leaves.items():
-            s_acc = np.zeros(nu)
-            m_arr = np.zeros(nu, dtype=np.int64)
+            s_acc = np.zeros(U)
+            m_arr = np.zeros(U, dtype=np.int64)
             for exp in clauses:  # clause order = ci ascending
                 if not exp:
                     continue
-                cs = np.full(nu, -np.inf)
+                cs = np.full(U, -np.inf)
                 if len(exp) == 1:
                     # docs are unique within one term's postings, so
                     # assignment ≡ maximum.at on the fresh -inf lane
                     # (ufunc.at is ~5× slower per element)
                     docs, s = exp[0]
-                    cs[docs] = s
+                    cs[remap[docs]] = s
                 else:
                     for docs, s in exp:
-                        np.maximum.at(cs, docs, s)
+                        np.maximum.at(cs, remap[docs], s)
                 mask = cs > -np.inf
                 # python folds 0.0 + max_0 + max_1 ... over PRESENT
                 # clauses per doc — same element-wise order here (the
@@ -587,9 +597,9 @@ class HotIndex(OracleIndex):
             node_sm[nid] = (s_acc, m_arr)
         hit_masks: dict[int, np.ndarray] = {}
         for nid, arrs in hit_arrays.items():
-            h = np.zeros(nu, dtype=bool)
+            h = np.zeros(U, dtype=bool)
             for a in arrs:
-                h[a] = True
+                h[remap[a]] = True
             hit_masks[nid] = h
 
         # ---- pass 3: the tree, array-at-a-time --------------------
@@ -599,20 +609,20 @@ class HotIndex(OracleIndex):
             """(val float64 array with NaN = the walk's None,
             present bool array) — OracleIndex._tree element-wise."""
             if isinstance(n, Match):
-                s, m = node_sm.get(n.node_id, (np.zeros(nu), np.zeros(nu, dtype=np.int64)))
+                s, m = node_sm.get(n.node_id, (np.zeros(U), np.zeros(U, dtype=np.int64)))
                 present = m >= required_clauses(n)
                 val = np.where(present, n.boost * s, nan)
                 return val, present
             if isinstance(n, Exists):
-                hit = hit_masks.get(n.node_id, np.zeros(nu, dtype=bool))
-                return np.zeros(nu), (~hit if n.negate else hit)
+                hit = hit_masks.get(n.node_id, np.zeros(U, dtype=bool))
+                return np.zeros(U), (~hit if n.negate else hit)
             if isinstance(n, DisMax):
                 ps = [tree(c) for c in n.children]
                 present = ps[0][1].copy()
                 for _, p in ps[1:]:
                     present |= p
-                best = np.full(nu, -np.inf)
-                anyval = np.zeros(nu, dtype=bool)
+                best = np.full(U, -np.inf)
+                anyval = np.zeros(U, dtype=bool)
                 for v, p in ps:
                     ok = p & ~np.isnan(v)
                     np.maximum(best, np.where(ok, v, -np.inf), out=best)
@@ -626,7 +636,7 @@ class HotIndex(OracleIndex):
                     for _, p in musts[1:]:
                         present &= p
                 else:
-                    present = np.zeros(nu, dtype=bool)
+                    present = np.zeros(U, dtype=bool)
                     for _, p in shoulds:
                         present |= p
                 total = None
@@ -636,12 +646,12 @@ class HotIndex(OracleIndex):
                     term = np.where(p & ~np.isnan(v), v, 0.0)
                     total = term if total is None else total + term
                 if total is None:
-                    return np.full(nu, nan), present
+                    return np.full(U, nan), present
                 return n.boost * total, present
             if isinstance(n, FnMul):
                 qv, qp = tree(n.query)
                 mult = n.const_weight + np.where(
-                    hit_masks.get(n.node_id, np.zeros(nu, dtype=bool)),
+                    hit_masks.get(n.node_id, np.zeros(U, dtype=bool)),
                     n.filter_weight,
                     0.0,
                 )
@@ -649,10 +659,12 @@ class HotIndex(OracleIndex):
             raise TypeError(f"unknown node {n!r}")
 
         val, present = tree(root)
-        keep = present & ~np.isnan(val) & in_universe
+        # every compact lane position IS in the universe, so the
+        # dense walk's ``& in_universe`` is implicit here
+        keep = present & ~np.isnan(val)
         if not keep.any():
             return None
-        return np.nonzero(keep)[0], val[keep]
+        return uni[keep], val[keep]
 
     # ---------------- TermDictionary (pyarrow-backed) ----------------
 
