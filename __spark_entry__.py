@@ -1092,6 +1092,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["repo_pack"] = _repo_pack
 
+    def _fim(s, d):
+        # fill-in-the-middle training transform (StarCoder/DeepSeek
+        # code-pretraining stage; Bavarian et al. 2022)
+        from photon_spark.datapipe import sampling as sa
+
+        return sa.fim_transform(_docs(s, d), rate=0.5, spm_frac=0.5)
+
+    q["fim_transform"] = _fim
+
     # ---- training-data pipeline: dedup ----
     q["exact_dedup"] = lambda s, d: dd.exact_dedup(_docs(s, d))
     q["minhash_signatures"] = lambda s, d: (
@@ -2267,6 +2276,38 @@ SELECT repo, CAST(FLOOR(before / 1200) AS BIGINT) AS pack_id,
        COUNT(*) AS n_docs,
        CAST(SUM(n) AS BIGINT) AS n_chars
 FROM cum GROUP BY repo, CAST(FLOOR(before / 1200) AS BIGINT)"""
+
+    fim_c1 = _sql_h60("'fim:c1:' || CAST(doc_id AS VARCHAR)")
+    fim_c2 = _sql_h60("'fim:c2:' || CAST(doc_id AS VARCHAR)")
+    fim_take = _sql_h60("'fim:take:' || CAST(doc_id AS VARCHAR)")
+    fim_mode = _sql_h60("'fim:mode:' || CAST(doc_id AS VARCHAR)")
+    o["fim_transform"] = f"""
+WITH base AS (
+  SELECT doc_id, text, length(text) AS n,
+         {fim_c1} % (length(text) + 1) AS c1h,
+         {fim_c2} % (length(text) + 1) AS c2h,
+         {fim_take} % 10000 AS taked,
+         {fim_mode} % 10000 AS moded
+  FROM documents
+), cut AS (
+  SELECT doc_id, text, n, least(c1h, c2h) AS c1, greatest(c1h, c2h) AS c2,
+         taked, moded
+  FROM base
+)
+SELECT doc_id,
+       CASE WHEN taked >= 5000 THEN 'plain'
+            WHEN moded < 5000 THEN 'spm' ELSE 'psm' END AS mode,
+       CASE WHEN taked >= 5000 THEN text
+            WHEN moded < 5000 THEN
+              '<fim_suffix>' || substr(text, c2 + 1, n - c2)
+              || '<fim_prefix>' || substr(text, 1, c1)
+              || '<fim_middle>' || substr(text, c1 + 1, c2 - c1)
+            ELSE
+              '<fim_prefix>' || substr(text, 1, c1)
+              || '<fim_suffix>' || substr(text, c2 + 1, n - c2)
+              || '<fim_middle>' || substr(text, c1 + 1, c2 - c1)
+       END AS fim_text
+FROM cut"""
 
     # ---- dedup ----
     o["exact_dedup"] = """

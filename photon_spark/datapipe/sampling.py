@@ -363,3 +363,75 @@ def mixture_sample(
             t_col
         )
     return df.filter(_rate_bucket(id_col, salt) < t_col)
+
+
+def fim_transform(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rate: float = 0.5,
+    spm_frac: float = 0.5,
+    salt: str = "fim",
+) -> DataFrame:
+    """Fill-in-the-middle training transform (Bavarian et al. 2022,
+    "Efficient Training of Language Models to Fill in the Middle";
+    the StarCoder/DeepSeek-Coder code-pretraining stage).
+
+    A ``rate`` fraction of docs (salted-hash draw on the id — stable
+    under reruns and repartitioning, like ``hash_split``) is split at
+    two character cut points into (prefix, middle, suffix) and
+    re-serialized with sentinel tokens; the rest pass through as
+    ``mode='plain'``. Cut points are the deterministic twin of the
+    paper's uniform draws: ``c = h60(salt:cN:id) mod (len+1)`` for two
+    independent salts, then (min, max) — so 0 ≤ c1 ≤ c2 ≤ len and
+    empty spans are legal exactly as in uniform splitting. A third
+    draw picks the serialization:
+
+    * PSM: ``<fim_prefix>P<fim_suffix>S<fim_middle>M``
+    * SPM: ``<fim_suffix>S<fim_prefix>P<fim_middle>M``
+      (``spm_frac`` of transformed docs; the joint-ordering variant)
+
+    Character-level splitting (the paper's context-level FIM applied
+    before tokenization); both engines count code points, so the
+    split is unicode-exact.
+
+    Scale (100 TB): a narrow all-JVM projection — three md5 draws on
+    the ID (never the text), three substrings, one concat; no
+    shuffle, no UDF, text bytes stay in place.
+    """
+    take = int(round(rate * _RATE_DENOM))
+    spm = int(round(spm_frac * _RATE_DENOM))
+    n = F.length(F.col(text_col))
+    c1h = _md5_h60(
+        F.concat_ws(":", F.lit(salt + ":c1"), F.col(id_col).cast("string"))
+    ) % (n + F.lit(1))
+    c2h = _md5_h60(
+        F.concat_ws(":", F.lit(salt + ":c2"), F.col(id_col).cast("string"))
+    ) % (n + F.lit(1))
+    c1 = F.least(c1h, c2h)
+    c2 = F.greatest(c1h, c2h)
+    prefix = F.col(text_col).substr(F.lit(1), c1)
+    middle = F.col(text_col).substr(c1 + 1, c2 - c1)
+    suffix = F.col(text_col).substr(c2 + 1, n - c2)
+    mode = F.when(
+        _rate_bucket(id_col, salt + ":take") >= take, F.lit("plain")
+    ).otherwise(
+        F.when(_rate_bucket(id_col, salt + ":mode") < spm, F.lit("spm"))
+        .otherwise(F.lit("psm"))
+    )
+    psm = F.concat(
+        F.lit("<fim_prefix>"), prefix, F.lit("<fim_suffix>"), suffix,
+        F.lit("<fim_middle>"), middle,
+    )
+    spm_txt = F.concat(
+        F.lit("<fim_suffix>"), suffix, F.lit("<fim_prefix>"), prefix,
+        F.lit("<fim_middle>"), middle,
+    )
+    return df.select(
+        F.col(id_col),
+        mode.alias("mode"),
+        F.when(mode == "plain", F.col(text_col))
+        .when(mode == "spm", spm_txt)
+        .otherwise(psm)
+        .alias("fim_text"),
+    )

@@ -896,6 +896,61 @@ def test_repo_pack(spark):
             assert e["n_chars"] - last_c < 120
 
 
+def test_fim_transform(spark):
+    """Fill-in-the-middle transform: a python twin of the salted-hash
+    draws and code-point splitting reproduces every row exactly
+    (unicode-exact — python str slicing IS code-point slicing);
+    rate=0 passes everything through plain; rate=1 transforms all;
+    membership is repartition-stable."""
+    import hashlib
+
+    from photon_spark.datapipe.sampling import fim_transform
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    rows = [
+        (0, "def add(a, b):\n    return a + b\n"),
+        (1, ""),                               # empty: all spans empty
+        (2, "x"),                              # single char
+        (3, "über ångström naïve – ψ λ 中文"),  # multi-byte code points
+        (4, "a" * 200),
+        (5, "line one\nline two\nline three\n"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in fim_transform(df, rate=0.5, spm_frac=0.5).collect()}
+    assert len(out) == len(rows)
+    for i, text in rows:
+        taked = h60(f"fim:take:{i}") % 10000
+        moded = h60(f"fim:mode:{i}") % 10000
+        n = len(text)
+        c1h = h60(f"fim:c1:{i}") % (n + 1)
+        c2h = h60(f"fim:c2:{i}") % (n + 1)
+        c1, c2 = min(c1h, c2h), max(c1h, c2h)
+        p, m, s = text[:c1], text[c1:c2], text[c2:]
+        if taked >= 5000:
+            mode, ft = "plain", text
+        elif moded < 5000:
+            mode, ft = "spm", f"<fim_suffix>{s}<fim_prefix>{p}<fim_middle>{m}"
+        else:
+            mode, ft = "psm", f"<fim_prefix>{p}<fim_suffix>{s}<fim_middle>{m}"
+        assert out[i]["mode"] == mode, (i, text)
+        assert out[i]["fim_text"] == ft, (i, text)
+    # rate bounds
+    assert all(
+        r["mode"] == "plain" for r in fim_transform(df, rate=0.0).collect()
+    )
+    assert all(
+        r["mode"] != "plain" for r in fim_transform(df, rate=1.0).collect()
+    )
+    # repartition-stable (depends only on ids)
+    again = {
+        r["doc_id"]: (r["mode"], r["fim_text"])
+        for r in fim_transform(df.repartition(5), rate=0.5).collect()
+    }
+    assert again == {k: (v["mode"], v["fim_text"]) for k, v in out.items()}
+
+
 def test_pii_scrub(spark):
     """Emails, IPv4s, and card-shaped digit runs are redacted with
     per-stage counts; clean text passes through untouched. The same

@@ -73,6 +73,7 @@ FUZZ_ENTRIES = [
     "line_dedup",
     "chunk_documents",
     "repo_pack",
+    "fim_transform",
     "hashed_tfidf",
     "sparse_cosine_pairs",
     "incremental_dedup",
