@@ -724,7 +724,18 @@ _GATE_PRIORITY: list[str] = [
     "importance_rescore",
     "fuzzy_match",
     "topk_per_group",
-    # multi-stage datapipe rows (shuffle-shaped, riskiest of the pipe)
+    # round-5 code-pipeline rows (newest => riskiest)
+    "repo_pack",
+    "fim_transform",
+    "dep_depth",
+    "repo_pack_deporder",
+    "repo_cap",
+    "epoch_repeat",
+    # multi-stage datapipe rows (shuffle-shaped, riskiest of the pipe).
+    # Demoted past the window (all single-expression AND
+    # hypothesis-fuzzed in pytest): exact_dedup, minhash_signatures,
+    # ngram_jaccard_pairs, simhash, winnow_fingerprints,
+    # normalized_dedup.
     "dsir_select",
     "bpe_train",
     "bpe_encode",
@@ -732,13 +743,7 @@ _GATE_PRIORITY: list[str] = [
     "duplicate_spans",
     "substring_dedup",
     "decontaminate",
-    "normalized_dedup",
-    "winnow_fingerprints",
-    "exact_dedup",
-    "minhash_signatures",
-    "ngram_jaccard_pairs",
     "dedup_survivors",
-    "simhash",
     "minhash_lsh_pairs",
     "embedding_near_dup",
     "embedding_near_dup_lsh",
@@ -1100,6 +1105,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sa.fim_transform(_docs(s, d), rate=0.5, spm_frac=0.5)
 
     q["fim_transform"] = _fim
+
+    def _dep_corpus(s, d):
+        # Deterministic import graph over the corpus (testdata carries
+        # no import statements): doc D defines module m<D> and — when
+        # its level (D div 20) is not a multiple of 8 — imports
+        # m<D-20>, which the generator guarantees lives in the SAME
+        # repo (source = 'src' || D % 20).  Chains therefore run 0..7
+        # levels deep, bounded at every SF.  The engine side resolves
+        # this generically (regex extract -> module join -> fixpoint);
+        # the oracle re-derives it with DuckDB regex + recursive CTE.
+        docs = _docs(s, d)
+        lvl = F.expr("doc_id div 20")
+        text2 = F.concat(
+            F.lit("module: m"),
+            F.col("doc_id").cast("string"),
+            F.when(
+                (lvl % 8 != 0) & (F.col("doc_id") >= 20),
+                F.concat(
+                    F.lit(" import m"),
+                    (F.col("doc_id") - 20).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        )
+        return docs.select("doc_id", "source", "text", text2.alias("text2"))
+
+    def _dep_depth(s, d):
+        # longest-import-chain depth per file (topological layering of
+        # the repo's import DAG; StarCoder2/DeepSeek repo-context prep)
+        from photon_spark.datapipe import depgraph as dg
+
+        return dg.dep_depth(
+            _dep_corpus(s, d), text_col="text2", max_iter=12
+        )
+
+    q["dep_depth"] = _dep_depth
+
+    def _repo_pack_deporder(s, d):
+        # dependency-ordered repo context packing: definitions before
+        # their users inside each packed context
+        from photon_spark.datapipe import depgraph as dg
+        from photon_spark.datapipe import sampling as sa
+
+        corpus = _dep_corpus(s, d)
+        depth = dg.dep_depth(corpus, text_col="text2", max_iter=12)
+        joined = corpus.join(depth, "doc_id").select(
+            "doc_id", "source", "text", "depth"
+        )
+        return sa.repo_pack(joined, max_chars=1200, order_col="depth")
+
+    q["repo_pack_deporder"] = _repo_pack_deporder
+
+    def _repo_cap(s, d):
+        # per-repo representation cap (domain balancing for mega-repos)
+        from photon_spark.datapipe import sampling as sa
+
+        return sa.repo_cap(_docs(s, d), n=3, score_col="n_chars")
+
+    q["repo_cap"] = _repo_cap
+
+    def _epoch_repeat(s, d):
+        # data-constrained epoch repetition (Muennighoff 2023): budget
+        # = 2.5x the corpus -> 2 full epochs + a hash-selected half
+        # gets a third.  The budget derives from one map-combined SUM
+        # (a 1-row collect), so the entry is self-scaling across SFs.
+        from photon_spark.datapipe import sampling as sa
+
+        docs = _docs(s, d)
+        tot = docs.agg(F.sum("n_chars").cast("long").alias("t")).collect()[0]["t"]
+        return sa.epoch_repeat(
+            docs, budget_tokens=(5 * int(tot)) // 2, token_col="n_chars"
+        )
+
+    q["epoch_repeat"] = _epoch_repeat
 
     # ---- training-data pipeline: dedup ----
     q["exact_dedup"] = lambda s, d: dd.exact_dedup(_docs(s, d))
@@ -2308,6 +2386,86 @@ SELECT doc_id,
               || '<fim_middle>' || substr(text, c1 + 1, c2 - c1)
        END AS fim_text
 FROM cut"""
+
+    # Synthetic import-graph corpus twin (matches _dep_corpus): doc D
+    # defines m<D>; when (D div 20) % 8 <> 0 and D >= 20 it imports
+    # m<D-20> (same repo by construction).  The oracle re-extracts the
+    # edges with DuckDB regex and walks them with a recursive CTE —
+    # an independent graph evaluation, not the closed form.
+    _sql_dep_base = r"""WITH RECURSIVE base AS (
+  SELECT doc_id, source,
+         'module: m' || CAST(doc_id AS VARCHAR) ||
+         CASE WHEN (doc_id // 20) % 8 <> 0 AND doc_id >= 20
+              THEN ' import m' || CAST(doc_id - 20 AS VARCHAR)
+              ELSE '' END AS t
+  FROM documents
+), imp AS (
+  SELECT doc_id AS src, source,
+         unnest(regexp_extract_all(t, '\bimport ([a-z0-9_]+)', 1)) AS module
+  FROM base
+), defs AS (
+  SELECT source, module, MIN(doc_id) AS dst
+  FROM (SELECT doc_id, source,
+               unnest(regexp_extract_all(t, 'module: ([a-z0-9_]+)', 1)) AS module
+        FROM base)
+  GROUP BY source, module
+), edges AS (
+  SELECT DISTINCT i.src, d.dst
+  FROM imp i JOIN defs d ON i.source = d.source AND i.module = d.module
+  WHERE i.src <> d.dst
+), reach AS (
+  SELECT src AS node, 1 AS dd FROM edges
+  UNION ALL
+  SELECT e.src, r.dd + 1 FROM edges e JOIN reach r ON e.dst = r.node
+), depth AS (
+  SELECT b.doc_id, CAST(COALESCE(MAX(r.dd), 0) AS BIGINT) AS depth
+  FROM base b LEFT JOIN reach r ON r.node = b.doc_id
+  GROUP BY b.doc_id
+)"""
+
+    o["dep_depth"] = _sql_dep_base + "\nSELECT doc_id, depth FROM depth"
+
+    o["repo_pack_deporder"] = _sql_dep_base + """, pk AS (
+  SELECT d.source AS repo, d.doc_id, dp.depth,
+         '<file:' || CAST(d.doc_id AS VARCHAR) || '>' || chr(10) || d.text || chr(10) AS c
+  FROM documents d JOIN depth dp ON dp.doc_id = d.doc_id
+), cum AS (
+  SELECT repo, doc_id, depth, c, CAST(length(c) AS BIGINT) AS n,
+         CAST(COALESCE(SUM(length(c)) OVER (
+             PARTITION BY repo ORDER BY depth, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS before
+  FROM pk
+)
+SELECT repo, CAST(FLOOR(before / 1200) AS BIGINT) AS pack_id,
+       STRING_AGG(c, '' ORDER BY depth, doc_id) AS text,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS n_chars
+FROM cum GROUP BY repo, CAST(FLOOR(before / 1200) AS BIGINT)"""
+
+    o["repo_cap"] = """
+SELECT doc_id, repo, score, rk FROM (
+  SELECT doc_id, source AS repo, CAST(n_chars AS BIGINT) AS score,
+         CAST(ROW_NUMBER() OVER (
+             PARTITION BY source ORDER BY n_chars DESC, doc_id ASC
+         ) AS BIGINT) AS rk
+  FROM documents)
+WHERE rk <= 3"""
+
+    ep_h = _sql_h60("'epoch:' || CAST(doc_id AS VARCHAR)")
+    o["epoch_repeat"] = f"""
+WITH t AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS tot FROM documents),
+b AS (SELECT tot, (5 * tot) // 2 AS budget FROM t),
+r AS (
+  SELECT doc_id,
+         (SELECT budget // tot FROM b)
+         + CASE WHEN {ep_h} % 10000 <
+                     (SELECT ((budget % tot) * 10000) // tot FROM b)
+                THEN 1 ELSE 0 END AS reps
+  FROM documents
+)
+SELECT doc_id, CAST(unnest(generate_series(1, reps)) AS BIGINT) AS epoch
+FROM r WHERE reps >= 1"""
 
     # ---- dedup ----
     o["exact_dedup"] = """

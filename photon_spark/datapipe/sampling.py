@@ -230,6 +230,7 @@ def repo_pack(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_chars: int = 4000,
+    order_col: str | None = None,
 ) -> DataFrame:
     """Repo-level context packing: concatenate a repository's files —
     deterministic ``id_col`` order, each prefixed with a
@@ -248,6 +249,12 @@ def repo_pack(
     row per (repo, pack_id) with the concatenated ``text``, ``n_docs``
     and ``n_chars`` (header + body + terminator chars).
 
+    ``order_col`` overrides the within-repo file order: files sort by
+    (order_col, id) instead of id alone — pass a dependency depth
+    (:func:`photon_spark.datapipe.depgraph.dep_depth`) to get the
+    dependency-ordered repo contexts (definitions before users) that
+    repo-context pretraining recipes use.
+
     Scale (100 TB): the running total is a window PARTITIONED BY the
     repo — repos pack in parallel and the repo is the natural bucket
     (semantic locality is the point, so unlike pack_sequences there
@@ -263,32 +270,37 @@ def repo_pack(
         F.col(text_col),
         F.lit("\n"),
     )
-    base = df.select(
+    cols = [
         F.col(repo_col).alias("repo"),
         F.col(id_col).alias("_id"),
         contrib.alias("_c"),
         F.length(contrib).cast("long").alias("_n"),
-    )
+    ]
+    sort_cols = ["_id"]
+    if order_col is not None:
+        cols.insert(1, F.col(order_col).cast("long").alias("_ord"))
+        sort_cols = ["_ord", "_id"]
+    base = df.select(*cols)
     w = (
         Window.partitionBy("repo")
-        .orderBy("_id")
+        .orderBy(*sort_cols)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     before = F.coalesce(F.sum("_n").over(w), F.lit(0))
     packed = base.select(
         "repo",
-        "_id",
+        *sort_cols,
         "_c",
         "_n",
         F.floor(before / F.lit(max_chars)).cast("long").alias("pack_id"),
     )
-    # ordered concat: collect (id, contrib) structs, array_sort orders
-    # by the leading id field (unique ⇒ total order), join in place —
-    # no second window pass
+    # ordered concat: collect (sort keys, contrib) structs, array_sort
+    # orders lexicographically by the leading fields ((_ord,) _id —
+    # _id unique ⇒ total order), join in place — no second window pass
     return packed.groupBy("repo", "pack_id").agg(
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("_id", "_c"))),
+                F.array_sort(F.collect_list(F.struct(*sort_cols, "_c"))),
                 lambda x: x["_c"],
             ),
             "",
@@ -434,4 +446,98 @@ def fim_transform(
         .when(mode == "spm", spm_txt)
         .otherwise(psm)
         .alias("fim_text"),
+    )
+
+
+def repo_cap(
+    df: DataFrame,
+    n: int = 3,
+    repo_col: str = "source",
+    id_col: str = "doc_id",
+    score_col: str = "n_chars",
+) -> DataFrame:
+    """Per-repo representation cap: keep the top-``n`` files of each
+    repo by (score desc, id asc). The domain-balancing move for
+    over-represented sources — a mega-repo (vendored trees, generated
+    code) otherwise dominates its training mixture slice the way a
+    crawl's biggest domain dominates a web mix.
+
+    Output: (doc_id, repo, score, rk) for the survivors, rk in 1..n.
+
+    Scale (100 TB): expressed as ``row_number() <= n`` so Catalyst's
+    WindowGroupLimit rewrite (Spark 3.5+) inserts a per-PARTITION
+    top-n BEFORE the shuffle — each map task forwards at most n rows
+    per repo it has seen, so the window never materializes a whole
+    mega-repo. Verified in .explain(): `WindowGroupLimit` above the
+    scan, shuffle carries ≤ n·|repos-per-task| rows.
+    """
+    w = Window.partitionBy(repo_col).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    return (
+        df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= n)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col(repo_col).alias("repo"),
+            F.col(score_col).cast("long").alias("score"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
+def epoch_repeat(
+    df: DataFrame,
+    budget_tokens: int,
+    token_col: str,
+    id_col: str = "doc_id",
+    salt: str = "epoch",
+) -> DataFrame:
+    """Data-constrained epoch repetition (the Muennighoff 2023
+    "Scaling Data-Constrained LMs" move): given a total training token
+    budget and the corpus's unique-token count, serve every document
+    ``floor(budget / corpus_tokens)`` full epochs, plus one extra
+    epoch for a deterministic hash-selected subset sized to absorb the
+    fractional remainder. With budget < corpus_tokens this degrades to
+    deterministic subsampling (some documents get zero epochs and drop
+    out). Output: (doc_id, epoch) — one row per serving, epoch 1-based.
+
+    The remainder subset is selected by doc-hash with a threshold of
+    ``floor(frac · 10000)`` — proportional to the remainder in
+    DOCUMENT count, not token count (exact token-level knapsack would
+    need a global ordered scan; the ~1/10000 rounding and doc-vs-token
+    proportionality error is far below mixture-tuning resolution).
+
+    Scale (100 TB): one map-combined SUM for the corpus total, the
+    scalar broadcast back (literally a 1-row broadcast join), then a
+    narrow per-row explode — documents never shuffle. Integer ``div``
+    / ``%`` arithmetic throughout so the DuckDB twin matches
+    bit-for-bit (the `(budget % total) * 10000` intermediate requires
+    total < 2^63/10^4 ≈ 9·10^14 tokens — comfortably above any real
+    corpus; raise the note's ceiling by dropping to 1000-space if
+    ever needed).
+    """
+    tot = df.agg(F.sum(F.col(token_col)).cast("long").alias("_tot"))
+    j = df.select(F.col(id_col), F.col(token_col)).crossJoin(
+        F.broadcast(tot)
+    )
+    full = F.expr(f"{int(budget_tokens)} div _tot").cast("long")
+    cut = F.expr(
+        f"(({int(budget_tokens)} % _tot) * 10000) div _tot"
+    ).cast("long")
+    extra = (
+        _md5_h60(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+        % _RATE_DENOM
+        < cut
+    ).cast("long")
+    r = (full + extra).alias("_r")
+    return (
+        j.select(F.col(id_col), r)
+        .filter(F.col("_r") >= 1)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.lit(1).cast("long"), F.col("_r"))
+            ).alias("epoch"),
+        )
     )

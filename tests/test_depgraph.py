@@ -1,0 +1,206 @@
+"""Repo dependency-graph operators (depgraph.py) and the round-5
+sampling additions they feed (repo_pack order_col, repo_cap,
+epoch_repeat) — each checked against an independent python twin.
+
+Reference analog: photon resolves each document against its parent
+places before indexing (`PhotonDoc` address completion); here the
+parent relation is the import graph.
+"""
+
+import hashlib
+
+import pytest
+
+from photon_spark.datapipe.depgraph import (
+    dep_depth,
+    dep_edges,
+    resolve_edges,
+)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+
+
+def test_dep_edges_extraction(spark):
+    df = _mk(
+        spark,
+        [
+            # repeated import collapses; \b keeps 'reimport x' out
+            (1, "module: util\nimport base import base reimport ghost", "r0"),
+            (2, "module: base no imports here", "r0"),
+            (3, "plain file, neither defines nor imports", "r0"),
+        ],
+    )
+    got = {
+        (r["doc_id"], r["module"], r["kind"])
+        for r in dep_edges(df).collect()
+    }
+    assert got == {
+        (1, "util", "defines"),
+        (1, "base", "imports"),
+        (2, "base", "defines"),
+    }
+
+
+def test_resolve_edges_semantics(spark):
+    df = _mk(
+        spark,
+        [
+            # 'dup' defined twice in r0 -> resolves to min doc_id (1)
+            (1, "module: dup", "r0"),
+            (2, "module: dup", "r0"),
+            (3, "import dup import nowhere", "r0"),
+            # self-import drops
+            (4, "module: selfy import selfy", "r0"),
+            # cross-repo name does NOT resolve (r1's 'dup' is its own)
+            (5, "import dup", "r1"),
+        ],
+    )
+    got = {
+        (r["repo"], r["src"], r["dst"])
+        for r in resolve_edges(dep_edges(df)).collect()
+    }
+    assert got == {("r0", 3, 1)}
+
+
+def _twin_depth(edges_by_src: dict, nodes: list) -> dict:
+    """Independent memoized longest-chain twin."""
+    memo: dict = {}
+
+    def d(v):
+        if v not in memo:
+            deps = edges_by_src.get(v, [])
+            memo[v] = 1 + max(d(u) for u in deps) if deps else 0
+        return memo[v]
+
+    return {v: d(v) for v in nodes}
+
+
+def test_dep_depth_dag(spark):
+    # diamond (1 <- 2,3 <- 4) plus a chain (10 <- 11 <- 12) plus an
+    # isolated file and an unresolvable import
+    rows = [
+        (1, "module: a", "r0"),
+        (2, "module: b import a", "r0"),
+        (3, "module: c import a", "r0"),
+        (4, "module: d import b import c", "r0"),
+        (10, "module: x", "r1"),
+        (11, "module: y import x", "r1"),
+        (12, "module: z import y", "r1"),
+        (20, "nothing at all", "r1"),
+        (21, "import missing_module", "r1"),
+    ]
+    df = _mk(spark, rows)
+    got = {r["doc_id"]: r["depth"] for r in dep_depth(df).collect()}
+    edges = {2: [1], 3: [1], 4: [2, 3], 11: [10], 12: [11]}
+    expect = _twin_depth(edges, [r[0] for r in rows])
+    assert got == expect
+    assert got[4] == 2 and got[12] == 2 and got[20] == 0 and got[21] == 0
+
+
+def test_dep_depth_cycle_raises(spark):
+    df = _mk(
+        spark,
+        [
+            (1, "module: a import b", "r0"),
+            (2, "module: b import a", "r0"),
+        ],
+    )
+    with pytest.raises(ValueError, match="did not converge"):
+        dep_depth(df, max_iter=6)
+
+
+def test_repo_pack_order_col(spark):
+    """order_col reorders files within the repo: packing follows
+    (order, id), not id — the dependency-ordered repo context."""
+    from photon_spark.datapipe.sampling import repo_pack
+
+    # ord reverses the id order inside each repo
+    rows = [
+        (1, "aaaa", "r0", 3),
+        (2, "bbbb", "r0", 2),
+        (3, "cccc", "r0", 1),
+        (4, "dddd", "r1", 1),
+        (5, "eeee", "r1", 1),  # tie on ord -> id breaks it
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, depth long"
+    )
+    out = {
+        (r["repo"], r["pack_id"]): r["text"]
+        for r in repo_pack(df, max_chars=10_000, order_col="depth").collect()
+    }
+    assert out[("r0", 0)] == "<file:3>\ncccc\n<file:2>\nbbbb\n<file:1>\naaaa\n"
+    assert out[("r1", 0)] == "<file:4>\ndddd\n<file:5>\neeee\n"
+
+    # order_col also moves the pack BOUNDARY: cumulative chars follow
+    # the new order
+    out2 = repo_pack(df, max_chars=15, order_col="depth").collect()
+    by_key = {(r["repo"], r["pack_id"]): r for r in out2}
+    assert by_key[("r0", 0)]["text"].startswith("<file:3>")
+    assert by_key[("r0", 1)]["text"] == "<file:1>\naaaa\n"
+
+
+def test_repo_cap(spark):
+    from photon_spark.datapipe.sampling import repo_cap
+
+    rows = [
+        (i, "t", f"r{i % 2}", 100 - (i % 7) * 10) for i in range(14)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    )
+    out = repo_cap(df, n=3)
+    got = {(r["repo"], r["rk"]): (r["doc_id"], r["score"]) for r in out.collect()}
+    # python twin
+    expect = {}
+    for repo in ("r0", "r1"):
+        members = sorted(
+            [(score, i) for i, _, rp, score in rows if rp == repo],
+            key=lambda t: (-t[0], t[1]),
+        )
+        for rk, (score, i) in enumerate(members[:3], start=1):
+            expect[(repo, rk)] = (i, score)
+    assert got == expect
+    # scale shape: Catalyst inserts the pre-shuffle per-partition
+    # top-n (WindowGroupLimit) so a mega-repo never materializes
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_epoch_repeat(spark):
+    from photon_spark.datapipe.sampling import epoch_repeat
+
+    rows = [(i, "t", 10 + i % 5) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, toks long")
+    total = sum(t for _, _, t in rows)
+
+    budget = total * 2 + total // 3
+    out = epoch_repeat(df, budget_tokens=budget, token_col="toks")
+    got: dict = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], []).append(r["epoch"])
+    # twin: full epochs + hash-thresholded extra
+    full = budget // total
+    cut = ((budget % total) * 10_000) // total
+    for i, _, _ in rows:
+        reps = full + (1 if _h60(f"epoch:{i}") % 10_000 < cut else 0)
+        assert sorted(got.get(i, [])) == list(range(1, reps + 1)), i
+    # the extra epoch lands on SOME but not all docs
+    n_extra = sum(1 for i in got if len(got[i]) == full + 1)
+    assert 0 < n_extra < len(rows)
+
+    # budget below one epoch degrades to deterministic subsampling
+    out2 = epoch_repeat(df, budget_tokens=total // 2, token_col="toks")
+    got2 = {r["doc_id"] for r in out2.collect()}
+    cut2 = (((total // 2) % total) * 10_000) // total
+    expect2 = {i for i, _, _ in rows if _h60(f"epoch:{i}") % 10_000 < cut2}
+    assert got2 == expect2
+    assert 0 < len(got2) < len(rows)
