@@ -1174,7 +1174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _docs(s, d)
         tot = docs.agg(F.sum("n_chars").cast("long").alias("t")).collect()[0]["t"]
         return sa.epoch_repeat(
-            docs, budget_tokens=(5 * int(tot)) // 2, token_col="n_chars"
+            docs, budget_tokens=(5 * int(tot or 0)) // 2, token_col="n_chars"
         )
 
     q["epoch_repeat"] = _epoch_repeat

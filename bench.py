@@ -311,6 +311,34 @@ def main() -> None:
 
         timed("datapipe_lm_score", lambda: lm_score(docs).count())
         timed("datapipe_line_dedup", lambda: line_dedup(docs).count())
+
+        # round-5 code-pipeline rows: repo context packing (window +
+        # ordered concat) and the iterative dependency-depth fixpoint
+        # (the only multi-round job in the pipe — worth a headline so
+        # a lineage regression shows up as wall, not just plan size)
+        from photon_spark.datapipe.depgraph import dep_depth
+        from photon_spark.datapipe.sampling import fim_transform, repo_pack
+
+        timed(
+            "datapipe_repo_pack",
+            lambda: repo_pack(docs, max_chars=1200).count(),
+        )
+        timed("datapipe_fim_transform", lambda: fim_transform(docs).count())
+        _dep = docs.select(
+            "doc_id",
+            "source",
+            F.concat(
+                F.lit("module: m"),
+                F.col("doc_id").cast("string"),
+                F.when(
+                    (F.expr("doc_id div 20") % 8 != 0) & (F.col("doc_id") >= 20),
+                    F.concat(
+                        F.lit(" import m"), (F.col("doc_id") - 20).cast("string")
+                    ),
+                ).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+        timed("datapipe_dep_depth", lambda: dep_depth(_dep, max_iter=12).count())
         # ExactSubstr: the token-window explode + gram agg is the
         # heaviest datapipe shuffle per input byte — worth a headline
         timed(

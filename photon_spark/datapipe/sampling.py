@@ -521,9 +521,12 @@ def epoch_repeat(
     j = df.select(F.col(id_col), F.col(token_col)).crossJoin(
         F.broadcast(tot)
     )
-    full = F.expr(f"{int(budget_tokens)} div _tot").cast("long")
+    # nullif: a zero-token corpus yields NULL reps (-> empty output)
+    # instead of an ANSI divide-by-zero; DuckDB's // returns NULL on
+    # a NULLed divisor the same way, so the twin agrees
+    full = F.expr(f"{int(budget_tokens)} div nullif(_tot, 0)").cast("long")
     cut = F.expr(
-        f"(({int(budget_tokens)} % _tot) * 10000) div _tot"
+        f"(({int(budget_tokens)} % nullif(_tot, 0)) * 10000) div nullif(_tot, 0)"
     ).cast("long")
     extra = (
         _md5_h60(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))

@@ -74,6 +74,12 @@ FUZZ_ENTRIES = [
     "chunk_documents",
     "repo_pack",
     "fim_transform",
+    # round-5 code-pipeline rows; dep_depth / repo_pack_deporder are
+    # excluded (their synthetic import graph is keyed on doc_id >= 20,
+    # which these tiny corpora never reach — tests/test_depgraph.py
+    # fuzzes the graph semantics on real fixtures instead)
+    "repo_cap",
+    "epoch_repeat",
     "hashed_tfidf",
     "sparse_cosine_pairs",
     "incremental_dedup",
