@@ -736,12 +736,15 @@ _GATE_PRIORITY: list[str] = [
     # hypothesis-fuzzed in pytest): exact_dedup, minhash_signatures,
     # ngram_jaccard_pairs, simhash, winnow_fingerprints,
     # normalized_dedup.
+    # round-5 additions (brand-new => in-window; displaced
+    # duplicate_spans/substring_dedup, both oracled ×2 + fuzzed and
+    # stable since r3)
+    "global_shuffle",
+    "vocab_oov_rate",
     "dsir_select",
     "bpe_train",
     "bpe_encode",
     "line_dedup",
-    "duplicate_spans",
-    "substring_dedup",
     "decontaminate",
     "dedup_survivors",
     "minhash_lsh_pairs",
@@ -1178,6 +1181,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["epoch_repeat"] = _epoch_repeat
+
+    def _global_shuffle(s, d):
+        # deterministic epoch shuffle: pos = rank of md5('shuf:'||id),
+        # computed via stamp_ordinals' range rank (no single-partition
+        # row_number window)
+        from photon_spark.datapipe import sampling as sa
+
+        return sa.global_shuffle(_docs(s, d))
+
+    q["global_shuffle"] = _global_shuffle
+
+    def _vocab_oov(s, d):
+        # tokenizer-coverage statistic: per-doc OOV rate vs the
+        # corpus' own min-count-2 vocabulary (hapaxes are OOV)
+        return ts.vocab_oov_rate(_docs(s, d), min_count=2)
+
+    q["vocab_oov_rate"] = _vocab_oov
 
     # ---- training-data pipeline: dedup ----
     q["exact_dedup"] = lambda s, d: dd.exact_dedup(_docs(s, d))
@@ -2466,6 +2486,31 @@ r AS (
 )
 SELECT doc_id, CAST(unnest(generate_series(1, reps)) AS BIGINT) AS epoch
 FROM r WHERE reps >= 1"""
+
+    o["global_shuffle"] = """
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (
+           ORDER BY md5('shuf:' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+       ) - 1 AS BIGINT) AS pos
+FROM documents"""
+
+    o["vocab_oov_rate"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents
+), vocab AS (
+  SELECT token FROM (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token)
+  WHERE cnt >= 2
+), per AS (
+  SELECT t.doc_id, COUNT(*) AS n_tokens,
+         SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov
+  FROM tok t LEFT JOIN vocab v ON t.token = v.token
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(p.n_oov, 0) AS BIGINT) AS n_oov,
+       ROUND(p.n_oov::DOUBLE / NULLIF(p.n_tokens, 0), 6) AS oov_rate
+FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id"""
 
     # ---- dedup ----
     o["exact_dedup"] = """

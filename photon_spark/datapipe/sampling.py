@@ -544,3 +544,50 @@ def epoch_repeat(
             ).alias("epoch"),
         )
     )
+
+
+def global_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "shuf",
+    partitions: int | None = None,
+    return_handle: bool = False,
+):
+    """Deterministic global training order: ``pos`` = rank of
+    ``md5(salt:id)`` (doc_id tiebreak). The epoch-shuffle step every
+    trainer needs — a full random permutation of the corpus that is
+    reproducible across reruns and engines (no RNG state), re-keyed
+    per epoch by changing ``salt`` (e.g. ``"shuf:3"``).
+
+    Output: (doc_id, pos), pos dense in 0..N-1.
+
+    Scale (100 TB): a naive ``row_number() OVER (ORDER BY hash)``
+    serializes the corpus through ONE task; here the global rank
+    comes from :func:`photon_spark.index.build.stamp_ordinals` —
+    range-partition + sort on the 32-char hash key, per-partition
+    counts, offset arithmetic — so the permutation is an ordinary
+    range-partitioned shuffle of (id, hash) pairs and the text
+    column never moves. md5 keys are uniform, so the range
+    partitioner's sampled bounds stay balanced regardless of id
+    skew. Like :func:`photon_spark.datapipe.textstats.
+    quality_buckets`, the ranked intermediate stays persisted (rank
+    determinism needs it); pass ``return_handle=True`` to receive it
+    for explicit ``unpersist()`` in long-lived pipelines.
+    """
+    from photon_spark.index.build import stamp_ordinals
+
+    if partitions is None:
+        partitions = df.sparkSession.sparkContext.defaultParallelism * 4
+    keyed = df.select(
+        F.col(id_col),
+        F.md5(
+            F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))
+        ).alias("_hkey"),
+    )
+    ranked, _total, handle = stamp_ordinals(
+        keyed, partitions, sort_cols=[F.col("_hkey").asc(), F.col(id_col).asc()]
+    )
+    out = ranked.select(F.col(id_col), F.col("ord").alias("pos"))
+    if return_handle:
+        return out, handle
+    return out

@@ -80,6 +80,8 @@ FUZZ_ENTRIES = [
     # fuzzes the graph semantics on real fixtures instead)
     "repo_cap",
     "epoch_repeat",
+    "global_shuffle",
+    "vocab_oov_rate",
     "hashed_tfidf",
     "sparse_cosine_pairs",
     "incremental_dedup",

@@ -1,0 +1,96 @@
+"""Round-5 training-order operators: global_shuffle (deterministic
+epoch permutation) and vocab_oov_rate (tokenizer-coverage statistic)
+— each checked against an independent python twin.
+"""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def test_global_shuffle_matches_python_twin(spark):
+    from photon_spark.datapipe.sampling import global_shuffle
+
+    ids = list(range(37))
+    df = spark.createDataFrame([(i, f"doc {i}") for i in ids], "doc_id long, text string")
+    got = {r["doc_id"]: r["pos"] for r in global_shuffle(df).collect()}
+
+    order = sorted(ids, key=lambda i: (_md5(f"shuf:{i}"), i))
+    expect = {i: pos for pos, i in enumerate(order)}
+    assert got == expect
+    # dense 0..N-1
+    assert sorted(got.values()) == list(range(len(ids)))
+
+
+def test_global_shuffle_salt_rekeys_and_is_stable(spark):
+    from photon_spark.datapipe.sampling import global_shuffle
+
+    df = spark.createDataFrame(
+        [(i, "x") for i in range(64)], "doc_id long, text string"
+    )
+    a1 = {r["doc_id"]: r["pos"] for r in global_shuffle(df, salt="e1").collect()}
+    a2 = {r["doc_id"]: r["pos"] for r in global_shuffle(df, salt="e1").collect()}
+    b = {r["doc_id"]: r["pos"] for r in global_shuffle(df, salt="e2").collect()}
+    assert a1 == a2  # rerun-stable (no RNG state)
+    assert a1 != b  # a new salt is a new permutation
+    assert sorted(b.values()) == list(range(64))
+
+
+def test_global_shuffle_no_single_partition_sort(spark):
+    """The permutation must come from the range-partitioned rank, not
+    a one-task global window: the plan must carry no Window at all."""
+    from photon_spark.datapipe.sampling import global_shuffle
+
+    df = spark.createDataFrame(
+        [(i, "x") for i in range(100)], "doc_id long, text string"
+    )
+    out = global_shuffle(df, partitions=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_vocab_oov_rate_matches_python_twin(spark):
+    from photon_spark.datapipe.textstats import vocab_oov_rate
+
+    rows = [
+        (0, "alpha beta alpha gamma"),
+        (1, "beta beta delta"),
+        (2, "alpha unique1 unique2"),
+        (3, ""),  # zero-token doc keeps its row, NULL rate
+        (4, "GAMMA gamma"),  # lowercased before counting
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_oov"], r["oov_rate"])
+        for r in vocab_oov_rate(df, min_count=2).collect()
+    }
+
+    # python twin
+    toks = {i: [t for t in text.lower().split() if t] for i, text in rows}
+    freq: dict[str, int] = {}
+    for ts in toks.values():
+        for t in ts:
+            freq[t] = freq.get(t, 0) + 1
+    vocab = {t for t, c in freq.items() if c >= 2}
+    for i, ts in toks.items():
+        n = len(ts)
+        oov = sum(1 for t in ts if t not in vocab)
+        rate = round(oov / n, 6) if n else None
+        assert got[i] == (n, oov, rate), (i, got[i], (n, oov, rate))
+    assert len(got) == len(rows)
+
+
+def test_vocab_oov_rate_broadcasts_vocab(spark):
+    from photon_spark.datapipe.textstats import vocab_oov_rate
+
+    df = spark.createDataFrame(
+        [(i, "tok%d common" % (i % 3)) for i in range(30)],
+        "doc_id long, text string",
+    )
+    out = vocab_oov_rate(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
