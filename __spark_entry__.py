@@ -741,11 +741,11 @@ _GATE_PRIORITY: list[str] = [
     # stable since r3)
     "global_shuffle",
     "vocab_oov_rate",
+    "repo_near_dup",
     "dsir_select",
     "bpe_train",
     "bpe_encode",
     "line_dedup",
-    "decontaminate",
     "dedup_survivors",
     "minhash_lsh_pairs",
     "embedding_near_dup",
@@ -1221,6 +1221,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["minhash_lsh_pairs"] = lambda s, d: dd.minhash_lsh_pairs(
         _docs(s, d), n_hashes=16, bands=4, threshold=0.3
     )
+
+    def _repo_near_dup(s, d):
+        # repo-level fork detection (LSH candidates + exact Jaccard
+        # verify): token-vocabulary elements at gate scale — the
+        # fixture corpus shares no whole-file hashes across sources,
+        # so element="file" would gate an empty result
+        return dd.repo_near_dup(_docs(s, d), element="token", threshold=0.5)
+
+    q["repo_near_dup"] = _repo_near_dup
     q["embedding_near_dup"] = lambda s, d: dd.embedding_near_dup_pairs(
         _embs(s, d), threshold=0.5
     )
@@ -2800,6 +2809,38 @@ SELECT id_a, id_b,
        ROUND(list_sum([CASE WHEN sa.s[i] = sb.s[i] THEN 1 ELSE 0 END for i in range(1, 17)]) / 16.0, 6) AS est_jaccard
 FROM pairs JOIN sig sa ON pairs.id_a = sa.doc_id JOIN sig sb ON pairs.id_b = sb.doc_id
 WHERE ROUND(list_sum([CASE WHEN sa.s[i] = sb.s[i] THEN 1 ELSE 0 END for i in range(1, 17)]) / 16.0, 6) >= 0.3"""
+
+    o["repo_near_dup"] = f"""
+WITH elems AS (
+  SELECT DISTINCT repo, h FROM (
+    SELECT source AS repo, {_sql_h60("tok")} % {dd.MINHASH_P} AS h FROM (
+      SELECT source, unnest({_SQL_TOKS}) AS tok FROM documents))
+), coef AS (
+  SELECT * FROM (VALUES {coef16_vals}) AS t(hash_idx, a, b)
+), mh AS (
+  SELECT repo, hash_idx, MIN((a * h + b) % {dd.MINHASH_P}) AS m
+  FROM elems CROSS JOIN coef GROUP BY repo, hash_idx
+), sig AS (
+  SELECT repo, list(m ORDER BY hash_idx) AS s FROM mh GROUP BY repo
+), banded AS (
+  SELECT repo, i AS band, md5(array_to_string(s[i*4+1:i*4+4], ',')) AS bh
+  FROM sig, (SELECT unnest(range(0, 4)) AS i)
+), cand AS (
+  SELECT DISTINCT l.repo AS ra, r.repo AS rb
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.bh = r.bh AND l.repo < r.repo
+), sizes AS (
+  SELECT repo, COUNT(*) AS n FROM elems GROUP BY repo
+), inter AS (
+  SELECT a.repo AS ra, b.repo AS rb, COUNT(*) AS ni
+  FROM elems a JOIN elems b ON a.h = b.h AND a.repo < b.repo
+  JOIN cand ON cand.ra = a.repo AND cand.rb = b.repo
+  GROUP BY a.repo, b.repo
+)
+SELECT ra AS repo_a, rb AS repo_b, CAST(ni AS BIGINT) AS n_inter,
+       ROUND(ni::DOUBLE / (sa.n + sb.n - ni), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.repo = ra JOIN sizes sb ON sb.repo = rb
+WHERE ROUND(ni::DOUBLE / (sa.n + sb.n - ni), 6) >= 0.5"""
 
     # ---- engine-native oracles -------------------------------------
     engine_docs_cte = _ENGINE_DOCS_CTE

@@ -934,3 +934,138 @@ def incremental_dedup(
         )
     )
     return exact.unionByName(near_best).unionByName(fresh)
+
+
+def repo_elements(
+    df: DataFrame,
+    element: str = "file",
+    repo_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """A repo rendered as its SET of content elements — distinct
+    (repo, h) rows, h a 60-bit md5 hash mod MINHASH_P.
+
+    ``element`` picks the granularity of "shared content":
+    * ``"file"`` — whole-file content hash (The Stack's fork
+      detection unit: a fork shares most files byte-identically),
+    * ``"line"`` — non-empty trimmed lines (survives file renames and
+      small per-file edits; vendored-tree detection),
+    * ``"token"`` — the repo's token vocabulary (coarsest; domain
+      overlap rather than copying).
+    """
+    if element == "file":
+        e = df.select(F.col(repo_col).alias("repo"), F.col(text_col).alias("el"))
+    elif element == "line":
+        e = df.select(
+            F.col(repo_col).alias("repo"),
+            F.explode(F.split(F.col(text_col), "\n")).alias("el"),
+        ).filter(F.trim(F.col("el")) != "")
+    elif element == "token":
+        e = df.select(
+            F.col(repo_col).alias("repo"),
+            F.explode(tokens_col(text_col)).alias("el"),
+        )
+    else:
+        raise ValueError(f"unknown element granularity {element!r}")
+    return e.select(
+        "repo", (_md5_h60(F.col("el")) % MINHASH_P).alias("h")
+    ).distinct()
+
+
+def repo_near_dup(
+    df: DataFrame,
+    element: str = "file",
+    repo_col: str = "source",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Repo-level near-duplicate pairs — fork / vendored-tree
+    detection, the repo-granularity dedup pass a code corpus runs
+    BEFORE file-level dedup (The Stack deduplicates forks this way:
+    two repos sharing most of their file set are one repo for
+    training purposes).
+
+    A repo is its element set (:func:`repo_elements`); banded MinHash
+    LSH over that set proposes candidate repo pairs, and the EXACT
+    set Jaccard — computed only for candidates — is returned.
+    Output: (repo_a, repo_b, n_inter, jaccard) with repo_a < repo_b
+    and jaccard >= threshold. Pairs whose sets share no element are
+    never emitted (their Jaccard is 0; any positive threshold
+    excludes them).
+
+    Scale (100 TB): the element build is one distinct over (repo,
+    60-bit hash) — text never leaves the map side. Signatures are a
+    map-combinable per-repo MIN agg; the band join is quadratic only
+    within a (band, band-hash) bucket, never all-pairs over repos;
+    the exact-verify join touches only candidate repos' element sets
+    (left-semi pruned), so its cost is the candidates' true overlap
+    volume, not corpus size.
+    """
+    rows = n_hashes // bands
+    elems = repo_elements(df, element, repo_col, text_col)
+    mins = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(n_hashes))
+    ]
+    sig = elems.groupBy("repo").agg(*mins).select(
+        "repo",
+        F.array(*[F.col(f"mh{i}") for i in range(n_hashes)]).alias("signature"),
+    )
+    banded = sig.select(
+        "repo",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.concat_ws(",", F.slice("signature", b * rows + 1, rows))
+                    ).alias("bh"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("repo", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    cand = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.repo") < F.col("r.repo")),
+        )
+        .select(F.col("l.repo").alias("ra"), F.col("r.repo").alias("rb"))
+        .distinct()
+    )
+    sizes = elems.groupBy("repo").agg(F.count(F.lit(1)).alias("n"))
+    crepos = (
+        cand.select(F.col("ra").alias("repo"))
+        .union(cand.select(F.col("rb").alias("repo")))
+        .distinct()
+    )
+    rest = elems.join(crepos, "repo", "left_semi")
+    inter = (
+        rest.alias("a")
+        .join(
+            rest.alias("b"),
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.repo") < F.col("b.repo")),
+        )
+        .groupBy(F.col("a.repo").alias("ra"), F.col("b.repo").alias("rb"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .join(cand, ["ra", "rb"])
+    )
+    jac = F.round(
+        F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6
+    )
+    return (
+        inter.join(sizes.select(F.col("repo").alias("ra"), F.col("n").alias("na")), "ra")
+        .join(sizes.select(F.col("repo").alias("rb"), F.col("n").alias("nb")), "rb")
+        .select(
+            F.col("ra").alias("repo_a"),
+            F.col("rb").alias("repo_b"),
+            F.col("n_inter").cast("long").alias("n_inter"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= float(threshold))
+    )

@@ -82,6 +82,7 @@ FUZZ_ENTRIES = [
     "epoch_repeat",
     "global_shuffle",
     "vocab_oov_rate",
+    "repo_near_dup",
     "hashed_tfidf",
     "sparse_cosine_pairs",
     "incremental_dedup",

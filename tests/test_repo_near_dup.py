@@ -1,0 +1,113 @@
+"""repo_near_dup — repo-level fork detection (MinHash LSH candidates
++ exact set-Jaccard verify), checked against an independent python
+twin that reimplements the full pipeline (hashing, banding, verify).
+"""
+
+import hashlib
+
+from photon_spark.datapipe.dedup import MINHASH_P, minhash_coeffs
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % MINHASH_P
+
+
+def _twin(repo_elements: dict[str, set[str]], n_hashes=16, bands=4, threshold=0.5):
+    rows = n_hashes // bands
+    coeffs = minhash_coeffs(n_hashes)
+    hsets = {r: {_h60(e) for e in els} for r, els in repo_elements.items() if els}
+    sigs = {
+        r: [min((a * h + b) % MINHASH_P for h in hs) for a, b in coeffs]
+        for r, hs in hsets.items()
+    }
+    buckets: dict[tuple[int, str], list[str]] = {}
+    for r, s in sigs.items():
+        for b in range(bands):
+            bh = hashlib.md5(
+                ",".join(str(m) for m in s[b * rows : (b + 1) * rows]).encode()
+            ).hexdigest()
+            buckets.setdefault((b, bh), []).append(r)
+    cand = set()
+    for members in buckets.values():
+        for i, ra in enumerate(members):
+            for rb in members[i + 1 :]:
+                cand.add((min(ra, rb), max(ra, rb)))
+    out = {}
+    for ra, rb in cand:
+        inter = len(hsets[ra] & hsets[rb])
+        if not inter:
+            continue
+        j = round(inter / len(hsets[ra] | hsets[rb]), 6)
+        if j >= threshold:
+            out[(ra, rb)] = (inter, j)
+    return out
+
+
+def _run(spark, docs, **kw):
+    from photon_spark.datapipe.dedup import repo_near_dup
+
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    return {
+        (r["repo_a"], r["repo_b"]): (r["n_inter"], r["jaccard"])
+        for r in repo_near_dup(df, **kw).collect()
+    }
+
+
+def test_fork_detected_file_elements(spark):
+    shared = [f"def shared_{i}(): pass" for i in range(8)]
+    docs = []
+    did = 0
+    for f in shared + ["only in r0"]:
+        docs.append((did, f, "r0")); did += 1
+    for f in shared + ["only in r1", "also only r1"]:  # fork: 8/11 shared
+        docs.append((did, f, "r1")); did += 1
+    for i in range(6):  # disjoint repo
+        docs.append((did, f"unrelated content {i}", "r2")); did += 1
+
+    expect = _twin(
+        {
+            "r0": set(shared) | {"only in r0"},
+            "r1": set(shared) | {"only in r1", "also only r1"},
+            "r2": {f"unrelated content {i}" for i in range(6)},
+        },
+        threshold=0.3,
+    )
+    got = _run(spark, docs, element="file", threshold=0.3)
+    assert got == expect
+    # the fork itself must be in there: 8 shared of 11 distinct files
+    assert got[("r0", "r1")] == (8, round(8 / 11, 6))
+    assert not any("r2" in p for p in got)
+
+
+def test_token_elements_and_threshold(spark):
+    docs = [
+        (0, "alpha beta gamma delta", "a"),
+        (1, "alpha beta gamma epsilon", "b"),
+        (2, "zeta eta theta iota", "c"),
+    ]
+    expect = _twin(
+        {
+            "a": {"alpha", "beta", "gamma", "delta"},
+            "b": {"alpha", "beta", "gamma", "epsilon"},
+            "c": {"zeta", "eta", "theta", "iota"},
+        },
+        threshold=0.2,
+    )
+    got = _run(spark, docs, element="token", threshold=0.2)
+    assert got == expect
+    if ("a", "b") in got:  # 3 of 5 shared, iff LSH banding proposed it
+        assert got[("a", "b")] == (3, 0.6)
+
+
+def test_line_elements_ignore_blank_lines(spark):
+    docs = [
+        (0, "x = 1\n\n   \ny = 2", "a"),
+        (1, "x = 1\ny = 2\nz = 3", "b"),
+    ]
+    expect = _twin(
+        {"a": {"x = 1", "y = 2"}, "b": {"x = 1", "y = 2", "z = 3"}},
+        threshold=0.5,
+    )
+    got = _run(spark, docs, element="line", threshold=0.5)
+    assert got == expect
+    assert got.get(("a", "b")) == (2, round(2 / 3, 6))
