@@ -121,13 +121,27 @@ class TermBloom:
         self.m = int(m)
         self.k = int(k)
         self.n = int(n)
+        # per-(field, term) probe memo — pd.util.hash_array on a
+        # 1-element object array is overhead-bound (~1 ms), which
+        # dominated provably_empty on the warm hot-plane path;
+        # invalidated on every mutation (an added term can flip a
+        # cached True)
+        self._probe_memo: dict[tuple[str, str], bool] = {}
 
     def definitely_absent(self, field: str, term: str) -> bool:
+        key = (field, term)
+        hit = self._probe_memo.get(key)
+        if hit is not None:
+            return hit
         h1, h2 = _hash_arrays(
             np.array([field], dtype=object), np.array([term], dtype=object)
         )
         byte_idx, masks = _positions_arrays(h1, h2, self.m, self.k)
-        return bool(np.any((self.bits[byte_idx] & masks) == 0))
+        out = bool(np.any((self.bits[byte_idx] & masks) == 0))
+        if len(self._probe_memo) > 200_000:
+            self._probe_memo.clear()
+        self._probe_memo[key] = out
+        return out
 
     def add(self, field: str, term: str) -> None:
         self.add_many(
@@ -142,9 +156,11 @@ class TermBloom:
         h1, h2 = _hash_arrays(fields, terms)
         byte_idx, masks = _positions_arrays(h1, h2, self.m, self.k)
         np.bitwise_or.at(self.bits, byte_idx, masks)
+        self._probe_memo.clear()
 
     def or_bits(self, other_bits: np.ndarray) -> None:
         self.bits |= other_bits
+        self._probe_memo.clear()
 
     def save(self, index_dir: str) -> None:
         tmp = os.path.join(index_dir, BLOOM_FILE + ".tmp")

@@ -115,11 +115,20 @@ def _fuzzy_clauses(
     # scans dominated lenient-plan compile latency). The batch returns
     # a per-field candidate SUPERSET; fuzzy_expand verifies exactly,
     # so results are identical to per-token lookups.
+    # compiled-expansion memo (hot plane): fuzzy_expand is a pure
+    # function of (token, candidate superset, edits, prefix), and the
+    # candidate superset is determined by the index state the memo
+    # lives on — so a memo hit skips both the dictionary grounding
+    # and the DL verification for that token. Only memo MISSES go
+    # into the batch grounding request.
+    memo = getattr(dictionary, "_fuzzy_expand_memo", None)
     requests = []
     for alts in token_groups:
         for alt in alts:
             edits = auto_fuzziness(len(alt)) if fixed_edits is None else fixed_edits
-            if edits > 0:
+            if edits > 0 and (
+                memo is None or (field, alt, edits, prefix_len) not in memo
+            ):
                 requests.append((alt, edits))
     batch = getattr(dictionary, "fuzzy_candidates_batch", None)
     shared: list[str] | None = None
@@ -134,12 +143,20 @@ def _fuzzy_clauses(
             if edits == 0:
                 merged[alt] = max(merged.get(alt, 0.0), 1.0)
                 continue
-            cands = (
-                shared
-                if shared is not None
-                else dictionary.fuzzy_candidates(field, alt, edits, prefix_len)
-            )
-            for term, boost in fuzzy_expand(alt, cands, edits, prefix_len):
+            mkey = (field, alt, edits, prefix_len)
+            exp = memo.get(mkey) if memo is not None else None
+            if exp is None:
+                cands = (
+                    shared
+                    if shared is not None
+                    else dictionary.fuzzy_candidates(field, alt, edits, prefix_len)
+                )
+                exp = fuzzy_expand(alt, cands, edits, prefix_len)
+                if memo is not None:
+                    if len(memo) > 100_000:
+                        memo.clear()
+                    memo[mkey] = exp
+            for term, boost in exp:
                 if merged.get(term, 0.0) < boost:
                     merged[term] = boost
         # a clause with NO dictionary candidates must still COUNT:

@@ -207,7 +207,17 @@ class HotIndex(OracleIndex):
         # of the posting tfs (idf stays OUTSIDE: sharded serving swaps
         # in per-query global (df, N) ctx, so idf·sat can't be cached)
         self._sat_memo: dict[tuple[str, str], object] = {}
+        # weighted leaf arrays: (field, term, mult) → (wmult, wmult·sat).
+        # The guard value wmult re-validates the cached array against
+        # the CURRENT idf (the sharded layer swaps per-query global-df
+        # ctx in, and a stale idf would silently mis-score) — on
+        # mismatch the entry is recomputed from the sat memo.
+        self._ws_memo: dict[tuple[str, str, float], tuple[float, object]] = {}
         self._fuzzy_cache: dict[tuple, tuple[str, ...]] = {}
+        # compiled fuzzy expansions (field, token, edits, prefix_len) →
+        # [(term, boost)] — fuzzy_expand is pure, so compile-time DL
+        # verification is paid once per distinct token (compiler hook)
+        self._fuzzy_expand_memo: dict[tuple, list] = {}
         # jobs/serve.py mounts a HotIndex on a THREADED http server:
         # the memo-cap eviction (prefetch's clear()) could race
         # another request between populate and read, so the posting
@@ -286,6 +296,7 @@ class HotIndex(OracleIndex):
             self._arr_memo.clear()
             self._post_memo.clear()
             self._sat_memo.clear()
+            self._ws_memo.clear()
         flt = (pads.field("field") == field) & pads.field("term").isin(missing)
         tables = [self._post_ds.to_table(filter=flt, columns=_POSTING_COLS)]
         if self._post_delta_ds is not None:
@@ -425,7 +436,21 @@ class HotIndex(OracleIndex):
                 self._dv_other[docs], 0.0, plan.type_weight
             )
         os_score = os_score + self._dv_imp[docs] * plan.importance_factor
-        order = np.lexsort((self._dv_sha[docs], -os_score))[:ext_limit]
+        # top-k cut: a full lexsort over the candidate set is
+        # O(U log U) where only ext_limit rows survive — select the
+        # score threshold with an O(U) partition first, then lexsort
+        # only the rows at-or-above it (ties on the threshold score
+        # are ALL kept for the sort, so the (score desc, sha asc)
+        # order — and therefore the result — is identical)
+        if len(os_score) > max(4 * ext_limit, 4096):
+            kth = np.partition(os_score, len(os_score) - ext_limit)[
+                len(os_score) - ext_limit
+            ]
+            sel = np.nonzero(os_score >= kth)[0]
+            sub = np.lexsort((self._dv_sha[docs[sel]], -os_score[sel]))[:ext_limit]
+            order = sel[sub]
+        else:
+            order = np.lexsort((self._dv_sha[docs], -os_score))[:ext_limit]
         rows = []
         for i in order.tolist():
             meta = self.docs[int(docs[i])]
@@ -523,15 +548,25 @@ class HotIndex(OracleIndex):
                             continue
                         docs, tfs = arr
                         wmult = self._leaf_idf(n.field, term, docs) * mult
-                        # sat(tf) is query/ctx-independent — memoized
-                        # so the warm path pays ONE scalar-array
-                        # multiply per leaf (same expression, same op
-                        # order ⇒ bit-identical scores)
-                        sat = self._sat_memo.get((n.field, term))
-                        if sat is None:
-                            sat = tfs * (scoring.K1 + 1.0) / (tfs + scoring.K1)
-                            self._sat_memo[(n.field, term)] = sat
-                        s = wmult * sat
+                        # sat(tf) is query/ctx-independent — memoized;
+                        # the weighted product wmult·sat is ALSO
+                        # memoized (guarded on wmult so a sharded
+                        # global-df ctx or post-update idf change
+                        # recomputes), making the warm-path leaf cost
+                        # a dict hit instead of an O(postings)
+                        # multiply (same expression, same op order ⇒
+                        # bit-identical scores)
+                        wkey = (n.field, term, mult)
+                        went = self._ws_memo.get(wkey)
+                        if went is not None and went[0] == wmult:
+                            s = went[1]
+                        else:
+                            sat = self._sat_memo.get((n.field, term))
+                            if sat is None:
+                                sat = tfs * (scoring.K1 + 1.0) / (tfs + scoring.K1)
+                                self._sat_memo[(n.field, term)] = sat
+                            s = wmult * sat
+                            self._ws_memo[wkey] = (wmult, s)
                         exp.append((docs, s))
                         in_universe[docs] = True
                     clauses.append(exp)
@@ -579,14 +614,19 @@ class HotIndex(OracleIndex):
                 if not exp:
                     continue
                 cs = np.full(U, -np.inf)
-                if len(exp) == 1:
-                    # docs are unique within one term's postings, so
-                    # assignment ≡ maximum.at on the fresh -inf lane
-                    # (ufunc.at is ~5× slower per element)
-                    docs, s = exp[0]
-                    cs[remap[docs]] = s
-                else:
-                    for docs, s in exp:
+                # docs are unique within one term's postings, so
+                # assignment ≡ maximum.at on the fresh -inf lane
+                # (ufunc.at is ~5× slower per element). With several
+                # expansions, the LARGEST one takes the cheap
+                # assignment and only the tails pay ufunc.at — max is
+                # commutative, so the fold order doesn't change the
+                # result, and fuzzy clauses are one dominant exact
+                # term plus small edit-distance tails.
+                big = max(range(len(exp)), key=lambda i: len(exp[i][0]))
+                docs, s = exp[big]
+                cs[remap[docs]] = s
+                for i, (docs, s) in enumerate(exp):
+                    if i != big:
                         np.maximum.at(cs, remap[docs], s)
                 mask = cs > -np.inf
                 # python folds 0.0 + max_0 + max_1 ... over PRESENT
@@ -974,9 +1014,11 @@ class HotIndex(OracleIndex):
                 "doc_value_arrays_bytes": dv,
                 "posting_memo_bytes": _deep(self._arr_memo)
                 + _deep(self._post_memo)
-                + _deep(self._sat_memo),
+                + _deep(self._sat_memo)
+                + _deep(self._ws_memo),
                 "posting_memo_entries": len(self._arr_memo),
-                "fuzzy_cache_bytes": _deep(self._fuzzy_cache),
+                "fuzzy_cache_bytes": _deep(self._fuzzy_cache)
+                + _deep(self._fuzzy_expand_memo),
                 "bloom_bytes": bloom,
                 "n_docs": self.n_docs,
             }
