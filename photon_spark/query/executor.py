@@ -176,6 +176,11 @@ class Index:
         # above.
         self._stats_cache: dict[tuple[str, str], tuple[int, int] | None] = {}
         self._fuzzy_cache: dict[tuple, tuple[str, ...]] = {}
+        # compiled fuzzy expansions (compiler hook, same contract as
+        # HotIndex._fuzzy_expand_memo): pure function of the index
+        # snapshot, so compile-time DL verification is paid once per
+        # distinct (field, token, edits, prefix)
+        self._fuzzy_expand_memo: dict[tuple, list] = {}
 
     def _term_stats_memo(
         self, field: str, terms: list[str]
@@ -221,6 +226,7 @@ class Index:
                 pass
         self._stats_cache.clear()
         self._fuzzy_cache.clear()
+        self._fuzzy_expand_memo.clear()
 
     # ---------------- low-level readers ----------------
 

@@ -68,6 +68,29 @@ from photon_spark.query.plan import Bool, DisMax, Exists, FnMul, Match, PlanNode
 _POSTING_COLS = ["term", "n", "doc_bytes", "tf_bytes"]
 
 
+def _topk_order(sha, os_score, ext_limit: int):
+    """Indices of the top ``ext_limit`` rows by (os_score desc, sha
+    asc) — exactly ``np.lexsort((sha, -os_score))[:ext_limit]``.
+
+    A full lexsort over the candidate set is O(U log U) where only
+    ext_limit rows survive, so for large U the score threshold is
+    selected with an O(U) partition first and only the rows
+    at-or-above it are lexsorted. Ties ON the threshold score are all
+    kept for the sort, so the returned order is identical to the full
+    lexsort (pinned in tests/test_hot.py against random + heavy-tie
+    arrays)."""
+    import numpy as np
+
+    if len(os_score) > max(4 * ext_limit, 4096):
+        kth = np.partition(os_score, len(os_score) - ext_limit)[
+            len(os_score) - ext_limit
+        ]
+        sel = np.nonzero(os_score >= kth)[0]
+        sub = np.lexsort((sha[sel], -os_score[sel]))[:ext_limit]
+        return sel[sub]
+    return np.lexsort((sha, -os_score))[:ext_limit]
+
+
 class _LazyFieldPostings:
     """``term → {ord: tf}`` view of one field's posting blocks,
     fetched through the owning :class:`HotIndex`'s memoized reader.
@@ -436,21 +459,7 @@ class HotIndex(OracleIndex):
                 self._dv_other[docs], 0.0, plan.type_weight
             )
         os_score = os_score + self._dv_imp[docs] * plan.importance_factor
-        # top-k cut: a full lexsort over the candidate set is
-        # O(U log U) where only ext_limit rows survive — select the
-        # score threshold with an O(U) partition first, then lexsort
-        # only the rows at-or-above it (ties on the threshold score
-        # are ALL kept for the sort, so the (score desc, sha asc)
-        # order — and therefore the result — is identical)
-        if len(os_score) > max(4 * ext_limit, 4096):
-            kth = np.partition(os_score, len(os_score) - ext_limit)[
-                len(os_score) - ext_limit
-            ]
-            sel = np.nonzero(os_score >= kth)[0]
-            sub = np.lexsort((self._dv_sha[docs[sel]], -os_score[sel]))[:ext_limit]
-            order = sel[sub]
-        else:
-            order = np.lexsort((self._dv_sha[docs], -os_score))[:ext_limit]
+        order = _topk_order(self._dv_sha[docs], os_score, ext_limit)
         rows = []
         for i in order.tolist():
             meta = self.docs[int(docs[i])]
@@ -630,9 +639,14 @@ class HotIndex(OracleIndex):
                         np.maximum.at(cs, remap[docs], s)
                 mask = cs > -np.inf
                 # python folds 0.0 + max_0 + max_1 ... over PRESENT
-                # clauses per doc — same element-wise order here (the
-                # unmasked lanes' sums are computed and discarded)
-                s_acc = np.where(mask, s_acc + cs, s_acc)
+                # clauses per doc — same element-wise fold here, done
+                # in place: absent lanes add exactly +0.0, which is
+                # the identity for the (non-negative: idf > 0, sat >
+                # 0, mult > 0) accumulator, so values match the
+                # np.where(mask, s_acc + cs, s_acc) formulation
+                # bit-for-bit without its two temporaries
+                cs[~mask] = 0.0
+                s_acc += cs
                 m_arr += mask
             node_sm[nid] = (s_acc, m_arr)
         hit_masks: dict[int, np.ndarray] = {}
@@ -648,10 +662,17 @@ class HotIndex(OracleIndex):
         def tree(n: PlanNode):
             """(val float64 array with NaN = the walk's None,
             present bool array) — OracleIndex._tree element-wise."""
+            # every child (val, present) pair is consumed exactly once
+            # by its parent and each node allocates a fresh val, so
+            # parents may mask child vals IN PLACE — same values as
+            # the np.where formulations, minus their U-length
+            # temporaries (which dominate pass-3 wall on broad
+            # queries where U approaches the shard size)
             if isinstance(n, Match):
                 s, m = node_sm.get(n.node_id, (np.zeros(U), np.zeros(U, dtype=np.int64)))
                 present = m >= required_clauses(n)
-                val = np.where(present, n.boost * s, nan)
+                val = n.boost * s
+                val[~present] = nan
                 return val, present
             if isinstance(n, Exists):
                 hit = hit_masks.get(n.node_id, np.zeros(U, dtype=bool))
@@ -665,9 +686,12 @@ class HotIndex(OracleIndex):
                 anyval = np.zeros(U, dtype=bool)
                 for v, p in ps:
                     ok = p & ~np.isnan(v)
-                    np.maximum(best, np.where(ok, v, -np.inf), out=best)
+                    v[~ok] = -np.inf
+                    np.maximum(best, v, out=best)
                     anyval |= ok
-                return np.where(anyval, n.boost * best, nan), present
+                val = n.boost * best
+                val[~anyval] = nan
+                return val, present
             if isinstance(n, Bool):
                 musts = [tree(c) for c in n.must]
                 shoulds = [tree(c) for c in n.should]
@@ -683,8 +707,8 @@ class HotIndex(OracleIndex):
                 for v, _ in musts:
                     total = v if total is None else total + v  # NaN propagates = the walk's early None
                 for v, p in shoulds:
-                    term = np.where(p & ~np.isnan(v), v, 0.0)
-                    total = term if total is None else total + term
+                    v[~(p & ~np.isnan(v))] = 0.0
+                    total = v if total is None else total + v
                 if total is None:
                     return np.full(U, nan), present
                 return n.boost * total, present

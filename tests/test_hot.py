@@ -272,3 +272,82 @@ def test_hot_on_updated_index(spark, index_dir, tmp_path_factory):
         for r in hot2.bm25_topk("all", ["street", "zzhotdelta"], k=10).itertuples()
     ]
     assert got == want and got
+
+
+def test_topk_order_matches_full_lexsort():
+    """_topk_order must equal lexsort((sha, -score))[:ext] on every
+    regime: below the cut threshold, above it, and with heavy ties
+    (incl. ALL scores equal, where the partition keeps everything)."""
+    import numpy as np
+
+    from photon_spark.query.hot import _topk_order
+
+    rng = np.random.default_rng(7)
+    cases = []
+    for n in (10, 5000, 20000):
+        cases.append((rng.integers(0, 1 << 60, n), rng.random(n)))
+        # heavy ties: scores drawn from 5 distinct values
+        cases.append(
+            (rng.integers(0, 1 << 60, n), rng.integers(0, 5, n).astype(float))
+        )
+        # fully degenerate: one score value, order decided by sha alone
+        cases.append((rng.integers(0, 1 << 60, n), np.full(n, 3.25)))
+    for sha, score in cases:
+        for ext in (1, 9, 23, 100):
+            want = np.lexsort((sha, -score))[:ext]
+            got = _topk_order(sha, score, ext)
+            assert np.array_equal(got, want), (len(score), ext)
+
+
+def test_bloom_probe_memo_invalidated_on_mutation():
+    """A cached 'definitely absent' probe must flip after the term is
+    added (the updater folds new terms into the served bloom)."""
+    import numpy as np
+
+    from photon_spark.index.bloom import TermBloom, _params
+
+    m, k = _params(100, 0.01)
+    bloom = TermBloom(np.zeros((m + 7) // 8, dtype=np.uint8), m, k, 100)
+    assert bloom.definitely_absent("name", "zzfresh")
+    assert bloom.definitely_absent("name", "zzfresh")  # memo hit
+    bloom.add("name", "zzfresh")
+    assert not bloom.definitely_absent("name", "zzfresh")
+    # or_bits folding (distributed bloom fold) invalidates too
+    other = TermBloom(np.zeros((m + 7) // 8, dtype=np.uint8), m, k, 100)
+    other.add("name", "zzother")
+    assert bloom.definitely_absent("name", "zzother")
+    bloom.or_bits(other.bits)
+    assert not bloom.definitely_absent("name", "zzother")
+
+
+def test_fuzzy_expand_memo_stable_across_compiles(hot):
+    """Repeated compiles through the memo must produce identical
+    clause expansions (the memo only skips recomputation)."""
+    from photon_spark.query.compiler import compile_query
+
+    hot._fuzzy_expand_memo.clear()
+    p1 = compile_query("stret bulk", hot, lenient=True)
+    assert hot._fuzzy_expand_memo, "lenient compile should populate the memo"
+    p2 = compile_query("stret bulk", hot, lenient=True)
+
+    def clauses_of(n):
+        out = []
+
+        def walk(x):
+            from photon_spark.query.plan import Bool, DisMax, FnMul, Match
+
+            if isinstance(x, Match):
+                out.append((x.field, [c.expansions for c in x.clauses]))
+            elif isinstance(x, DisMax):
+                for c in x.children:
+                    walk(c)
+            elif isinstance(x, Bool):
+                for c in x.must + x.should:
+                    walk(c)
+            elif isinstance(x, FnMul):
+                walk(x.query)
+
+        walk(n)
+        return out
+
+    assert clauses_of(p1.root) == clauses_of(p2.root)
