@@ -28,12 +28,24 @@ import time
 def _env_snapshot() -> dict:
     """Host state recorded alongside the numbers so cross-round
     comparisons stop needing a 'probably noise' caveat (rounds 1-3
-    measured ±25% drift on unchanged code under background load)."""
+    measured ±25% drift on unchanged code under background load).
+
+    ``effective_cores`` is a ~0.5 s aggregate-CPU-quota probe (32
+    concurrent processes of fixed work vs one): this hypervisor caps
+    aggregate CPU (~18 cores when healthy) and the cap SILENTLY
+    drops during throttle windows — a round-5 run measured every
+    entry 3-4× slower at loadavg 0.2, so loadavg alone cannot
+    distinguish a code regression from a throttled host. A recorded
+    probe value far below ~18 marks the numbers as quota-bound."""
     out: dict = {}
     try:
         with open("/proc/loadavg") as f:
             out["loadavg"] = [float(x) for x in f.read().split()[:3]]
     except OSError:
+        pass
+    try:
+        out["effective_cores"] = _cpu_quota_probe()
+    except Exception:
         pass
     try:
         with open("/proc/meminfo") as f:
@@ -47,6 +59,27 @@ def _env_snapshot() -> dict:
     except OSError:
         pass
     return out
+
+
+def _probe_work(_i: int) -> float:
+    t0 = time.time()
+    x = 0
+    for i in range(5_000_000):
+        x += i
+    return time.time() - t0
+
+
+def _cpu_quota_probe() -> float:
+    """32 × fixed work concurrently vs once: effective aggregate
+    cores ≈ 32 · t_single / t_wall."""
+    import multiprocessing as mp
+
+    t_single = _probe_work(0)
+    with mp.Pool(32) as pool:
+        t0 = time.time()
+        pool.map(_probe_work, range(32))
+        wall = time.time() - t0
+    return round(32 * t_single / wall, 1)
 
 
 def main() -> None:

@@ -205,6 +205,15 @@ def env_snapshot() -> dict:
     except OSError:
         pass
     try:
+        # aggregate-CPU-quota probe (see bench._cpu_quota_probe):
+        # throttle windows drop the hypervisor cap invisibly to
+        # loadavg, and a lifecycle run this long can straddle one
+        from bench import _cpu_quota_probe
+
+        out["effective_cores"] = _cpu_quota_probe()
+    except Exception:
+        pass
+    try:
         sha = subprocess.run(
             ["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
             capture_output=True, text=True,
