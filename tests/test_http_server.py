@@ -349,3 +349,83 @@ def test_sharded_serve_http_with_update(spark, corpus, tmp_path):
         assert json.loads(body)["n_docs"] == 60  # 60 - 1 + 1 ... +1 new -1 deleted
     finally:
         srv.shutdown()
+
+
+def test_prefork_workers_serve_and_shut_down(index_dir):
+    """--workers N: the parent binds + loads once, forks N serving
+    processes on the shared socket; concurrent requests all answer
+    correctly and SIGTERM reaps the whole fleet."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    proc = subprocess.Popen(
+        [sys.executable, "photon_spark/jobs/serve.py", "--index", index_dir,
+         "--port", "0", "--workers", "2"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        stdout=subprocess.PIPE, text=True,
+    )
+    try:
+        line = proc.stdout.readline()
+        info = json.loads(line)
+        assert len(info["workers"]) == 2
+        for pid in info["workers"]:
+            os.kill(pid, 0)  # alive
+        port = info["listening"]
+
+        results = []
+        lock = threading.Lock()
+
+        def client(i):
+            for _ in range(5):
+                code, _, body = _get(
+                    f"http://127.0.0.1:{port}/api?q=return+license&limit=5"
+                )
+                with lock:
+                    results.append((code, json.loads(body)["type"]))
+
+        ts = [threading.Thread(target=client, args=(i,)) for i in range(6)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert set(results) == {(200, "FeatureCollection")}
+        assert len(results) == 30
+
+        proc.send_signal(signal.SIGTERM)
+        assert proc.wait(timeout=30) == 0
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            if all(not _pid_alive(p) for p in info["workers"]):
+                break
+            time.sleep(0.2)
+        for pid in info["workers"]:
+            assert not _pid_alive(pid), f"worker {pid} survived shutdown"
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+
+
+def _pid_alive(pid: int) -> bool:
+    import os
+
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    return True
+
+
+def test_prefork_rejected_for_spark_backend_and_updates(tmp_path):
+    """--workers guards: a forked JVM or a diverging per-worker
+    snapshot swap must be refused at argparse time."""
+    from photon_spark.jobs.serve import main
+
+    with pytest.raises(SystemExit):
+        main(["--index", str(tmp_path), "--workers", "2",
+              "--backend", "spark"])
+    with pytest.raises(SystemExit):
+        main(["--index", str(tmp_path), "--workers", "2",
+              "--updates-dir", str(tmp_path)])
