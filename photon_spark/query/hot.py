@@ -39,9 +39,12 @@ installs it through :meth:`HotIndex._leaf_idf`, so shard rankings
 merge rank-identically to a single index (no shard-local-idf drift).
 
 Latency measured at sf0.1 local box (5k docs, 147k terms): warm p50
-~7 ms (p95 ~8 ms), cold open+first-query ~140 ms — vs ~1.2 s p50
-through the Spark evaluator on the same index (bench.py records both
-per round as ``hot_query_latency`` / ``query_latency``). Plan
+~1.4 ms (p95 ~2 ms) after the round-5 memo pass, cold
+open+first-query ~180 ms — vs ~1.0 s p50 through the Spark evaluator
+on the same index (bench.py records both per round as
+``hot_query_latency`` / ``query_latency``; broad-query scaling with
+corpus size is in BENCH/SF10X.md — 21 ms at 43k docs, 218 ms at
+436k). Plan
 evaluation is the vectorized numpy twin of the oracle walk
 (``_eval_node`` override below) — the per-doc python interpretation
 would cost ~200 ms on a skewed-term query over this shard and
